@@ -1,0 +1,48 @@
+"""Deduplication operators.
+
+`dedup_first_wins` re-expresses the reference's ordered distinct-on
+(`deduplicate_by_id`, /root/reference/main.py:173-181 — keep the FIRST
+Document per 채용공고ID in arrival order). Distributed first-wins needs
+an explicit, data-derived order column (SURVEY §7 hard-point (a)):
+`monotonically_increasing_id` is not stable across retries, so callers
+must pass a real column.
+
+The scale-path near-dup family (exact text hash, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine) lives in neardup.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_first_wins(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Keep exactly one row per `keys`: the first by `order_col`
+    (ties broken by `order_col` only — pass a unique column).
+
+    One shuffle on `keys`; Spark 3.5+ plans the rank filter as
+    WindowGroupLimit (partial per-partition top-1 before the shuffle).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_report(df: DataFrame, key: str) -> DataFrame:
+    """Group-by-count report of duplicate key values (reference's
+    pre-index DQ scan, /root/reference/build_vectorstore.py:260-270)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )

@@ -1,0 +1,94 @@
+"""Distributed exact k-NN: the engine's replacement for the reference's
+HNSW `similarity_search_with_score` calls (/root/reference/main.py:158-165,
+main.py:401, main.py:496; v1: main_remind.py:137-156).
+
+Design for scale (100 TB doc side, small query batch):
+  * `broadcast(queries)` — the doc table is never shuffled for the join;
+    each doc partition scores locally against the broadcast query batch.
+  * top-k via `row_number()` window + `rank <= k` filter: Spark's
+    InferWindowGroupLimit rule (3.5+) turns this into a per-partition
+    partial top-k (WindowGroupLimit) BEFORE the shuffle, so only
+    ~k rows per partition per query move — not |docs| × |queries|.
+  * metric exprs are built-in higher-order functions (codegen, no UDF).
+
+Semantics notes vs the reference:
+  * exact, not approximate — recall 1.0 (declared improvement; see
+    SURVEY §4). LSH/IVF pruning variants live in ann.py.
+  * deterministic tie-break on doc id, which the reference (HNSW
+    traversal order) does not guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+)
+
+_METRICS = {
+    # name -> (expr builder, ascending order?)
+    "cosine": (cosine_similarity, False),
+    "dot": (dot_product, False),
+    "l2": (l2_distance, True),
+}
+
+
+def score_expr(metric: str, qcol: Column, dcol: Column) -> tuple[Column, bool]:
+    try:
+        builder, asc = _METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; choose from {sorted(_METRICS)}")
+    return builder(qcol, dcol), asc
+
+
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    score_col: str = "score",
+    doc_id: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Per-query top-k with deterministic doc-id tie-break."""
+    order = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        F.col(doc_id).asc(),
+    ]
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+    doc_filter: Column | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact k-NN of every query vector against the doc table.
+
+    `doc_filter` (optional) is applied BEFORE scoring — the pushdown
+    analogue of the reference v2's `where_document={$contains:...}`
+    (/root/reference/main.py:144-162); Catalyst pushes it into the
+    parquet scan.
+
+    Returns: query_id, doc_id, score, rank (1-based, best first).
+    """
+    if doc_filter is not None:
+        docs = docs.where(doc_filter)
+    expr, asc = score_expr(metric, F.col(query_vec), F.col(doc_vec))
+    scored = (
+        docs.crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        .withColumn(score_col, expr)
+        .select(query_id, doc_id, score_col)
+    )
+    return topk_per_query(scored, k, query_id, score_col, doc_id, ascending=asc)

@@ -1,0 +1,122 @@
+"""Vector-search queries (SURVEY §2.3, §2.5, §2.6): exact k-NN over the
+`embeddings` fixture, the Spark replacement for the reference's HNSW
+`similarity_search_with_score` (/root/reference/main.py:158-165).
+
+Query batch = vectors with vec_id < 8 (self-search): deterministic,
+fixture-only, and exercises the same shape as a user query batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.functions.vector import duck_cosine, duck_l2
+from vector_search_ner_spark.operators.knn import knn_join
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.sources.catalog import load_table
+
+K = 10
+N_QUERIES = 8
+
+
+def _query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _knn(spark: SparkSession, sf_dir: str, metric: str, doc_filter=None, k: int = K) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label"
+    )
+    out = knn_join(
+        _query_batch(spark, sf_dir), emb, k=k, metric=metric, doc_filter=doc_filter
+    )
+    return out.select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def _duck_knn(score_sql: str, order: str, where: str = "", k: int = K) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, d.vec_id AS doc_id,
+         {score_sql} AS score
+  FROM embeddings d CROSS JOIN q
+  {where}
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score {order}, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "knn_topk_cosine",
+    oracle=_duck_knn(duck_cosine("q.query_vec", "d.embedding"), "DESC"),
+)
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn(spark, sf_dir, "cosine")
+
+
+@query(
+    "knn_topk_l2",
+    oracle=_duck_knn(duck_l2("q.query_vec", "d.embedding"), "ASC"),
+)
+def knn_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn(spark, sf_dir, "l2")
+
+
+@query(
+    "knn_filtered",
+    oracle=_duck_knn(
+        duck_cosine("q.query_vec", "d.embedding"),
+        "DESC",
+        where="WHERE d.label IN (1, 2, 3)",
+        k=5,
+    ),
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered k-NN: metadata predicate applied BEFORE scoring — the
+    pushdown analogue of the reference v2's `where_document`
+    (/root/reference/main.py:144-162). Exact search makes the
+    reference's k*3 over-fetch heuristic (main.py:160-165) a no-op."""
+    return _knn(spark, sf_dir, "cosine", doc_filter=F.col("label").isin(1, 2, 3), k=5)
+
+
+@query(
+    "similarity_full_scan",
+    oracle=f"""
+SELECT d.vec_id AS doc_id,
+       {duck_l2("q.query_vec", "d.embedding")} AS distance,
+       CAST(row_number() OVER (ORDER BY {duck_l2("q.query_vec", "d.embedding")}, d.vec_id)
+            AS INTEGER) AS rank
+FROM embeddings d
+CROSS JOIN (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0) q
+""",
+)
+def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug full-similarity scan: single query vs the whole table,
+    globally distance-ranked, no limit (/root/reference/main.py:493-514
+    approximated k=1000 ≈ whole index; here it is truly the whole table)."""
+    from vector_search_ner_spark.functions.vector import l2_distance
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            l2_distance(F.col("query_vec"), F.col("embedding")).alias("distance"),
+        )
+    )
+    w = Window.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
