@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no sink cost). A short warmup query first amortizes JVM/codegen start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_search_ner_spark.session import get_spark  # noqa: E402
+from vector_search_ner_spark import registry  # noqa: E402
+
+# Headline set: flagship vector ops + the shuffle-heaviest relational
+# queries + (as they land) dedup / text-analysis pipeline ops.
+HEADLINE = [
+    "knn_topk_cosine",
+    "knn_filtered",
+    "similarity_full_scan",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "window_top_orders_per_cust",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "doc_quality_scores",
+    "staged_retrieval_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("vsns-bench")
+
+    queries, _ = registry.collect()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warmup: JVM + codegen + parquet footer reads
+    queries[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

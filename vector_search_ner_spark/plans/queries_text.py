@@ -1,0 +1,213 @@
+"""Text-pipeline queries (SURVEY §2.2, §2.8, §2.10 + training-data text
+analysis): cleaning, contains-filter pushdown, chunking, token/quality/
+language/fingerprint stats, JSON extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.functions.text import clean_text, stable_id
+from vector_search_ner_spark.operators.chunker import chunk_text, duck_chunk_sql
+from vector_search_ner_spark.operators.textstats import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.sources.catalog import load_table
+
+
+@query(
+    "clean_text_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '<[^>]+>', '', 'g'), chr(10), ' ', 'g'))
+         AS cleaned,
+       length(trim(regexp_replace(regexp_replace(text, '<[^>]+>', '', 'g'), chr(10), ' ', 'g')))
+         AS n_clean_chars
+FROM documents
+""",
+)
+def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text (HTML strip + newline collapse + trim) over documents
+    (/root/reference/build_vectorstore.py:115-118)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_text(F.col("text"))
+    return docs.select(
+        "doc_id", cleaned.alias("cleaned"), F.length(cleaned).alias("n_clean_chars")
+    )
+
+
+@query(
+    "contains_filter_docs",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE contains(text, 'spark') AND (contains(text, 'join') OR lang = 'en')
+""",
+)
+def contains_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference v2 `$contains` / `$and` / `$or` where_document
+    pushdown (/root/reference/main.py:144-162) as Catalyst predicates —
+    pushed into the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("text").contains("spark")
+        & (F.col("text").contains("join") | (F.col("lang") == "en"))
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query("chunk_documents", oracle=duck_chunk_sql(120, 30) + " WHERE doc_id < 100")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker (size=120, overlap=30 — scaled-down
+    analogue of the reference's 300/50, build_vectorstore.py:50-53)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return chunk_text(docs, size=120, overlap=30).select("doc_id", "chunk_index", "chunk")
+
+
+@query(
+    "chunk_ids_stable",
+    oracle=f"""
+WITH chunks AS ({duck_chunk_sql(120, 30)} WHERE doc_id < 100)
+SELECT doc_id, chunk_index,
+       CAST('0x' || substring(md5(substring(chunk, 1, 50)), 1, 15) AS BIGINT)
+         || '_' || CAST(chunk_index AS VARCHAR) AS chunk_id
+FROM chunks
+""",
+)
+def chunk_ids_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable chunk ids — md5-derived hash of the chunk's first 50
+    chars + index; fixes the reference's per-process-salted Python
+    `hash()` id minting (/root/reference/build_vectorstore.py:202-203)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    chunks = chunk_text(docs, size=120, overlap=30)
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        stable_id(F.col("chunk"), F.col("chunk_index")).alias("chunk_id"),
+    )
+
+
+def _duck_marker_hits(markers: tuple[str, ...]) -> str:
+    toks = "string_split(trim(text), ' ')"
+    parts = " + ".join(
+        f"len(list_filter({toks}, t -> t = '{m}'))" for m in markers
+    )
+    return f"CAST({parts} AS BIGINT)"
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       {_duck_marker_hits(LANG_MARKERS["en"])} AS en_hits,
+       CAST('0x' || substring(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 15) AS BIGINT)
+         AS fp
+FROM documents
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + marker-word hits + stable content fingerprint."""
+    from vector_search_ner_spark.operators.textstats import marker_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        marker_hits(F.col("text"), LANG_MARKERS["en"]).alias("en_hits"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _duck_quality() -> str:
+    n_tok = "len(string_split(trim(text), ' '))"
+    n_chars = "length(text)"
+    mean_len = f"({n_chars} - ({n_tok} - 1)) / CAST({n_tok} AS DOUBLE)"
+    stop_ratio = f"{_duck_marker_hits(LANG_MARKERS['en'])} / CAST({n_tok} AS DOUBLE)"
+    return f"""ROUND((
+      (CASE WHEN {n_tok} >= 5 AND {n_tok} <= 1000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN {mean_len} >= 2.0 AND {mean_len} <= 12.0 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN {stop_ratio} >= 0.01 AND {stop_ratio} <= 0.5 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0, 4)"""
+
+
+def _duck_lang_id() -> str:
+    code = _duck_marker_hits(LANG_MARKERS["code"])
+    data = _duck_marker_hits(LANG_MARKERS["data"])
+    en = _duck_marker_hits(LANG_MARKERS["en"])
+    return f"""CASE
+      WHEN {code} >= {data} AND {code} >= {en} AND {code} > 0 THEN 'code'
+      WHEN {data} >= {en} AND {data} > 0 THEN 'data'
+      WHEN {en} > 0 THEN 'en'
+      ELSE 'und' END"""
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+SELECT doc_id, {_duck_quality()} AS quality, {_duck_lang_id()} AS lang_pred
+FROM documents
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + heuristic language-ID over documents —
+    training-data-pipeline text analysis as one map-only stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string property extraction (the reference stores NER as
+    a JSON string in metadata, build_vectorstore.py:217, re-parsed at
+    main.py:303-308): get_json_object + cast + filter."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_id", "event_type", k.alias("k_val")).where(F.col("k_val") > 50)
+
+
+@query(
+    "combined_text_assembly",
+    oracle="""
+SELECT doc_id,
+       concat_ws(chr(10),
+         '제목: ' || source,
+         '언어: ' || lang,
+         '본문: ' || substring(text, 1, 100)) AS combined,
+       substring(text, 1, 100) AS snippet
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def combined_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled multi-field text assembly + first-100-chars snippet
+    (reference combined_text build_vectorstore.py:155-161; snippet
+    main.py:242)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("제목: "), F.col("source")),
+            F.concat(F.lit("언어: "), F.col("lang")),
+            F.concat(F.lit("본문: "), F.substring(F.col("text"), 1, 100)),
+        ).alias("combined"),
+        F.substring(F.col("text"), 1, 100).alias("snippet"),
+    )

@@ -105,9 +105,14 @@ CROSS JOIN (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0) q
 def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debug full-similarity scan: single query vs the whole table,
     globally distance-ranked, no limit (/root/reference/main.py:493-514
-    approximated k=1000 ≈ whole index; here it is truly the whole table)."""
+    approximated k=1000 ≈ whole index; here it is truly the whole table).
+
+    Global rank WITHOUT a single-partition window: distributed
+    range-partitioned sort, then rank = zipWithIndex + 1 (two passes,
+    every partition stays parallel). Deterministic because
+    (distance, doc_id) is a total order."""
     from vector_search_ner_spark.functions.vector import l2_distance
-    from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
@@ -117,6 +122,16 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             l2_distance(F.col("query_vec"), F.col("embedding")).alias("distance"),
         )
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
     )
-    w = Window.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+    ranked = scored.rdd.zipWithIndex().map(
+        lambda pair: (pair[0]["doc_id"], pair[0]["distance"], int(pair[1]) + 1)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("distance", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(ranked, schema)
