@@ -1,0 +1,381 @@
+"""Near-duplicate detection family for training-data pipelines:
+
+  * exact dedup          — content-fingerprint groupBy
+  * n-gram Jaccard       — shingle-join exact pairwise similarity
+  * MinHash + LSH        — banded signature bucketing, then exact verify
+  * SimHash              — bitwise fingerprint + byte-band pair search
+  * embedding cosine     — sign-LSH bucket prefilter + exact cosine
+
+Everything is built-in column exprs (array higher-order functions), so
+signatures are MAP-ONLY (no shuffle until the candidate join) and the
+joins shuffle only on shingle/band/bucket keys — the standard
+scale-out shape for 100 TB dedup. Hash/permutation constants are
+computed driver-side from md5 so the DuckDB oracles inline the exact
+same literals.
+
+Word shingles use k=6: long enough that shingle document-frequency
+stays tiny (bounded join fan-out); a DF cap on hot shingles is the
+knob to add under adversarial skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared deterministic constants (same literals go into the SQL oracles)
+# ---------------------------------------------------------------------------
+
+MINHASH_P = 1_000_003
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+SHINGLE_K = 6
+SIMHASH_BITS = 32
+SIMHASH_BAND_BYTES = 4
+
+
+def _md5_const(tag: str) -> int:
+    return int(hashlib.md5(tag.encode()).hexdigest()[:12], 16)
+
+
+MINHASH_A = [(_md5_const(f"minhash-a:{j}") % (MINHASH_P - 1)) + 1 for j in range(N_PERM)]
+MINHASH_B = [_md5_const(f"minhash-b:{j}") % MINHASH_P for j in range(N_PERM)]
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles; whole trimmed text when < k tokens."""
+    toks = F.split(F.trim(text), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.trim(text)))
+
+
+def duck_word_shingles(text: str = "text", k: int = SHINGLE_K) -> str:
+    toks = f"string_split(trim({text}), ' ')"
+    return f"""CASE WHEN len({toks}) >= {k}
+      THEN list_distinct(list_transform(generate_series(1, len({toks}) - {k - 1}),
+             i -> array_to_string({toks}[i:i+{k - 1}], ' ')))
+      ELSE [trim({text})] END"""
+
+
+def _shingle_hash(s: Column) -> Column:
+    """md5-derived shingle hash in [0, MINHASH_P)."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+
+
+def _duck_shingle_hash(s: str) -> str:
+    return f"(CAST('0x' || substring(md5({s}), 1, 15) AS BIGINT) % {MINHASH_P})"
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (map-only: array transform + array_min, no explode)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_cols(shingles: Column) -> list[Column]:
+    sigs = []
+    for j in range(N_PERM):
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        perm = F.array_min(
+            F.transform(shingles, lambda s: (F.lit(a) * _shingle_hash(s) + F.lit(b)) % MINHASH_P)
+        )
+        sigs.append(perm.alias(f"mh{j}"))
+    return sigs
+
+
+def duck_minhash_sig(j: int, shingles_sql: str) -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return (
+        f"list_min(list_transform({shingles_sql}, "
+        f"s -> ({a} * {_duck_shingle_hash('s')} + {b}) % {MINHASH_P}))"
+    )
+
+
+def band_key(sig_prefix: str, band: int) -> Column:
+    cols = [F.col(f"{sig_prefix}{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+    return F.concat_ws("_", *[c.cast("string") for c in cols])
+
+
+def duck_band_key(band: int) -> str:
+    cols = [
+        f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    ]
+    return "concat_ws('_', " + ", ".join(cols) + ")"
+
+
+# ---------------------------------------------------------------------------
+# SimHash (map-only fingerprint via 32 bit-folds over the token array)
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column) -> Column:
+    """32-bit SimHash of whitespace tokens (term frequency weighted)."""
+    toks = F.split(F.trim(text), " ")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        contrib = F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.when(tok_hash(t).bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        fp = fp + F.when(contrib > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long")
+    return fp
+
+
+def duck_simhash(text: str = "text") -> str:
+    toks = f"string_split(trim({text}), ' ')"
+    th = "CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)"
+    terms = []
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        contrib = (
+            f"list_sum(list_transform({toks}, "
+            f"t -> CASE WHEN ({th} & {mask}) != 0 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {contrib} > 0 THEN CAST({mask} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# embedding sign-LSH (hyperplane literals shared with the SQL oracle)
+# ---------------------------------------------------------------------------
+
+N_HYPERPLANES = 4
+EMBED_DIM = 64
+
+
+def _hyperplane(r: int) -> list[float]:
+    return [
+        (_md5_const(f"hp:{r}:{i}") % 2001 - 1000) / 1000.0 for i in range(EMBED_DIM)
+    ]
+
+
+HYPERPLANES = [_hyperplane(r) for r in range(N_HYPERPLANES)]
+
+
+def sign_lsh_bucket(embedding: Column) -> Column:
+    """Bucket id from the sign pattern of dot products with
+    N_HYPERPLANES fixed hyperplanes (sequential double fold — identical
+    in the oracle)."""
+    bucket = F.lit(0)
+    for r, hp in enumerate(HYPERPLANES):
+        hp_arr = F.array(*[F.lit(v) for v in hp])
+        dot = F.aggregate(
+            F.zip_with(embedding, hp_arr, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0.0, F.lit(1 << r)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def duck_sign_lsh_bucket(emb: str = "embedding") -> str:
+    terms = []
+    for r, hp in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in hp) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0.0 THEN {1 << r} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operators
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: keep the min-id row per content
+    fingerprint. One shuffle on the fingerprint."""
+    from vector_search_ner_spark.operators.textstats import fingerprint
+
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+
+    Shuffles on the shingle key; fan-out is bounded by shingle DF
+    (k=6 keeps DF tiny). Returns (doc_a, doc_b, jaccard)."""
+    sh = docs.select(
+        F.col(id_col).alias("sid"), word_shingles(F.col(text_col), k).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("sid", "n_sh", F.explode("shingles").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(
+            F.col("a.sid").alias("doc_a"),
+            F.col("b.sid").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: map-only signatures -> banded bucket
+    join (candidates) -> exact Jaccard verify on the candidates only.
+
+    The candidate join shuffles (band, key) rows — |docs| * N_BANDS
+    rows regardless of corpus size, the classic LSH scale shape."""
+    sh = docs.select(
+        F.col(id_col).alias("sid"),
+        word_shingles(F.col(text_col)).alias("shingles"),
+    )
+    sigs = sh.select("sid", "shingles", *minhash_signature_cols(F.col("shingles")))
+    bands = sigs.select(
+        "sid",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_key("mh", bi).alias("key"))
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("sid", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("doc_a"),
+            F.col("b.sid").alias("doc_b"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = common / (F.size("sa") + F.size("sb") - common)
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: byte-band candidate join (a pair within
+    hamming distance <= 6 over 32 bits must share at least one of 4
+    bytes by pigeonhole when distance < 4... candidates are a superset
+    for distance <= max_hamming only if max_hamming < 4; larger radii
+    trade recall, as declared) -> exact hamming verify."""
+    fps = docs.select(F.col(id_col).alias("sid"), simhash(F.col(text_col)).alias("fp"))
+    bands = fps.select(
+        "sid",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("fp"), 8 * k).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for k in range(SIMHASH_BAND_BYTES)
+                ]
+            )
+        ).alias("bk"),
+    ).select("sid", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("doc_a"),
+            F.col("b.sid").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket prefilter (map-only
+    bucket id, shuffle on bucket) -> exact cosine on same-bucket pairs."""
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+
+    with_b = emb.select(
+        F.col(id_col).alias("sid"), F.col(vec_col).alias("v"), sign_lsh_bucket(F.col(vec_col)).alias("bucket")
+    )
+    a = with_b.alias("a")
+    b = with_b.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.sid") < F.col("b.sid")))
+        .withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"), "cosine")
+    )

@@ -1,0 +1,186 @@
+"""Deduplication queries (SURVEY §2.4 + the training-data dedup family
+the north star calls out as first-class: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.functions.vector import duck_cosine
+from vector_search_ner_spark.operators import neardup as nd
+from vector_search_ner_spark.operators.dedup import dedup_first_wins, duplicate_report
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.sources.catalog import load_table
+
+_FP = "CAST('0x' || substring(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 15) AS BIGINT)"
+
+JACCARD_T = 0.5
+COSINE_T = 0.4
+SIMHASH_MAX_HAMMING = 3
+
+
+@query(
+    "dedup_first_wins",
+    oracle="""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_first_wins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-wins distinct-on — the reference's
+    `deduplicate_by_id` (/root/reference/main.py:173-181): keep the
+    FIRST row per key in arrival order. Arrival order here is the
+    data-derived doc_id (SURVEY §7(a): never monotonically_increasing_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_first_wins(docs, ["source"], "doc_id").select("doc_id", "source", "n_chars")
+
+
+@query(
+    "duplicate_report_sources",
+    oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY source HAVING COUNT(*) > 1
+""",
+)
+def duplicate_report_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-index duplicate-key DQ scan
+    (/root/reference/build_vectorstore.py:260-270)."""
+    return duplicate_report(load_table(spark, sf_dir, "documents"), "source")
+
+
+@query(
+    "dedup_exact_text",
+    oracle=f"""
+WITH ingested AS (
+  SELECT * FROM documents UNION ALL SELECT * FROM documents
+)
+SELECT {_FP} AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM ingested GROUP BY fp
+""",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over a simulated double-ingest (the corpus
+    itself is all-distinct): hash-groupBy on the normalized-text
+    fingerprint, min-id survivor. One shuffle on the 60-bit fp."""
+    docs = load_table(spark, sf_dir, "documents")
+    return nd.exact_dedup(docs.unionByName(docs))
+
+
+def _duck_minhash_pairs(threshold: float) -> str:
+    shingles = nd.duck_word_shingles()
+    sig_cols = ",\n       ".join(
+        f"{nd.duck_minhash_sig(j, 'shingles')} AS mh{j}" for j in range(nd.N_PERM)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT sid, shingles, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
+        for bi in range(nd.N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS sid, {shingles} AS shingles FROM documents
+), sigs AS (
+  SELECT sid, shingles,
+       {sig_cols}
+  FROM sh
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b, a.shingles AS sa, b.shingles AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.sid < b.sid
+)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(sa, sb))
+             / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+FROM cand
+WHERE ROUND(len(list_intersect(sa, sb))
+            / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) >= {threshold}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_duck_minhash_pairs(JACCARD_T))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: map-only 16-perm signatures,
+    4-band bucket join for candidates, exact Jaccard >= 0.5 verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    return nd.minhash_lsh_pairs(docs, JACCARD_T)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS sid, {nd.duck_word_shingles()} AS shingles FROM documents
+), exploded AS (
+  SELECT sid, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+), pairs AS (
+  SELECT a.sid AS doc_a, b.sid AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.sid < b.sid
+  GROUP BY a.sid, b.sid, a.n_sh, b.n_sh
+)
+SELECT doc_a, doc_b,
+       ROUND(common / CAST(na + nb - common AS DOUBLE), 4) AS jaccard
+FROM pairs
+WHERE ROUND(common / CAST(na + nb - common AS DOUBLE), 4) >= {JACCARD_T}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-6-gram Jaccard pairs via shingle self-join (the
+    no-LSH exact baseline; shingle DF bounds the join fan-out)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return nd.jaccard_pairs(docs, JACCARD_T)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH fps AS (
+  SELECT doc_id AS sid, {nd.duck_simhash()} AS fp FROM documents
+), bands AS (
+  SELECT sid, fp, b.band AS band, (fp >> (8 * b.band)) & 255 AS key
+  FROM fps, (SELECT unnest(generate_series(0, {nd.SIMHASH_BAND_BYTES - 1})) AS band) b
+), cand AS (
+  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b, a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.sid < b.sid
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit TF-weighted fingerprints (map-
+    only), byte-band candidate join, hamming <= 3 verify (pigeonhole:
+    full recall for distance < 4 over 4 bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return nd.simhash_pairs(docs, SIMHASH_MAX_HAMMING)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH wb AS (
+  SELECT vec_id AS sid, embedding AS v,
+         {nd.duck_sign_lsh_bucket()} AS bucket
+  FROM embeddings
+)
+SELECT a.sid AS doc_a, b.sid AS doc_b,
+       ROUND({duck_cosine("a.v", "b.v")}, 4) AS cosine
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.sid < b.sid
+WHERE ROUND({duck_cosine("a.v", "b.v")}, 4) >= {COSINE_T}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket prefilter (16
+    buckets; declared recall tradeoff) then exact cosine >= 0.4 on
+    same-bucket pairs only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nd.cosine_neardup_pairs(emb, COSINE_T)
