@@ -21,7 +21,7 @@ from vector_search_ner_spark import registry  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     qs, _ = registry.collect()
-    return qs["knn_topk_cosine"](spark, "/root/testdata/sf0.001")
+    return qs["staged_retrieval_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
