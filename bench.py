@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "doc_quality_scores",
     "staged_retrieval_pipeline",
+    "index_build_pipeline",
+    "events_session_windows",
+    "events_tumbling_window",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Approximate nearest-neighbor scale paths (SURVEY §4: the HNSW
+replacement story). Exact brute-force k-NN (operators/knn.py) is the
+correctness baseline; these trade recall for pruning:
+
+  * IVF (inverted-file): KMeans centroids as a coarse quantizer; docs
+    are partitioned by nearest centroid; a query only scores docs in
+    its `nprobe` nearest clusters. At 100 TB: write the doc table
+    partitioned by `cluster_id` → partition pruning turns each query
+    into nprobe partition scans instead of a full sweep.
+  * MLlib BucketedRandomProjectionLSH approxSimilarityJoin: the
+    built-in distributed LSH join for L2.
+
+Both are declared-approximate (recall measured vs exact in tests);
+KMeans isn't ANSI-SQL-expressible so these are rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.functions.vector import l2_distance
+from vector_search_ner_spark.operators.knn import topk_per_query
+
+SEED = 42
+
+
+def _to_mllib_vec(df: DataFrame, array_col: str, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(vec_col, array_to_vector(F.col(array_col).cast("array<double>")))
+
+
+def ivf_build(emb: DataFrame, n_clusters: int, vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Fit KMeans (fixed seed) and assign every row a cluster_id.
+    Returns (assignments, centroids) — centroids as array<double>."""
+    from pyspark.ml.clustering import KMeans
+
+    ml = _to_mllib_vec(emb, vec_col, "__v")
+    model = KMeans(k=n_clusters, seed=SEED, featuresCol="__v", predictionCol="cluster_id").fit(ml)
+    assigned = model.transform(ml).drop("__v")
+    centroids = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest centroids per query, then exact L2
+    top-k within the probed clusters only. The doc side is touched
+    only on (query, cluster) matches — with the table partitioned by
+    cluster_id this is partition pruning, not a full scan."""
+    qc = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", l2_distance(F.col(query_vec), F.col("centroid")))
+    )
+    probes = topk_per_query(qc, nprobe, query_id, "cdist", "cluster_id", ascending=True).select(
+        query_id, "cluster_id", query_vec
+    )
+    cand = probes.join(assigned, "cluster_id")
+    scored = cand.withColumn("distance", l2_distance(F.col(query_vec), F.col(vec_col))).select(
+        query_id, F.col(doc_id), "distance"
+    )
+    return topk_per_query(scored, k, query_id, "distance", doc_id, ascending=True)
+
+
+def lsh_similarity_join(
+    emb: DataFrame,
+    threshold: float,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin of the
+    embedding table with itself: pairs within L2 `threshold`."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    ml = _to_mllib_vec(emb.select(id_col, vec_col), vec_col, "__v")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__v", outputCol="__h", bucketLength=bucket_length, numHashTables=num_hash_tables, seed=SEED
+    )
+    model = lsh.fit(ml)
+    joined = model.approxSimilarityJoin(ml, ml, threshold, distCol="l2")
+    return (
+        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.round("l2", 4).alias("l2"),
+        )
+    )

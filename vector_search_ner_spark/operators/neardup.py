@@ -85,12 +85,19 @@ def _duck_shingle_hash(s: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature_cols(shingles: Column) -> list[Column]:
+def shingle_hashes(shingles: Column) -> Column:
+    """Materialize the md5-derived hash per shingle ONCE; the N_PERM
+    permutations then run pure arithmetic over this array (computing
+    md5 inside each permutation would cost 16x the hashing work)."""
+    return F.transform(shingles, _shingle_hash)
+
+
+def minhash_signature_cols(hashes: Column) -> list[Column]:
     sigs = []
     for j in range(N_PERM):
         a, b = MINHASH_A[j], MINHASH_B[j]
         perm = F.array_min(
-            F.transform(shingles, lambda s: (F.lit(a) * _shingle_hash(s) + F.lit(b)) % MINHASH_P)
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
         )
         sigs.append(perm.alias(f"mh{j}"))
     return sigs
@@ -121,23 +128,36 @@ def duck_band_key(band: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column) -> Column:
-    """32-bit SimHash of whitespace tokens (term frequency weighted)."""
+def token_hashes(text: Column) -> Column:
     toks = F.split(F.trim(text), " ")
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a precomputed token-hash array (materialize
+    the array in its own projection so the 32 bit-folds don't each
+    recompute the md5 transform)."""
     fp = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
         mask = 1 << b
         contrib = F.aggregate(
             F.transform(
-                toks,
-                lambda t: F.when(tok_hash(t).bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+                hashes,
+                lambda h: F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
             ),
             F.lit(0),
             lambda acc, v: acc + v,
         )
         fp = fp + F.when(contrib > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long")
     return fp
+
+
+def simhash(text: Column) -> Column:
+    """Convenience wrapper; prefer materializing token_hashes() as a
+    column first when computing fingerprints in bulk."""
+    return simhash_from_hashes(token_hashes(text))
 
 
 def duck_simhash(text: str = "text") -> str:
@@ -265,8 +285,8 @@ def minhash_lsh_pairs(
     sh = docs.select(
         F.col(id_col).alias("sid"),
         word_shingles(F.col(text_col)).alias("shingles"),
-    )
-    sigs = sh.select("sid", "shingles", *minhash_signature_cols(F.col("shingles")))
+    ).withColumn("hashes", shingle_hashes(F.col("shingles")))
+    sigs = sh.select("sid", "shingles", *minhash_signature_cols(F.col("hashes")))
     bands = sigs.select(
         "sid",
         "shingles",
@@ -316,7 +336,9 @@ def simhash_pairs(
     bytes by pigeonhole when distance < 4... candidates are a superset
     for distance <= max_hamming only if max_hamming < 4; larger radii
     trade recall, as declared) -> exact hamming verify."""
-    fps = docs.select(F.col(id_col).alias("sid"), simhash(F.col(text_col)).alias("fp"))
+    fps = docs.select(
+        F.col(id_col).alias("sid"), token_hashes(F.col(text_col)).alias("__th")
+    ).select("sid", simhash_from_hashes(F.col("__th")).alias("fp"))
     bands = fps.select(
         "sid",
         "fp",

@@ -1,0 +1,163 @@
+"""Event-stream analytics in batch form (SURVEY §2.9 north-star
+extension): tumbling / sliding / session windows, pivot, stream-shaped
+dedup — each with an ANSI-SQL oracle. The same logic runs as real
+Structured Streaming in vector_search_ner_spark/streaming/events.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.sources.catalog import load_table
+
+SESSION_GAP_MIN = 10
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windowed aggregation (epoch-aligned, matching
+    DuckDB time_bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+WITH offsets AS (
+  SELECT unnest([TIMESTAMP '2000-01-01 00:00:00',
+                 TIMESTAMP '2000-01-01 00:30:00']) AS origin
+), bucketed AS (
+  SELECT time_bucket(INTERVAL '1 hour', e.ts, o.origin) AS window_start, e.value
+  FROM events e CROSS JOIN offsets o
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM bucketed GROUP BY 1
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30min slide): every event lands in 2
+    windows; oracle reproduces via two bucket origins."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+@query(
+    "events_session_windows",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '{SESSION_GAP_MIN} minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-min inactivity gap) via Spark's NATIVE
+    session_window; the oracle re-derives sessions from first
+    principles (lag + gap-flag cumsum) — cross-validating the native
+    operator against the classical formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_pivot_types",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY user_id
+""",
+)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type -> columns (declared pivot values: no extra
+    distinct-scan job, deterministic column order)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "signup", "error"]]
+    return out.select("user_id", *cols)
+
+
+@query(
+    "events_first_per_user_type",
+    oracle="""
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-shaped first-wins dedup: earliest event per
+    (user, type) — the batch analogue of streaming
+    dropDuplicatesWithinWatermark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )

@@ -1,0 +1,132 @@
+"""Index-build pipeline, embedding UDF, ANN scale paths, multimodal
+plumbing, and the parquet sink (SURVEY §2.1, §2.10, §3-E3).
+
+Non-SQL-expressible pieces (KMeans, pandas-UDF embedder, mapInPandas
+decode) are rows-only by design; everything around them that CAN be
+oracle-checked is (sink roundtrip counts, chunk/id plumbing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.embedder import HashingEmbedder
+from vector_search_ner_spark.extractors import RuleBasedExtractor
+from vector_search_ner_spark.functions.text import clean_text, stable_id
+from vector_search_ner_spark.operators import ann
+from vector_search_ner_spark.operators import multimodal as mm
+from vector_search_ner_spark.operators.chunker import chunk_text
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.sources.catalog import load_table
+
+ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_artifacts")
+
+
+def build_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E3 index build (/root/reference/
+    build_vectorstore.py:254-279) as one linear lazy pipeline:
+    scan → clean → NER-enrich (rule impl) → enriched text → chunk →
+    stable ids → embed (hashing UDF). No shuffle anywhere — pure
+    narrow stages + one Arrow UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.withColumn("text", clean_text(F.col("text")))
+    enriched = RuleBasedExtractor().extract(cleaned)
+    # append the NER result to the indexed text, as the reference
+    # appends the NER JSON (build_vectorstore.py:184-194)
+    with_ner_text = enriched.withColumn(
+        "text", F.concat_ws("\n", F.col("text"), F.concat(F.lit("NER: "), F.col("ner_json")))
+    )
+    chunks = chunk_text(with_ner_text, size=120, overlap=30)
+    with_ids = chunks.withColumn("chunk_id", stable_id(F.col("chunk"), F.col("chunk_index")))
+    emb = HashingEmbedder().embed_col(F.col("chunk"))
+    return with_ids.withColumn("embedding", emb)
+
+
+@query("index_build_pipeline")
+def index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = build_chunk_index(spark, sf_dir)
+    from vector_search_ner_spark.functions.vector import l2_norm
+
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        "chunk_id",
+        F.col("ner_job"),
+        F.size("embedding").alias("emb_dim"),
+        F.round(l2_norm(F.col("embedding")), 4).alias("emb_norm"),
+    )
+
+
+@query("embed_documents_hashing")
+def embed_documents_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embed_documents extension point (reference
+    build_vectorstore.py:38-41) with the deterministic hashing
+    embedder; returns stable per-doc embedding stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vector_search_ner_spark.functions.vector import l2_norm
+
+    emb = HashingEmbedder().embed_col(F.col("text"))
+    return docs.select("doc_id", emb.alias("embedding")).select(
+        "doc_id",
+        F.size("embedding").alias("emb_dim"),
+        F.round(l2_norm(F.col("embedding")), 4).alias("emb_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("c0"),
+    )
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink with overwrite (the reference's
+    destructive rebuild + persist, build_vectorstore.py:22-24,233-250)
+    → read back → aggregate. The oracle checks the roundtrip preserved
+    everything, straight from the source table."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(ARTIFACT_DIR, "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN: KMeans coarse quantizer (16 clusters),
+    probe 4, exact L2 within probed clusters (recall vs exact measured
+    in tests; KMeans → rows-only here)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, centroids = ann.ivf_build(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), 16)
+    out = ann.ivf_topk(queries, assigned, centroids, k=10, nprobe=4)
+    return out.select("query_id", "doc_id", F.round("distance", 4).alias("distance"), F.col("rank").cast("int").alias("rank"))
+
+
+@query("ann_lsh_similarity_join")
+def ann_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH self-join: pairs within L2
+    distance 1.1 (declared-approximate; rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_similarity_join(emb, threshold=1.1)
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column multimodal plumbing: synthesize payload+metadata,
+    extract features via Arrow mapInPandas (decode stubbed —
+    deterministic byte statistics; see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    with_bin = mm.attach_fake_binary(docs)
+    return mm.decode_image_features(with_bin)

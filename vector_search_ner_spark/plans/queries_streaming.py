@@ -1,0 +1,36 @@
+"""Structured Streaming queries. stream_tumbling_counts shares its
+oracle with the batch twin (streaming == batch, bit-for-bit); the
+stateful dedup / session queries are rows-only (driver records the
+weaker check — streaming state semantics aren't ANSI-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.streaming import events as se
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_tumbling_counts(spark, sf_dir)
+
+
+@query("stream_dedup_within_watermark")
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_dedup_within_watermark(spark, sf_dir)
+
+
+@query("stream_session_counts")
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_session_counts(spark, sf_dir)

@@ -29,6 +29,8 @@ _QUERY_MODULES = [
     "vector_search_ner_spark.plans.queries_dedup",
     "vector_search_ner_spark.plans.queries_pipeline",
     "vector_search_ner_spark.plans.queries_events",
+    "vector_search_ner_spark.plans.queries_streaming",
+    "vector_search_ner_spark.plans.queries_mlops",
 ]
 
 
