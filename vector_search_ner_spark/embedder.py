@@ -18,6 +18,7 @@ batches flow per-partition, model weights load once per executor
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -28,6 +29,7 @@ from pyspark.sql import types as T
 DEFAULT_DIM = 64
 
 
+@lru_cache(maxsize=65536)
 def _token_slot_sign(token: str, dim: int) -> tuple[int, float]:
     h = int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)
     return h % dim, 1.0 if (h >> 8) & 1 else -1.0

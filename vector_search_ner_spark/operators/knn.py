@@ -85,9 +85,26 @@ def knn_join(
     """
     if doc_filter is not None:
         docs = docs.where(doc_filter)
-    expr, asc = score_expr(metric, F.col(query_vec), F.col(doc_vec))
+    if metric == "cosine":
+        # hoist the norms out of the pair loop: |d| once per doc row,
+        # |q| once per query row — not once per (query, doc) pair.
+        # Bit-identical to computing them inline (same fold, same doubles).
+        from vector_search_ner_spark.functions.vector import l2_norm
+
+        docs = docs.withColumn("__dnorm", l2_norm(F.col(doc_vec)))
+        queries = queries.select(query_id, query_vec).withColumn(
+            "__qnorm", l2_norm(F.col(query_vec))
+        )
+        denom = F.col("__qnorm") * F.col("__dnorm")
+        expr = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot_product(F.col(query_vec), F.col(doc_vec)) / denom
+        )
+        asc = False
+    else:
+        expr, asc = score_expr(metric, F.col(query_vec), F.col(doc_vec))
+        queries = queries.select(query_id, query_vec)
     scored = (
-        docs.crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        docs.crossJoin(F.broadcast(queries))
         .withColumn(score_col, expr)
         .select(query_id, doc_id, score_col)
     )

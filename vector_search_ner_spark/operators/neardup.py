@@ -387,14 +387,20 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH bucket prefilter (map-only
     bucket id, shuffle on bucket) -> exact cosine on same-bucket pairs."""
-    from vector_search_ner_spark.functions.vector import cosine_similarity
+    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
 
     with_b = emb.select(
-        F.col(id_col).alias("sid"), F.col(vec_col).alias("v"), sign_lsh_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col)).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("nrm"),  # once per row, not per pair
     )
     a = with_b.alias("a")
     b = with_b.alias("b")
-    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col("a.v"), F.col("b.v")) / denom
+    )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.sid") < F.col("b.sid")))
         .withColumn("cosine", F.round(cos, 4))

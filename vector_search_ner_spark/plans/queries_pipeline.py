@@ -150,9 +150,18 @@ def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = _queries(spark, sf_dir)
     docs = _docs(spark, sf_dir)
 
+    # norms hoisted out of the pair loop (once per doc / per query row)
+    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
+
+    docs = docs.withColumn("__dnorm", l2_norm(F.col("embedding")))
+    qdf = qdf.withColumn("__qnorm", l2_norm(F.col("query_vec")))
+    denom = F.col("__qnorm") * F.col("__dnorm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col("query_vec"), F.col("embedding")) / denom
+    )
     scored = (
         docs.crossJoin(F.broadcast(qdf))
-        .withColumn("score", cosine_similarity(F.col("query_vec"), F.col("embedding")))
+        .withColumn("score", cos)
         .select("query_id", "term", "target_label", "doc_id", "text", "lang", "label", "score")
     )
 
