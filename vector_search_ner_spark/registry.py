@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "vector_search_ner_spark.plans.queries_streaming",
     "vector_search_ner_spark.plans.queries_mlops",
     "vector_search_ner_spark.plans.queries_substrate2",
+    "vector_search_ner_spark.plans.queries_postings",
 ]
 
 
