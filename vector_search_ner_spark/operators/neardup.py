@@ -280,16 +280,20 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs: map-only signatures -> banded bucket
     join (candidates) -> exact Jaccard verify on the candidates only.
 
-    The candidate join shuffles (band, key) rows — |docs| * N_BANDS
-    rows regardless of corpus size, the classic LSH scale shape."""
+    Shuffle discipline (the 100 TB shape): the band self-join moves
+    ONLY (sid, band, key) — never the shingle arrays; candidate pairs
+    dedup as bare (doc_a, doc_b); the shingle arrays are joined back
+    just twice, once per pair side, for the exact verify. Payload
+    through the hot shuffle is O(|docs| * N_BANDS) slim rows."""
     sh = docs.select(
         F.col(id_col).alias("sid"),
         word_shingles(F.col(text_col)).alias("shingles"),
-    ).withColumn("hashes", shingle_hashes(F.col("shingles")))
-    sigs = sh.select("sid", "shingles", *minhash_signature_cols(F.col("hashes")))
+    )
+    sigs = sh.withColumn("hashes", shingle_hashes(F.col("shingles"))).select(
+        "sid", *minhash_signature_cols(F.col("hashes"))
+    )
     bands = sigs.select(
         "sid",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -298,7 +302,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("sid", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -308,18 +312,16 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.sid") < F.col("b.sid")),
         )
-        .select(
-            F.col("a.sid").alias("doc_a"),
-            F.col("b.sid").alias("doc_b"),
-            F.col("a.shingles").alias("sa"),
-            F.col("b.shingles").alias("sb"),
-        )
+        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sh.select(F.col("sid").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("sid").alias("doc_b"), F.col("shingles").alias("sb"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = common / (F.size("sa") + F.size("sb") - common)
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        verified.withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

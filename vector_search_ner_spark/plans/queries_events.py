@@ -25,7 +25,7 @@ def _dec(col: str):
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
 FROM events
 GROUP BY 1, 2
 """,
@@ -38,7 +38,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("total"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
@@ -55,7 +55,7 @@ WITH offsets AS (
   FROM events e CROSS JOIN offsets o
 )
 SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
 FROM bucketed GROUP BY 1
 """,
 )
@@ -67,7 +67,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("total"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "total")
     )

@@ -25,13 +25,13 @@ def _dec(col: str) -> F.Column:
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -47,12 +47,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(_dec("l_extendedprice") * disc).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec("l_extendedprice") * disc), 2).cast("double").alias("sum_disc_price"),
             F.round(
-                F.sum(_dec("l_extendedprice") * disc * (1 + _dec("l_tax"))).cast("double"), 2
-            ).alias("sum_charge"),
+                F.sum(_dec("l_extendedprice") * disc * (1 + _dec("l_tax"))), 2
+            ).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -62,8 +62,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped",
     oracle="""
 SELECT o.o_orderkey,
-       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -91,8 +91,8 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double"), 2
-            ).alias("revenue")
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
+            ).cast("double").alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
@@ -102,8 +102,8 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
 SELECT n.n_name,
-       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -136,8 +136,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double"), 2
-            ).alias("revenue")
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -172,10 +172,10 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_frames",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
          PARTITION BY l_orderkey ORDER BY l_linenumber
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DOUBLE), 2) AS running_qty,
+       ), 2) AS DOUBLE) AS running_qty,
        CAST(lag(l_linenumber, 1) OVER (
          PARTITION BY l_orderkey ORDER BY l_linenumber
        ) AS INTEGER) AS prev_line
@@ -226,7 +226,7 @@ def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -238,7 +238,7 @@ def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),

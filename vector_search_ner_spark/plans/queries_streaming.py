@@ -15,7 +15,7 @@ _TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
 FROM events
 GROUP BY 1, 2
 """
@@ -34,3 +34,20 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 @query("stream_session_counts")
 def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_session_counts(spark, sf_dir)
+
+
+# applyInPandasWithState accumulates in integer cents -> deterministic,
+# so this custom stateful op gets a FULL batch oracle (streaming final
+# state == batch group-by, exactly).
+_RUNNING_STATS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_user_running_stats", oracle=_RUNNING_STATS_ORACLE)
+def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_user_running_stats(spark, sf_dir)

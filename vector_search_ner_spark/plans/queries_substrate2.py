@@ -71,7 +71,7 @@ def correlated_subquery_nation_avg(spark: SparkSession, sf_dir: str) -> DataFram
     "salted_groupby_skew",
     oracle="""
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
 FROM events GROUP BY user_id
 """,
 )
@@ -91,7 +91,7 @@ def salted_groupby_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return phase1.groupBy("user_id").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("pt").cast("double"), 2).alias("total"),
+        F.round(F.sum("pt"), 2).cast("double").alias("total"),
     )
 
 

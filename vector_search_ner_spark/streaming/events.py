@@ -58,7 +58,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
@@ -85,3 +85,47 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the engine's
+    'arbitrary stateful processing' extension point — what the reference
+    would need for any per-user accumulation beyond windowed aggs).
+
+    State per user = (event count, value total in integer cents). Cents
+    accumulate as int64 so the running sum is exact and order-free; the
+    emitted total is cents/100 — deterministic, hence batch-oracle-
+    checkable (a strictly stronger check than rows-only). Each
+    micro-batch emits the UPDATED running row per user; the memory-sink
+    harness keeps the last row per user (update-mode semantics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact: value has 2 decimals; int cents never lose bits
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    all_rows = _run_to_memory(out, "update")
+    # last update per user == final running totals (single-batch file
+    # source emits once; under multi-batch replay, max(n_events) row
+    # is still the final state because counts are monotone)
+    w_latest = all_rows.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    return w_latest.select("user_id", "s.n_events", "s.total_value")
