@@ -31,9 +31,12 @@ HEADLINE = [
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "window_top_orders_per_cust",
+    "q10_returned_items",
+    "cube_status_priority",
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "doc_quality_scores",
+    "ner_metadata_filter",
     "staged_retrieval_pipeline",
     "index_build_pipeline",
     "events_session_windows",

@@ -285,10 +285,13 @@ def minhash_lsh_pairs(
     dedup as bare (doc_a, doc_b); the shingle arrays are joined back
     just twice, once per pair side, for the exact verify. Payload
     through the hot shuffle is O(|docs| * N_BANDS) slim rows."""
+    # the shingle table feeds BOTH the signature branch and the verify
+    # joins; persist it (memory-and-disk, spills at scale) instead of
+    # recomputing the tokenize+md5 pass per consumer
     sh = docs.select(
         F.col(id_col).alias("sid"),
         word_shingles(F.col(text_col)).alias("shingles"),
-    )
+    ).persist()
     sigs = sh.withColumn("hashes", shingle_hashes(F.col("shingles"))).select(
         "sid", *minhash_signature_cols(F.col("hashes"))
     )

@@ -211,3 +211,61 @@ def combined_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("combined"),
         F.substring(F.col("text"), 1, 100).alias("snippet"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t AS token
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+        WHERE doc_id < 200)
+  WHERE t != ''
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks
+)
+SELECT doc_id, token, tfidf, rnk FROM (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) DESC, tf.token
+         ) AS INTEGER) AS rnk
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+) WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (training-data text analysis;
+    the engine's from-scratch equivalent of an MLlib HashingTF+IDF fit,
+    kept as exact counts so it is oracle-checkable). IDF uses the
+    rational form (N+1)/(df+1) — every arithmetic op is an
+    exactly-rounded IEEE double op, so Spark and DuckDB agree
+    bit-for-bit (ln() would be libm-dependent).
+
+    Scale shape: tf = one shuffle on (doc_id, token); df reuses the tf
+    result (no second scan); N is a broadcast scalar; final top-3 via
+    WindowGroupLimit partial top-k."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    tfidf = (F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)).alias("tfidf")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", tfidf)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+    )
