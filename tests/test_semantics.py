@@ -101,3 +101,29 @@ def test_lsh_join_superset_sanity(spark, sf_dir):
     # pairs are ordered, within threshold, and contain no self-pairs
     assert all(r.doc_a < r.doc_b for r in rows)
     assert all(r.l2 <= 1.1 for r in rows)
+
+
+def test_sketch_error_bounds(spark):
+    """approx_count_distinct (rsd=2%) and percentile_approx must land
+    within tight bounds of the exact answers."""
+    from vector_search_ner_spark import registry
+    import pyspark.sql.functions as F
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    got = {r["l_returnflag"]: r for r in qs["sketch_distinct_quantiles"](spark, sf).collect()}
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, ex in exact.items():
+        g = got[flag]
+        assert abs(g["approx_parts"] - ex["parts"]) / ex["parts"] < 0.05
+        assert abs(g["qty_p50_p95"][0] - ex["p50"]) <= 1.0

@@ -242,3 +242,20 @@ def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query("sketch_distinct_quantiles")
+def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HyperLogLog++
+    approx_count_distinct and GK approx quantiles per group — constant
+    memory per group vs the exact distinct's full shuffle; the standard
+    first pass over a new corpus before exact jobs are sized.
+    Approximation differs per implementation, so no cross-engine oracle
+    (rows-only here); tests/test_semantics.py bounds the error vs the
+    exact answers instead."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_quantity", [0.5, 0.95], 10000).alias("qty_p50_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
