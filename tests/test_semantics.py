@@ -127,3 +127,24 @@ def test_sketch_error_bounds(spark):
         g = got[flag]
         assert abs(g["approx_parts"] - ex["parts"]) / ex["parts"] < 0.05
         assert abs(g["qty_p50_p95"][0] - ex["p50"]) <= 1.0
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The co-located bucketed join must plan WITHOUT a shuffle on
+    either join side (the whole point of the layout)."""
+    from vector_search_ner_spark.plans.queries_layout import bucketed_tables
+
+    bucketed_tables(spark, "/root/testdata/sf0.01")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at 100 TB neither side broadcasts; force that regime so the
+    # planner exercises the bucketed sort-merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = spark.table("layout.lineitem_b")
+        o = spark.table("layout.orders_b")
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).select("l_orderkey", "o_orderpriority")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan

@@ -161,3 +161,35 @@ def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@query(
+    "asof_join_click_view",
+    oracle="""
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+       epoch_us(v.ts) AS view_us, v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+)
+def asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click enriched with the user's most recent
+    at-or-before view (payload + its timestamp). Spark has no native
+    as-of join; the operator (operators/asof.py) is the union+window
+    form — one shuffle on user_id, no range-join explosion. Oracle is
+    DuckDB's native ASOF LEFT JOIN. Timestamps emitted as epoch micros
+    (both engines floor ns -> us identically)."""
+    from vector_search_ner_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(clicks, views, on=["user_id"], ts_col="ts", payload_cols=["ts", "value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("ts_asof").alias("view_us"),
+        F.col("value_asof").alias("view_value"),
+    )

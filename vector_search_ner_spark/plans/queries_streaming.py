@@ -36,6 +36,20 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_session_counts(spark, sf_dir)
 
 
+_STREAM_STATIC_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+       d.lang, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN documents d ON e.user_id = d.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_static_join_counts", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_static_enriched_counts(spark, sf_dir)
+
+
 # applyInPandasWithState accumulates in integer cents -> deterministic,
 # so this custom stateful op gets a FULL batch oracle (streaming final
 # state == batch group-by, exactly).

@@ -87,6 +87,26 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (documents keyed by doc_id, standing in for a user-profile
+    table), then watermarked tumbling counts per (lang, event_type).
+    The static side is re-read per micro-batch and broadcast — the
+    standard pattern for slowly-changing dims under streaming ingest."""
+    ev = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("user_id"), "lang"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = (
+        joined.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "lang", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "lang", "event_type", "n")
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (the engine's
     'arbitrary stateful processing' extension point — what the reference
