@@ -41,6 +41,10 @@ HEADLINE = [
     "index_build_pipeline",
     "events_session_windows",
     "events_tumbling_window",
+    "asof_join_click_view",
+    "tfidf_top_terms",
+    "q18_large_orders",
+    "embedding_quantize_int8",
 ]
 
 

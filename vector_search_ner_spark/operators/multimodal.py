@@ -80,3 +80,52 @@ def decode_image_features(with_binary: DataFrame) -> DataFrame:
             )
 
     return with_binary.mapInPandas(op, schema=FEATURES_SCHEMA)
+
+
+RESIZE_SAMPLE_SCHEMA = (
+    "doc_id long, new_w int, new_h int, frame_idx int, frame_sig string"
+)
+
+
+def resize_and_sample_frames(
+    with_binary: DataFrame,
+    box: int = 32,
+    max_frames: int = 4,
+    n_frames_col: str = "n_frames",
+) -> DataFrame:
+    """Resize + frame-sample plumbing (1→N mapInPandas):
+
+      * resize: fit (meta.width, meta.height) into a box×box square
+        preserving aspect ratio (the thumbnail job) — real decode is
+        stubbed, the geometry is real;
+      * frame sampling: every ceil(n_frames/max_frames)-th frame index,
+        each emitting a deterministic frame signature derived from the
+        payload bytes (stands in for the per-frame decode).
+
+    Emits one row per sampled frame. At scale the payload bytes stay in
+    Arrow batches on the executors; output is narrow rows only.
+    """
+
+    def op(batches):
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "new_w", "new_h", "frame_idx", "frame_sig")}
+            for doc_id, payload, meta, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"], pdf[n_frames_col]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                scale = min(box / w, box / h)
+                new_w = max(1, int(w * scale))
+                new_h = max(1, int(h * scale))
+                payload_hex = bytes(payload).hex()
+                n = int(n_frames)
+                step = -(-n // max_frames)  # ceil
+                for idx in range(0, n, step):
+                    sig = hashlib.md5(f"{payload_hex}-{idx}".encode()).hexdigest()[:12]
+                    out["doc_id"].append(doc_id)
+                    out["new_w"].append(new_w)
+                    out["new_h"].append(new_h)
+                    out["frame_idx"].append(idx)
+                    out["frame_sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    return with_binary.mapInPandas(op, schema=RESIZE_SAMPLE_SCHEMA)

@@ -130,3 +130,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     with_bin = mm.attach_fake_binary(docs)
     return mm.decode_image_features(with_bin)
+
+
+@query(
+    "multimodal_resize_frames",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         md5(text) || md5(reverse(text)) AS payload_hex,
+         length(text) % 64 + 16 AS w,
+         length(text) % 48 + 16 AS h,
+         n_chars % 30 + 2 AS n_frames
+  FROM documents WHERE doc_id < 300
+), dims AS (
+  SELECT doc_id, payload_hex, n_frames,
+         GREATEST(1, CAST(FLOOR(w * LEAST(32.0 / w, 32.0 / h)) AS INTEGER)) AS new_w,
+         GREATEST(1, CAST(FLOOR(h * LEAST(32.0 / w, 32.0 / h)) AS INTEGER)) AS new_h,
+         CAST(CEIL(n_frames / 4.0) AS INTEGER) AS step
+  FROM base
+)
+SELECT doc_id, new_w, new_h,
+       CAST(i AS INTEGER) AS frame_idx,
+       substring(md5(payload_hex || '-' || CAST(i AS VARCHAR)), 1, 12) AS frame_sig
+FROM dims, LATERAL unnest(range(0, n_frames, step)) AS t(i)
+""",
+)
+def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (aspect-fit 32x32) + frame-sample (<=4 frames) over the
+    opaque binary column via 1->N mapInPandas — the video/image
+    plumbing of a training-data pipeline with the codec stubbed
+    deterministically. The geometry + sampling arithmetic is mirrored
+    in SQL, so this Arrow-batched Python path gets a FULL oracle."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    with_bin = mm.attach_fake_binary(docs).withColumn(
+        "n_frames", (F.col("n_chars") % 30 + 2).cast("int")
+    )
+    return mm.resize_and_sample_frames(with_bin, box=32, max_frames=4)

@@ -135,3 +135,52 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(ranked, schema)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 500
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), c AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS codes
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       list_max(list_transform(generate_series(1, len(v)),
+                               i -> abs(codes[i] * scale - v[i]))) AS max_err
+FROM c
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column — the storage
+    layout that makes a 100 TB vector corpus 4x smaller and
+    SIMD-scannable (per-vector max-abs scale, symmetric round-to-
+    nearest codes). Emits the scale, the code checksum, and the max
+    reconstruction error per vector; every op is an exactly-rounded
+    IEEE double op (and round-half-away matches across engines), so
+    the oracle is bit-exact. Map-only: no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    out = emb.select("vec_id", v.alias("v")).withColumn(
+        "scale", F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    )
+    codes = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("long"))
+    out = out.withColumn("codes", codes)
+    max_err = F.array_max(
+        F.zip_with(F.col("codes"), F.col("v"), lambda c, x: F.abs(c * F.col("scale") - x))
+    )
+    return out.select(
+        "vec_id",
+        "scale",
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c).alias("code_sum"),
+        max_err.alias("max_err"),
+    )
