@@ -148,3 +148,49 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check: the union+window as-of join agrees with pandas
+    merge_asof (allow_exact_matches=True) on randomized inputs."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from vector_search_ner_spark.operators.asof import asof_join
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 1000), st.booleans()),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: (t[0], t[1]),  # unique (key, ts)
+        )
+    )
+    def run(rows):
+        left = [(k, ts) for k, ts, is_left in rows if is_left]
+        right = [(k, ts, float(ts) / 7.0) for k, ts, is_left in rows if not is_left]
+        if not left or not right:
+            return
+        ldf = spark.createDataFrame(left, "k int, ts long")
+        rdf = spark.createDataFrame(right, "k int, ts long, v double")
+        got = (
+            asof_join(ldf, rdf, on=["k"], ts_col="ts", payload_cols=["v"])
+            .toPandas()
+            .sort_values(["k", "ts"], ignore_index=True)
+        )
+        lp = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values("ts")
+        want = (
+            pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+            .sort_values(["k", "ts"], ignore_index=True)
+        )
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["ts"].tolist() == want["ts"].tolist()
+        gv = got["v_asof"].tolist()
+        wv = want["v"].tolist()
+        assert len(gv) == len(wv)
+        for g, w in zip(gv, wv):
+            assert (pd.isna(g) and pd.isna(w)) or g == w
+
+    run()
