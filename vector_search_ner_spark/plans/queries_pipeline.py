@@ -21,7 +21,7 @@ the full relaxation cascade down to the unfiltered fallback
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_search_ner_spark.functions.vector import cosine_similarity, duck_cosine
@@ -35,8 +35,20 @@ STRICT_K = 5
 FALLBACK_K = 15
 FINAL_N = 5
 # 'dup' is rare (~5% of docs) → its query fills via stage B relaxation;
-# 'graph' is out-of-vocabulary → full fallback to the unfiltered stage C.
-TERMS = {0: "vector", 1: "stream", 2: "dup", 3: "graph"}
+# 'graph' is out-of-vocabulary → full fallback to the unfiltered stage C;
+# 'neardup' never appears verbatim but its SYNONYM 'dup' does → fills
+# (partially) via the synonym stage S, then tops up from stage C —
+# exercising the reference's stage ④ (main.py:386-397).
+TERMS = {0: "vector", 1: "stream", 2: "dup", 3: "graph", 4: "neardup"}
+# (term, synonym, syn_idx) — the static impl of the LLM synonym
+# expansion (main.py:186-220); earlier syn_idx wins the stage-S merge.
+SYNONYMS = [
+    ("neardup", "dup", 0),
+    ("vector", "merge", 0),
+    ("vector", "batch", 1),
+    ("stream", "row", 0),
+    ("stream", "filter", 1),
+]
 
 
 def _term_case_sql() -> str:
@@ -107,9 +119,42 @@ WITH docs AS (
       SELECT query_id, term, target_label, doc_id, text, lang, label, score, 1 AS stage FROM b
     ) u
   ) WHERE mrn = 1
-), need_c AS (
+), syn(term, synonym, syn_idx) AS (
+  VALUES {", ".join(f"('{t}', '{s}', {i})" for t, s, i in SYNONYMS)}
+), need_s AS (
   SELECT q.query_id FROM q
   LEFT JOIN (SELECT query_id, count(*) AS n FROM m1 GROUP BY query_id) c
+    ON q.query_id = c.query_id
+  WHERE COALESCE(c.n, 0) < {STRICT_K}
+), s_rank AS (
+  SELECT * FROM (
+    SELECT s.*, sy.syn_idx, row_number() OVER (
+      PARTITION BY s.query_id, sy.syn_idx ORDER BY s.score DESC, s.doc_id) AS rn
+    FROM scored s
+    JOIN need_s ns ON s.query_id = ns.query_id
+    JOIN syn sy ON s.term = sy.term
+    WHERE contains(s.text, sy.synonym) AND s.label = s.target_label
+  ) WHERE rn <= {STRICT_K}
+), s_stage AS (
+  SELECT query_id, term, target_label, doc_id, text, lang, label, score FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY query_id, doc_id ORDER BY syn_idx) AS srn
+    FROM s_rank s
+  ) WHERE srn = 1
+), m1s AS (
+  SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM (
+    SELECT u.*, row_number() OVER (
+      PARTITION BY query_id, doc_id ORDER BY stage) AS mrn
+    FROM (
+      SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM m1
+      UNION ALL
+      SELECT query_id, term, target_label, doc_id, text, lang, label, score, 2 AS stage
+      FROM s_stage
+    ) u
+  ) WHERE mrn = 1
+), need_c AS (
+  SELECT q.query_id FROM q
+  LEFT JOIN (SELECT query_id, count(*) AS n FROM m1s GROUP BY query_id) c
     ON q.query_id = c.query_id
   WHERE COALESCE(c.n, 0) < {STRICT_K}
 ), c AS (
@@ -123,9 +168,9 @@ WITH docs AS (
     SELECT u.*, row_number() OVER (
       PARTITION BY query_id, doc_id ORDER BY stage) AS mrn
     FROM (
-      SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM m1
+      SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM m1s
       UNION ALL
-      SELECT query_id, term, target_label, doc_id, text, lang, label, score, 2 AS stage FROM c
+      SELECT query_id, term, target_label, doc_id, text, lang, label, score, 3 AS stage FROM c
     ) u
   ) WHERE mrn = 1
 ), fused AS (
@@ -180,12 +225,32 @@ def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         STRICT_K,
     )
     m1 = merge_stages_first_wins([a, b])
+    # stage S: synonym-expanded strict searches for queries still in
+    # deficit (reference stage ④, main.py:386-397): per synonym, a
+    # contains(synonym) AND label search top-K; merged earliest-synonym-
+    # wins, then first-wins against m1
+    need_s = queries_below(qdf, m1, STRICT_K)
+    syn = spark.createDataFrame(SYNONYMS, "term string, synonym string, syn_idx int")
+    s_cand = (
+        scored.join(need_s, "query_id", "left_semi")
+        .join(F.broadcast(syn), "term")
+        .where(F.col("text").contains(F.col("synonym")) & (F.col("label") == F.col("target_label")))
+    )
+    w_s = Window.partitionBy("query_id", "syn_idx").orderBy(F.col("score").desc(), F.col("doc_id"))
+    s_rank = s_cand.withColumn("rn", F.row_number().over(w_s)).where(F.col("rn") <= STRICT_K)
+    w_syn_dedup = Window.partitionBy("query_id", "doc_id").orderBy("syn_idx")
+    s_stage = (
+        s_rank.withColumn("srn", F.row_number().over(w_syn_dedup))
+        .where(F.col("srn") == 1)
+        .select("query_id", "term", "target_label", "doc_id", "text", "lang", "label", "score")
+    )
+    m1s = merge_stages_first_wins([m1.drop("stage"), s_stage])
     # stage C: unfiltered fallback k=15 for queries still under-filled
-    need_c = queries_below(qdf, m1, STRICT_K)
+    need_c = queries_below(qdf, m1s, STRICT_K)
     c = stage_topk(scored.join(need_c, "query_id", "left_semi"), FALLBACK_K).withColumn(
         "stage", F.lit(2)
     )
-    m2 = merge_stages_first_wins([m1.drop("stage"), c.drop("stage")])
+    m2 = merge_stages_first_wins([m1s.drop("stage"), c.drop("stage")])
 
     meta = overlap_score(
         F.col("text").contains(F.col("term")),
