@@ -36,6 +36,21 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_session_counts(spark, sf_dir)
 
 
+_INGEST_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("stream_ingest_foreachbatch", oracle=_INGEST_ORACLE)
+def stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_ingest_foreachbatch(spark, sf_dir)
+
+
 _STREAM_STATIC_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
        d.lang, e.event_type,

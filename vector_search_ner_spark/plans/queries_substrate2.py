@@ -218,3 +218,46 @@ def scalar_fn_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("id_multiples"),
     )
+
+
+@query(
+    "salted_join_skew",
+    oracle="""
+SELECT d.lang, m.region_group,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d
+JOIN (VALUES ('en', 'west'), ('code', 'tooling'), ('data', 'tooling')) AS m(lang, region_group)
+  ON d.lang = m.lang
+GROUP BY d.lang, m.region_group
+""",
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: `lang` has only 3 distinct values, so a plain
+    shuffle join lands each hot key on ONE reducer. Salt the big side
+    with pmod(crc32(doc_id), 8) and replicate the dim side 8x, joining
+    on (lang, salt) — the hot key now spreads over 8 reducers. The
+    oracle is the UNSALTED join: salting must not change semantics.
+    (AQE skew-join does this adaptively for sort-merge joins; explicit
+    salting is the pattern when the dim must shuffle or AQE can't see
+    the skew.)"""
+    N_SALT = 8
+    docs = load_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(
+        [("en", "west"), ("code", "tooling"), ("data", "tooling")],
+        "lang string, region_group string",
+    )
+    salted_docs = docs.withColumn(
+        "salt", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(N_SALT))
+    )
+    replicated_dim = dim.crossJoin(
+        spark.range(N_SALT).select(F.col("id").cast("bigint").alias("salt"))
+    )
+    return (
+        salted_docs.join(replicated_dim, ["lang", "salt"])
+        .groupBy("lang", "region_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

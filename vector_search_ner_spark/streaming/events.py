@@ -87,6 +87,54 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest to a parquet table via foreachBatch (the
+    kafka→lakehouse landing pattern): source split into 4 files fed one
+    per micro-batch, each batch appended to a partitioned parquet sink,
+    then the LANDED table is aggregated. Oracle = the same aggregate
+    straight off the source — ingest must be lossless, exactly-once."""
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(base, "ingest_src")
+    sink = os.path.join(base, "ingest_sink")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batch.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+
+    def land(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").partitionBy("event_type").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ingest_ckpt_tmp"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(os.path.join(base, "ingest_ckpt_tmp"), ignore_errors=True)
+
+    landed = spark.read.parquet(sink)
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+    )
+
+
 def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     dimension (documents keyed by doc_id, standing in for a user-profile
@@ -118,10 +166,27 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkable (a strictly stronger check than rows-only). Each
     micro-batch emits the UPDATED running row per user; the memory-sink
     harness keeps the last row per user (update-mode semantics)."""
+    import os
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    # split the source into 4 files and feed them ONE PER MICRO-BATCH
+    # (maxFilesPerTrigger=1): the state genuinely accumulates across 4
+    # batches instead of degenerating to a single-batch group-by
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+        "events_stream_split",
+    )
+    batch = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    batch.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(art)
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(art)
+        .select("user_id", "value")
+    )
 
     def update(key: tuple, pdfs, state: GroupState):
         n, cents = state.get if state.exists else (0, 0)
