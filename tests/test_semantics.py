@@ -194,3 +194,55 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert (pd.isna(g) and pd.isna(w)) or g == w
 
     run()
+
+
+def test_hashing_embedder_matches_sql_reimplementation(spark, sf_dir):
+    """The pandas-UDF hashing embedder must equal, bit-for-bit, a pure
+    Spark-SQL reimplementation (explode -> md5 slot/sign -> histogram ->
+    L2 normalize -> float32). All intermediate values are
+    integer-valued doubles (exact regardless of summation order), the
+    norm is one correctly-rounded sqrt, and the float32 cast rounds
+    identically — so exact equality is required, not approximate."""
+    import pyspark.sql.functions as F
+
+    from vector_search_ner_spark.embedder import DEFAULT_DIM, HashingEmbedder
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    got = docs.select(
+        "doc_id", HashingEmbedder().embed_col(F.col("text")).alias("emb")
+    )
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+    slotted = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(DEFAULT_DIM)).cast("int").alias("slot"),
+        F.when(F.shiftright(h, 8).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0).alias("sign"),
+    )
+    hist = slotted.groupBy("doc_id", "slot").agg(F.sum("sign").alias("v"))
+    vecs = hist.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "v"))).alias("m")
+    )
+    dense = vecs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DEFAULT_DIM - 1)),
+            lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0.0)),
+        ).alias("raw"),
+    )
+    norm = F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x))
+    want = dense.select(
+        "doc_id",
+        F.transform(
+            F.col("raw"),
+            lambda x: F.when(norm > 0, (x / norm).cast("float")).otherwise(F.lit(0.0).cast("float")),
+        ).alias("emb"),
+    )
+    g = {r.doc_id: r.emb for r in got.collect()}
+    w = {r.doc_id: r.emb for r in want.collect()}
+    assert set(g) == set(w)
+    for k in g:
+        assert g[k] == w[k], (k, g[k][:8], w[k][:8])
