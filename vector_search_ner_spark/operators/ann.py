@@ -75,6 +75,31 @@ def ivf_topk(
     return topk_per_query(scored, k, query_id, "distance", doc_id, ascending=True)
 
 
+def ivf_fixed_build(
+    emb: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic coarse quantizer: centroids = the first n_clusters
+    vectors by id. Data-dependent but fully deterministic and
+    SQL-expressible, so THIS IVF variant is oracle-checkable end to end
+    (KMeans refines the same structure in the rows-only variant — the
+    probe/prune mechanics are identical)."""
+    centroids = emb.where(F.col(id_col) < n_clusters).select(
+        F.col(id_col).cast("int").alias("cluster_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    )
+    dc = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", l2_distance(F.col(vec_col), F.col("centroid"))
+    )
+    assigned = (
+        topk_per_query(dc, 1, id_col, "cdist", "cluster_id", ascending=True)
+        .select(id_col, vec_col, "cluster_id")
+    )
+    return assigned, centroids
+
+
 def lsh_similarity_join(
     emb: DataFrame,
     threshold: float,

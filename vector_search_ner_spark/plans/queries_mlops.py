@@ -166,3 +166,62 @@ def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames", (F.col("n_chars") % 30 + 2).cast("int")
     )
     return mm.resize_and_sample_frames(with_bin, box=32, max_frames=4)
+
+
+_IVF_N_CENT = 16
+_IVF_NPROBE = 4
+_IVF_K = 5
+
+
+def _duck_ivf_fixed() -> str:
+    from vector_search_ner_spark.functions.vector import duck_l2
+
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {_IVF_N_CENT}
+), docs AS (
+  SELECT vec_id AS doc_id, embedding AS v FROM embeddings
+), assigned AS (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT d.doc_id, d.v, c.cluster_id, row_number() OVER (
+      PARTITION BY d.doc_id ORDER BY {duck_l2("d.v", "c.centroid")}, c.cluster_id) AS rn
+    FROM docs d CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+), probes AS (
+  SELECT query_id, qv, cluster_id FROM (
+    SELECT q.query_id, q.qv, c.cluster_id, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {duck_l2("q.qv", "c.centroid")}, c.cluster_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+SELECT query_id, doc_id, distance, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT p.query_id, a.doc_id,
+         {duck_l2("p.qv", "a.v")} AS distance,
+         row_number() OVER (
+           PARTITION BY p.query_id ORDER BY {duck_l2("p.qv", "a.v")}, a.doc_id) AS rank
+  FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+) WHERE rank <= {_IVF_K}
+"""
+
+
+@query("ann_ivf_fixed_topk", oracle=_duck_ivf_fixed())
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF k-NN with the DETERMINISTIC fixed-centroid quantizer
+    (first 16 vectors): probe 4 nearest clusters, exact L2 within —
+    the oracle covers assignment, probing, and pruned search end to
+    end. Same plan shape as the KMeans variant: at 100 TB the doc
+    table is written partitioned by cluster_id and each query touches
+    nprobe partitions (partition pruning), not the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_fixed_build(emb, _IVF_N_CENT)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned = assigned.select(F.col("vec_id").alias("doc_id"), "embedding", "cluster_id")
+    return ann.ivf_topk(
+        queries, assigned, centroids, k=_IVF_K, nprobe=_IVF_NPROBE
+    )
