@@ -49,9 +49,12 @@ def _decode_one(payload: bytes) -> list[float]:
         raise NotImplementedError("real image decode not wired up in this image")
     except ImportError:
         pass
-    # deterministic fake: byte statistics as features
+    # deterministic fake: byte statistics as features; the provenance
+    # hash is md5 of the LOWERCASE HEX of the payload (not the raw
+    # bytes) so the whole feature vector is derivable in ANSI SQL for
+    # the oracle (DuckDB md5 takes VARCHAR only)
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    h = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    h = int(hashlib.md5(payload.hex().encode()).hexdigest()[:8], 16)
     feats = [
         float(arr.size),
         float(arr.sum() % 997),

@@ -225,3 +225,48 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(
         queries, assigned, centroids, k=_IVF_K, nprobe=_IVF_NPROBE
     )
+
+
+@query(
+    "multimodal_feature_rows",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, md5(text) || md5(reverse(text)) AS ph
+  FROM documents WHERE doc_id < 300
+), b AS (
+  SELECT doc_id, ph,
+         list_transform(generate_series(1, 32),
+                        i -> CAST(('0x' || substring(ph, 2*i - 1, 2)) AS INTEGER)) AS bs
+  FROM base
+), f AS (
+  SELECT doc_id, [
+    CAST(CAST(32.0 AS REAL) AS DOUBLE),
+    CAST(CAST(CAST(list_sum(bs) AS DOUBLE) % 997 AS REAL) AS DOUBLE),
+    CAST(CAST(CAST(list_sum(bs) AS DOUBLE) / 32.0 AS REAL) AS DOUBLE),
+    CAST(CAST(list_min(bs) AS REAL) AS DOUBLE),
+    CAST(CAST(list_max(bs) AS REAL) AS DOUBLE),
+    CAST(CAST(bs[1] AS REAL) AS DOUBLE),
+    CAST(CAST(bs[32] AS REAL) AS DOUBLE),
+    CAST(CAST(CAST('0x' || substring(md5(ph), 1, 8) AS BIGINT) % 1000 AS REAL) AS DOUBLE)
+  ] AS feats
+  FROM b
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS feat_idx,
+       feats[i] AS feat_value
+FROM f, LATERAL unnest(generate_series(1, 8)) AS t(i)
+""",
+)
+def multimodal_feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas byte-statistics decode stub, exploded to one row
+    per (doc, feature) and checked against a pure-SQL derivation of the
+    same statistics — a FULL oracle over the Arrow-batched Python
+    decode path (mean/min/max/first/last/checksum/provenance-hash all
+    reproduce bit-for-bit through the float32 cast)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    feats = mm.decode_image_features(mm.attach_fake_binary(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "feat_value")
+    ).select(
+        "doc_id", F.col("feat_idx").cast("int"), F.col("feat_value").cast("double")
+    )
