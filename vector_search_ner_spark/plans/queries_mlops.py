@@ -60,11 +60,49 @@ def index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_documents_hashing")
+_EMBED_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents)
+  WHERE t != ''
+), slotted AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % 64 AS INTEGER) AS slot,
+         CASE WHEN (CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) >> 8) & 1 = 1
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sign
+  FROM toks
+), hist AS (
+  SELECT doc_id, map_from_entries(list((slot, v))) AS m
+  FROM (SELECT doc_id, slot, SUM(sign) AS v FROM slotted GROUP BY doc_id, slot)
+  GROUP BY doc_id
+), dense AS (
+  SELECT d.doc_id,
+         list_transform(generate_series(0, 63), i -> COALESCE(h.m[i][1], CAST(0.0 AS DOUBLE))) AS raw
+  FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id
+), vec AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_sum(list_transform(raw, x -> x * x))) > 0
+              THEN list_transform(raw, x ->
+                CAST(CAST(x / sqrt(list_sum(list_transform(raw, y -> y * y))) AS REAL) AS DOUBLE))
+              ELSE list_transform(raw, x -> CAST(CAST(0.0 AS REAL) AS DOUBLE)) END AS emb
+  FROM dense
+)
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS emb_dim,
+       round(sqrt(list_sum(list_transform(emb, x -> x * x))), 4) AS emb_norm,
+       round(emb[1], 6) AS c0
+FROM vec
+"""
+
+
+@query("embed_documents_hashing", oracle=_EMBED_ORACLE)
 def embed_documents_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embed_documents extension point (reference
     build_vectorstore.py:38-41) with the deterministic hashing
-    embedder; returns stable per-doc embedding stats."""
+    embedder; per-doc stats carry a FULL oracle: the SQL re-derives the
+    feature-hashed, L2-normalized, float32-cast vector from first
+    principles (every intermediate is an integer-valued double or a
+    correctly-rounded op, so the stats match bit-for-bit)."""
     docs = load_table(spark, sf_dir, "documents")
     from vector_search_ner_spark.functions.vector import l2_norm
 
