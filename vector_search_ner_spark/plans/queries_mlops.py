@@ -25,6 +25,42 @@ from vector_search_ner_spark.sources.catalog import load_table
 ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_artifacts")
 
 
+def _duck_embed_cte(src: str, keys: str, text: str, prefix: str = "e") -> str:
+    """CTE chain (to append after `src` is defined) re-deriving the
+    hashing embedder's normalized float32 vector for each row of `src`
+    keyed by `keys` (comma list), embedding `text`. Final CTE
+    `{prefix}_vec` has (keys, emb)."""
+    h = "CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)"
+    return rf"""{prefix}_toks AS (
+  SELECT {keys}, t AS tok
+  FROM (SELECT {keys}, unnest(regexp_split_to_array({text}, '\s+')) AS t FROM {src})
+  WHERE t != ''
+), {prefix}_slotted AS (
+  SELECT {keys},
+         CAST({h} % 64 AS INTEGER) AS slot,
+         CASE WHEN ({h} >> 8) & 1 = 1
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sign
+  FROM {prefix}_toks
+), {prefix}_hist AS (
+  SELECT {keys}, map_from_entries(list((slot, v))) AS m
+  FROM (SELECT {keys}, slot, SUM(sign) AS v FROM {prefix}_slotted GROUP BY {keys}, slot)
+  GROUP BY {keys}
+), {prefix}_dense AS (
+  SELECT {", ".join("s." + k for k in keys.split(", "))},
+         list_transform(generate_series(0, 63), i -> COALESCE(h.m[i][1], CAST(0.0 AS DOUBLE))) AS raw
+  FROM {src} s LEFT JOIN {prefix}_hist h
+    ON {" AND ".join(f"s.{k} = h.{k}" for k in keys.split(", "))}
+), {prefix}_vec AS (
+  SELECT {keys},
+         CASE WHEN sqrt(list_sum(list_transform(raw, x -> x * x))) > 0
+              THEN list_transform(raw, x ->
+                CAST(CAST(x / sqrt(list_sum(list_transform(raw, y -> y * y))) AS REAL) AS DOUBLE))
+              ELSE list_transform(raw, x -> CAST(CAST(0.0 AS REAL) AS DOUBLE)) END AS emb
+  FROM {prefix}_dense
+)"""
+
+
+
 def build_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's E3 index build (/root/reference/
     build_vectorstore.py:254-279) as one linear lazy pipeline:
@@ -45,8 +81,54 @@ def build_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ids.withColumn("embedding", emb)
 
 
-@query("index_build_pipeline")
+def _duck_index_build() -> str:
+    """Full E3 oracle: clean → rule-NER → enriched text → 120/30 chunks
+    → stable ids → embedder norm, all in SQL."""
+    job_case = """CASE WHEN contains(ct, 'join') THEN 'join'
+            WHEN contains(ct, 'sort') THEN 'sort'
+            WHEN contains(ct, 'merge') THEN 'merge'
+            WHEN contains(ct, 'scan') THEN 'scan' END"""
+    stride, size = 90, 120
+    return rf"""
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text, '<[^>]+>', '', 'g'), chr(10), ' ', 'g')) AS ct
+  FROM documents
+), enr AS (
+  SELECT doc_id, {job_case} AS ner_job,
+         ct || chr(10) || 'NER: ' ||
+         CASE WHEN {job_case} IS NULL THEN '{{}}'
+              ELSE '{{"job":"' || {job_case} || '"}}' END AS text
+  FROM cleaned
+), src AS (
+  SELECT doc_id, ner_job, CAST(i AS INTEGER) AS chunk_index,
+         substring(text, CAST(i AS INTEGER) * {stride} + 1, {size}) AS chunk
+  FROM (
+    SELECT doc_id, ner_job, text,
+           unnest(generate_series(0,
+             GREATEST(0, CAST(floor((length(text) - {size} + {stride - 1}) / {stride}.0) AS INTEGER))
+           )) AS i
+    FROM enr
+  )
+),
+{_duck_embed_cte("src", "doc_id, chunk_index", "chunk")}
+SELECT s.doc_id, s.chunk_index,
+       CAST(CAST('0x' || substring(md5(substring(s.chunk, 1, 50)), 1, 15) AS BIGINT) AS VARCHAR)
+         || '_' || CAST(s.chunk_index AS VARCHAR) AS chunk_id,
+       s.ner_job,
+       CAST(64 AS INTEGER) AS emb_dim,
+       round(sqrt(list_sum(list_transform(v.emb, x -> x * x))), 4) AS emb_norm
+FROM src s JOIN e_vec v ON s.doc_id = v.doc_id AND s.chunk_index = v.chunk_index
+"""
+
+
+@query("index_build_pipeline", oracle=_duck_index_build())
 def index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 index build end-to-end WITH a full oracle: every stage
+    (clean_text regexes, rule-NER, to_json enrichment, sliding-window
+    chunking, md5 stable ids, hashing-embedder norm) is re-derived in
+    one composed SQL — the whole pipeline, not just its parts, is
+    value-checked cross-engine."""
     out = build_chunk_index(spark, sf_dir)
     from vector_search_ner_spark.functions.vector import l2_norm
 
@@ -60,38 +142,14 @@ def index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMBED_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, t AS tok
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents)
-  WHERE t != ''
-), slotted AS (
-  SELECT doc_id,
-         CAST(CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % 64 AS INTEGER) AS slot,
-         CASE WHEN (CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) >> 8) & 1 = 1
-              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sign
-  FROM toks
-), hist AS (
-  SELECT doc_id, map_from_entries(list((slot, v))) AS m
-  FROM (SELECT doc_id, slot, SUM(sign) AS v FROM slotted GROUP BY doc_id, slot)
-  GROUP BY doc_id
-), dense AS (
-  SELECT d.doc_id,
-         list_transform(generate_series(0, 63), i -> COALESCE(h.m[i][1], CAST(0.0 AS DOUBLE))) AS raw
-  FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id
-), vec AS (
-  SELECT doc_id,
-         CASE WHEN sqrt(list_sum(list_transform(raw, x -> x * x))) > 0
-              THEN list_transform(raw, x ->
-                CAST(CAST(x / sqrt(list_sum(list_transform(raw, y -> y * y))) AS REAL) AS DOUBLE))
-              ELSE list_transform(raw, x -> CAST(CAST(0.0 AS REAL) AS DOUBLE)) END AS emb
-  FROM dense
-)
+_EMBED_ORACLE = rf"""
+WITH src AS (SELECT doc_id, text FROM documents),
+{_duck_embed_cte("src", "doc_id", "text")}
 SELECT doc_id,
        CAST(64 AS INTEGER) AS emb_dim,
        round(sqrt(list_sum(list_transform(emb, x -> x * x))), 4) AS emb_norm,
        round(emb[1], 6) AS c0
-FROM vec
+FROM e_vec
 """
 
 
