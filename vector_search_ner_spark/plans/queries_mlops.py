@@ -366,3 +366,42 @@ def multimodal_feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("feat_idx").cast("int"), F.col("feat_value").cast("double")
     )
+
+
+@query(
+    "udaf_median_chars",
+    oracle="""
+SELECT lang,
+       CAST(median(n_chars) AS DOUBLE) AS median_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+""",
+)
+def udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via pandas_udf GROUPED_AGG (the UDAF
+    extension point, SURVEY §2.10 'absent' row): exact per-group median
+    as an Arrow-batched aggregate. numpy's interpolated median over
+    int64 equals DuckDB's median() exactly, so the Python aggregate
+    carries a full oracle. At scale a GROUPED_AGG collects each group
+    to one executor — fine for bounded groups (3 langs); unbounded
+    cardinality would use percentile_approx instead (see
+    sketch_distinct_quantiles)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: postponed annotations (PEP 563) leave the
+    # hint strings unresolvable in this closure
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(v.median())
+
+    # GROUPED_AGG cannot mix with JVM aggregates in one agg -> the
+    # count is a pandas aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        median_udaf("n_chars").alias("median_chars"),
+        count_udaf("n_chars").alias("n_docs"),
+    )
