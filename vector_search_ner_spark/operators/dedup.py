@@ -46,3 +46,57 @@ def duplicate_report(df: DataFrame, key: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .where(F.col("n_rows") > 1)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node converges to the smallest node id
+    reachable from it. Returns (node, cluster_id).
+
+    The loop is a driver-gated iteration (converged when no label
+    changes); each round is one shuffle join + one aggregate, and
+    `localCheckpoint` cuts the lineage so plans don't grow
+    exponentially. Rounds needed = graph diameter — near-dup graphs are
+    shallow (dup clusters are cliques or short chains). At extreme
+    scale the large-star/small-star formulation halves rounds; the
+    per-round dataflow is identical."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neighbor_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

@@ -184,3 +184,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-bucket pairs only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return nd.cosine_neardup_pairs(emb, COSINE_T)
+
+
+def _duck_cc_clusters() -> str:
+    """Transitive-closure oracle: cluster = min reachable node over the
+    undirected minhash near-dup graph (recursive CTE)."""
+    edges_sql = _duck_minhash_pairs(JACCARD_T)
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, anc) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.anc = s.a
+)
+SELECT node AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters_cc", oracle=_duck_cc_clusters())
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the MinHash
+    near-dup pair graph (iterative min-label propagation; the step
+    after pair detection in a real corpus dedup — keep min-id doc per
+    cluster). Oracle = recursive-CTE transitive closure. This is the
+    engine's iterative-algorithm surface: driver-gated loop,
+    localCheckpoint lineage cuts, one shuffle per round."""
+    from vector_search_ner_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = nd.minhash_lsh_pairs(docs, JACCARD_T).select("doc_a", "doc_b")
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

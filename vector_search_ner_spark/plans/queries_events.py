@@ -193,3 +193,61 @@ def asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts_asof").alias("view_us"),
         F.col("value_asof").alias("view_value"),
     )
+
+
+@query(
+    "asof_cogroup_pandas",
+    oracle="""
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+       epoch_us(v.ts) AS view_us, v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+)
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as asof_join_click_view, but through
+    the cogrouped-applyInPandas extension point: both sides grouped by
+    user_id, each (left-group, right-group) pair handed to one pandas
+    merge_asof call. Cross-validates the union+window operator against
+    an independent implementation AND the DuckDB native ASOF JOIN.
+    Scale shape: one co-partitioned shuffle on user_id; Arrow batches
+    per group; no pair explosion."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "click_us", "view_us", "view_value"]
+            )
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        m = pd.merge_asof(
+            left, right.rename(columns={"ts": "view_ts"}),
+            left_on="ts", right_on="view_ts", direction="backward",
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id_x"] if "user_id_x" in m else m["user_id"],
+                "click_us": m["ts"].astype("int64") // 1000,
+                "view_us": m["view_ts"].astype("int64") // 1000,
+                "view_value": m["value"],
+            }
+        )
+        # NaT floor-divides to a huge negative; restore missing as NULL
+        out.loc[m["view_ts"].isna(), "view_us"] = None
+        return out
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="event_id long, user_id long, click_us long, view_us long, view_value double",
+        )
+    )
