@@ -222,3 +222,43 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+@query(
+    "fuzzy_match_levenshtein",
+    oracle="""
+WITH titles AS (
+  SELECT doc_id, substring(text, 1, 30) AS title,
+         substring(text, 1, 10) AS block
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b.title) AS INTEGER) AS edit_dist
+FROM titles a JOIN titles b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 5
+""",
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record matching: blocking (10-char prefix) + edit-distance
+    verify — the classic entity-resolution shape. The block key bounds
+    the self-join fan-out exactly like LSH bands bound the minhash
+    join; levenshtein is JVM-side codegen (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("title"),
+        F.substring("text", 1, 10).alias("block"),
+    )
+    a = titles.alias("a")
+    b = titles.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(dist <= 5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

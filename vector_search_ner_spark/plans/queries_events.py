@@ -251,3 +251,38 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="event_id long, user_id long, click_us long, view_us long, view_value double",
         )
     )
+
+
+@query(
+    "events_fill_forward",
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_purchase_value
+FROM events
+""",
+)
+def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) — the time-series gap-interpolation
+    operator: every event carries the user's most recent purchase
+    value (NULL before the first). last(ignorenulls) over an ordered
+    running frame; one shuffle on user_id, same shape at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        filled.alias("last_purchase_value"),
+    )
