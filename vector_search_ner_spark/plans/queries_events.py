@@ -286,3 +286,41 @@ def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         filled.alias("last_purchase_value"),
     )
+
+
+@query(
+    "events_unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT user_id,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS clicks,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS views,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2)))
+                    FILTER (WHERE event_type = 'purchase'), 2) AS DOUBLE) AS purchase_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (clicks, views, purchase_value))
+""",
+)
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-user metrics back to long
+    (metric, value) rows — the inverse of events_pivot_types, via the
+    native DataFrame.unpivot (no UNION-of-selects). NULL metrics drop
+    on both engines (UNPIVOT default)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("double").alias("views"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)"))),
+            2,
+        ).cast("double").alias("purchase_value"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["clicks", "views", "purchase_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).where(F.col("value").isNotNull())

@@ -369,3 +369,27 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("revenue")
         )
     )
+
+
+@query(
+    "quartiles_order_price",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def quartiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation on the sorted
+    set). The exact form needs the full sorted group — bounded group
+    count here; unbounded cardinality uses the sketch variant
+    (sketch_distinct_quantiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+    )
