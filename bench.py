@@ -45,6 +45,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "q18_large_orders",
     "embedding_quantize_int8",
+    "q13_order_count_distribution",
+    "q8_market_share",
+    "q21_sole_blame_supplier",
+    "doc_bigram_counts",
 ]
 
 

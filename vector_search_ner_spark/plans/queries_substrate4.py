@@ -1,0 +1,483 @@
+"""Substrate wave 4: the remaining distinctive TPC-H query shapes,
+adapted to the fixture schema (no partsupp / shipmode / receiptdate —
+see TESTDATA.md), plus a ranking-function gallery and an n-gram
+counter for the text-analysis family.
+
+Shapes covered here (each is a distinct plan pattern the reference
+engine's substrate must express; SURVEY §2.3-§2.6 "absent" rows):
+  * q13 — LEFT OUTER join with ON-clause filter + two-level aggregation
+  * q14 — conditional-aggregate ratio (CASE inside SUM)
+  * q17 — correlated per-group average as a filter threshold
+  * q21 — EXISTS + NOT EXISTS self-joins (semi ∧ anti on one table)
+  * q22 — anti join + global scalar-subquery threshold
+  * q15 — aggregate CTE reused + scalar MAX subquery (equality on agg)
+  * q8  — market-share: two-level ratio over a 7-way star join
+  * q9  — LIKE-filtered multi-join profit rollup
+  * q2  — min-per-group correlated subquery (cheapest supplier)
+
+Money math follows the repo rule: DECIMAL(18,2) accumulation (exact,
+order-free under Spark's partial aggregation), cast to double + round
+only at the very end, so Spark and DuckDB agree bit-for-bit. Ratio
+queries round each operand sum to 2dp, cast to double, divide in
+double, round the quotient — both engines then do the identical IEEE
+operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.sources.catalog import load_table
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _rev() -> Column:
+    return _dec("l_extendedprice") * (1 - _dec("l_discount"))
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join whose filter lives in the ON clause (pre-filtering the right
+    side — NOT a WHERE, which would drop zero-order customers), then a
+    second aggregation over the first's output. At scale the first agg
+    shuffles on c_custkey; the second is tiny (distinct counts).
+    Reference has no outer joins at all (SURVEY §2.3 'absent')."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    oracle="""
+SELECT CAST(ROUND(
+         100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                       ELSE 0 END), 2) AS DOUBLE)
+               / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE),
+       6) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): conditional aggregate —
+    one scan computes both the CASE-gated numerator and the total
+    denominator (vs two queries = two scans at 100 TB). part is
+    broadcast; the month filter is pushed to the lineitem scan."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0))), 2
+    ).cast("double")
+    total = F.round(F.sum(_rev()), 2).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * promo / total, 6).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#23'
+), thr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(ROUND(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+       AS DOUBLE) AS avg_yearly
+FROM li JOIN thr ON li.l_partkey = thr.l_partkey
+WHERE li.l_quantity < 0.2 * thr.avg_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the filter
+    threshold is a correlated per-group AVERAGE of the same fact table.
+    Implemented as agg + self-join on the group key, so lineitem
+    shuffles once on l_partkey and Catalyst reuses the exchange for
+    both branches (ReusedExchange). The average is computed as
+    exact-decimal sum / count, divided in double — identical in both
+    engines regardless of partitioning."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    l = load_table(spark, sf_dir, "lineitem")
+    li = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = li.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+_Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("q21_sole_blame_supplier", oracle=_Q21_SQL)
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers solely responsible for a failed
+    multi-supplier order; returnflag='R' stands in for the missing
+    receipt/commit lateness — TESTDATA.md schema). One fact table under
+    THREE roles: base + correlated EXISTS (→ left-semi) + correlated
+    NOT EXISTS (→ left-anti). Catalyst's RewritePredicateSubquery turns
+    both into joins on l_orderkey, sharing the shuffle; no row
+    explosion before the count."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+SELECT cntrycode, count(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT SUBSTRING(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM customer c2 WHERE c2.c_acctbal > 0.0
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("q22_idle_wealthy_customers", oracle=_Q22_SQL)
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (wealthy customers with no orders): a global
+    scalar subquery (average positive balance — exact-decimal sum /
+    count so both engines agree bit-for-bit) as a filter threshold,
+    plus NOT EXISTS → left-anti against orders. The anti join shuffles
+    on custkey; the scalar is a one-row broadcast. The 'country code'
+    is the last two digits of the fixture's Customer#%09d name."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q22_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("q15_top_revenue_supplier", oracle=_Q15_SQL)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): an
+    aggregate CTE consumed TWICE — once as the join input, once inside
+    a scalar MAX subquery. Catalyst computes the agg once and reuses
+    the exchange; the MAX equality is on the rounded DECIMAL (exact),
+    so ties return all argmax suppliers deterministically."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q15_SQL)
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       CAST(ROUND(
+         CAST(ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 2) AS DOUBLE)
+         / CAST(ROUND(SUM(volume), 2) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share by year): 7-way star join
+    — nation appears twice (customer's region gate vs supplier's
+    nationality), region prunes to one market, and the answer is a
+    per-year conditional-sum ratio. All dims broadcast; the only big
+    shuffle is lineitem⋈orders. Ratio operands are rounded decimals
+    cast to double, so the division is engine-independent."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = _rev().alias("volume")
+    base = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol, "nation")
+    )
+    num = F.round(
+        F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0))), 2
+    ).cast("double")
+    den = F.round(F.sum("volume"), 2).cast("double")
+    return (
+        base.groupBy("o_year")
+        .agg(F.round(num / den, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT nation, o_year, CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and year, LIKE-
+    filtered product line; no ps_supplycost in the fixture so profit =
+    discounted revenue). The LIKE '%red%' is a non-prefix pattern —
+    not sargable, but still evaluated in the scan operator before the
+    join fan-out, and part is broadcast after the filter."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q2_min_price_supplier",
+    oracle="""
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_name,
+       CAST(l.l_extendedprice AS DOUBLE) AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size = 15
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+ORDER BY p.p_partkey, s.s_name
+LIMIT 100
+""",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (cheapest supplier per part; lineitem stands in
+    for partsupp): correlated MIN subquery on the probe key →
+    implemented as min-aggregate + join-back on l_partkey, the
+    standard decorrelation Catalyst itself applies to the SQL form.
+    Equality is on the stored double (same value, no arithmetic), so
+    it is exact; ties return every argmin supplier, deduplicated."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    li = l.join(F.broadcast(p.select("p_partkey", "p_name")), l.l_partkey == F.col("p_partkey"))
+    minp = li.groupBy(F.col("p_partkey").alias("mp_key")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(
+            minp,
+            (F.col("p_partkey") == F.col("mp_key"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", F.col("min_price").cast("double"))
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "window_rank_gallery",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       ntile(4)       OVER w AS price_quartile,
+       CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+       CAST(cume_dist()    OVER w AS DOUBLE) AS cume,
+       lead(o_orderkey, 1) OVER w AS next_key,
+       lag(o_orderkey, 1)  OVER w AS prev_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_rank_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function gallery (SURVEY §2.5 'absent' row: ntile /
+    lead-lag): ntile quartiles, percent_rank, cume_dist, lead/lag over
+    one window spec — Spark evaluates all five in a single Window
+    physical operator (one sort, one pass). The ORDER BY includes the
+    unique o_orderkey so every function is deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+    )
+
+
+@query(
+    "doc_bigram_counts",
+    oracle="""
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 50
+""",
+)
+def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (text-analysis / n-gram LM family — the
+    contamination-check primitive for training corpora): tokenize by
+    single space, build adjacent pairs with a higher-order TRANSFORM
+    over the token array (pure JVM, no Python UDF), explode, count.
+    At 100 TB the explode is map-local and the only shuffle carries
+    (bigram, partial_count) pairs — map-side combine keeps it small.
+    Top-50 with (count, bigram) tie-break is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
