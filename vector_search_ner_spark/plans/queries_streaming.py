@@ -93,6 +93,22 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_static_enriched_counts(spark, sf_dir)
 
 
+# watermarked stream-stream interval join == the identical batch
+# self-join (inner joins emit every match exactly once)
+_STREAM_STREAM_ORACLE = """
+SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+"""
+
+
+@query("stream_stream_interval_join", oracle=_STREAM_STREAM_ORACLE)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_stream_interval_join(spark, sf_dir)
+
+
 # applyInPandasWithState accumulates in integer cents -> deterministic,
 # so this custom stateful op gets a FULL batch oracle (streaming final
 # state == batch group-by, exactly).

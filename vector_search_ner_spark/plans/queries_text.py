@@ -269,3 +269,87 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "dataset_split_assign",
+    oracle="""
+SELECT doc_id,
+       strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1
+         AS bucket,
+       CASE WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 12
+            THEN 'train'
+            WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 14
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (75/12.5/12.5
+    via the last md5 nibble of the id). The training-pipeline staple:
+    unlike rand(seed) — whose per-row value depends on partitioning and
+    task retries — a hash split is ROW-stable under any repartition,
+    backfill, or incremental append, so the same doc lands in the same
+    split forever. Map-only: no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1),
+    ) - 1
+    return d.select(
+        "doc_id",
+        nibble.alias("bucket"),
+        F.when(nibble < 12, "train").when(nibble < 14, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "doc_repetition_scores",
+    oracle="""
+SELECT doc_id,
+       n_bigrams,
+       n_distinct,
+       CAST(ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6) AS DOUBLE) AS rep_ratio
+FROM (
+  SELECT doc_id,
+         len(bg) AS n_bigrams,
+         len(list_distinct(bg)) AS n_distinct
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  )
+  WHERE len(bg) > 0
+)
+ORDER BY doc_id
+""",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (1 - distinct/total bigrams) —
+    the Gopher-style boilerplate/low-quality signal used to filter
+    training corpora (repeated headers, keyword stuffing, template
+    spam). Pure higher-order array functions (TRANSFORM +
+    ARRAY_DISTINCT) evaluated JVM-side per row: map-only, no shuffle,
+    no UDF — at 100 TB this runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select("doc_id", bg.alias("bg"))
+        .select(
+            "doc_id",
+            F.size("bg").alias("n_bigrams"),
+            F.size(F.array_distinct("bg")).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_bigrams"), 6).alias(
+                "rep_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

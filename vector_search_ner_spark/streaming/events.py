@@ -176,6 +176,49 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_to_memory(agg, "complete")
 
 
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition:
+    clicks joined to the same user's views from the preceding hour.
+    Both sides carry a watermark and the join predicate bounds b.ts
+    relative to a.ts, so Spark can size the join state and expire rows
+    as the watermark advances — the unbounded-state hazard of naive
+    stream-stream joins is exactly what the time bound removes; at
+    cluster scale state is per-key in the state store, sharded by
+    user_id. Inner-join matches emit as found (append mode)."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            """
+            click_user = view_user
+            AND view_ts >= click_ts - INTERVAL 1 HOUR
+            AND view_ts <= click_ts
+            """
+        ),
+    ).select(
+        "click_id", "view_id", F.col("click_user").alias("user_id")
+    )
+    return _run_to_memory(joined, "append")
+
+
 def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (the engine's
     'arbitrary stateful processing' extension point — what the reference
