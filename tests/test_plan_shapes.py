@@ -1,0 +1,81 @@
+"""Plan-shape audits codified (the PERF.md claims as regressions):
+each headline operator must keep planning the way the 100 TB design
+requires — filters pushed to the scan, dims broadcast, subqueries
+rewritten to semi/anti joins, top-k via TakeOrderedAndProject /
+WindowGroupLimit. A wrong-but-correct plan is a perf bug at scale;
+these tests make it a test failure locally.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from vector_search_ner_spark.registry import collect
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    queries, _ = collect()
+    df = queries[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q21_subqueries_become_semi_and_anti_joins(spark):
+    """EXISTS / NOT EXISTS must be decorrelated to LeftSemi / LeftAnti
+    joins (no nested-loop re-execution per outer row)."""
+    p = _plan(spark, "q21_sole_blame_supplier")
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+
+
+def test_q13_keeps_left_outer(spark):
+    """The ON-clause filter must NOT collapse the outer join to inner
+    (zero-order customers are the point of Q13)."""
+    p = _plan(spark, "q13_order_count_distribution")
+    assert "LeftOuter" in p, p
+
+
+def test_q8_star_join_broadcasts_dims(spark):
+    """All six dimension sides of the 7-way star must broadcast — the
+    only shuffle-worthy join is fact-to-fact (lineitem⋈orders)."""
+    p = _plan(spark, "q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 5, p
+
+
+def test_q10_top20_is_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heap + merge), never a full global sort."""
+    p = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_knn_partial_topk_before_shuffle(spark):
+    """Brute-force k-NN must (a) broadcast the query batch so the doc
+    table never moves, and (b) apply WindowGroupLimit so only ~k rows
+    per partition per query reach the rank shuffle."""
+    p = _plan(spark, "knn_topk_cosine")
+    assert "BroadcastExchange" in p, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_contains_filter_reaches_scan(spark):
+    """The v2 `$contains` predicate must land in the parquet scan's
+    PushedFilters (StringContains), not evaluate post-scan only."""
+    p = _plan(spark, "contains_filter_docs")
+    assert "StringContains" in p, p
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6's four predicates must all reach the scan: rowgroup min/max
+    stats then prune I/O — the whole plan at 100 TB."""
+    p = _plan(spark, "q6_forecast_revenue")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, p
+    line = pushed[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in line, line

@@ -246,3 +246,28 @@ def test_hashing_embedder_matches_sql_reimplementation(spark, sf_dir):
     assert set(g) == set(w)
     for k in g:
         assert g[k] == w[k], (k, g[k][:8], w[k][:8])
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC is declared-approximate: measure recall@5 against exact
+    brute-force k-NN (same queries) and bound it. With a 16-codeword
+    deterministic codebook recall is modest — the test pins the floor
+    so codebook/encode regressions surface."""
+    from vector_search_ner_spark.operators import pq
+    from vector_search_ner_spark.operators.knn import knn_join
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact = {(r.query_id, r.doc_id) for r in knn_join(queries, docs, k=5, metric="l2").collect()}
+    cb = pq.build_codebook(emb)
+    codes = pq.pq_encode(emb, cb)
+    approx = {
+        (r.query_id, r.doc_id)
+        for r in pq.pq_adc_topk(queries, codes, cb, 5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"PQ-ADC recall@5 too low: {recall}"

@@ -1,0 +1,189 @@
+"""Product quantization (PQ) — the memory-bound ANN scale path, next
+to IVF (compute pruning) and LSH (candidate pruning) in operators/ann.py.
+
+A 64-dim float vector (256 B) is encoded as M=8 one-byte codes: the
+vector is split into 8 contiguous 8-dim subvectors, each replaced by
+the id of its nearest codeword in a per-subspace codebook of K=16
+entries. Query-time ranking is ADC (asymmetric distance computation):
+the query stays exact; its distance to a doc is the sum over subspaces
+of the precomputed query↔codeword squared-L2 for the doc's code —
+a K×M lookup table per query, built once, then every doc costs M adds.
+At 100 TB this is the difference between scanning 256 B/vec and
+8 B/vec: the codes table fits in memory 32× sooner, and the hot loop
+is table lookups instead of float math.
+
+Codebook here is DETERMINISTIC (codewords = the subvectors of the
+first K vectors by id — same device as ivf_fixed_build), so encode AND
+search are exactly reproducible in ANSI SQL and the whole path is
+oracle-checked; a KMeans-trained codebook would only move the codeword
+values, not the mechanics. Replaces the reference's hnswlib graph
+(/root/reference/main.py:53-61) on the recall-for-bytes axis.
+
+Determinism: subspace distances fold sequentially (F.aggregate ==
+DuckDB list_sum(list_transform), see functions/vector.py); the
+8 partial distances are summed in explicit subspace order (d0+d1+…+d7,
+left-assoc in both engines), never via an unordered SUM over doubles;
+argmin ties break on the lower codeword id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DIM = 64
+M = 8          # subspaces
+SUB = DIM // M  # dims per subspace
+K = 16         # codewords per subspace
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 (no sqrt — monotone for argmin/rank)."""
+    diffs = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sub(vec: str, m: str = "m") -> Column:
+    return F.expr(f"slice({vec}, {m} * {SUB} + 1, {SUB})")
+
+
+def _explode_m(df: DataFrame) -> DataFrame:
+    return df.withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(M - 1))))
+
+
+def build_codebook(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(m, k, cw): per-subspace codebook from the first K vectors by id."""
+    return _explode_m(emb.where(F.col(id_col) < K)).select(
+        "m", F.col(id_col).cast("int").alias("k"), _sub(vec_col).alias("cw")
+    )
+
+
+def pq_encode(
+    emb: DataFrame, codebook: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(doc_id, m, code): nearest codeword per (vector, subspace)."""
+    sub = _explode_m(emb).select(F.col(id_col).alias("doc_id"), "m", _sub(vec_col).alias("sv"))
+    scored = sub.join(F.broadcast(codebook), "m").withColumn(
+        "sqd", _sq_l2(F.col("sv"), F.col("cw"))
+    )
+    w = Window.partitionBy("doc_id", "m").orderBy("sqd", "k")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "m", F.col("k").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k_results: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k: build the per-query (m, codeword) LUT, join it to the
+    doc codes, sum partials in explicit subspace order, rank."""
+    lut = (
+        queries.crossJoin(F.broadcast(codebook))
+        .withColumn("pd", _sq_l2(_sub(query_vec), F.col("cw")))
+        .select(query_id, F.col("m").alias("lut_m"), F.col("k").alias("lut_k"), "pd")
+    )
+    parts = (
+        codes.join(lut, (F.col("m") == F.col("lut_m")) & (F.col("code") == F.col("lut_k")))
+        .groupBy(query_id, "doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lut_m") == i, F.col("pd")).otherwise(F.lit(0.0))).alias(f"d{i}")
+                for i in range(M)
+            ]
+        )
+    )
+    total = F.col("d0")
+    for i in range(1, M):
+        total = total + F.col(f"d{i}")
+    fin = parts.withColumn("adist_raw", total)
+    w = Window.partitionBy(query_id).orderBy("adist_raw", "doc_id")
+    return (
+        fin.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_results)
+        .select(query_id, "doc_id", "rank", F.round("adist_raw", 6).alias("adist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (same folds, same tie-breaks, same add order)
+# ---------------------------------------------------------------------------
+
+_DUCK_SQD = (
+    "list_sum(list_transform(range(1, {n}), i -> "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+def duck_pq_ctes() -> str:
+    """Shared CTE text: codebook (cb), doc subvectors, argmin codes."""
+    sqd = _DUCK_SQD.format(n=SUB + 1, a="d.sv", b="c.cw")
+    return f"""
+cb AS (
+  SELECT m.m, CAST(e.vec_id AS INTEGER) AS k,
+         e.embedding[m.m * {SUB} + 1 : m.m * {SUB} + {SUB}] AS cw
+  FROM embeddings e, (SELECT unnest(range(0, {M})) AS m) m
+  WHERE e.vec_id < {K}
+),
+docsub AS (
+  SELECT e.vec_id AS doc_id, m.m,
+         e.embedding[m.m * {SUB} + 1 : m.m * {SUB} + {SUB}] AS sv
+  FROM embeddings e, (SELECT unnest(range(0, {M})) AS m) m
+),
+scored AS (
+  SELECT d.doc_id, d.m, c.k, {sqd} AS sqd
+  FROM docsub d JOIN cb c ON d.m = c.m
+),
+codes AS (
+  SELECT doc_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, m ORDER BY sqd, k) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+
+
+def duck_pq_encode_sql() -> str:
+    return f"WITH {duck_pq_ctes()}\nSELECT doc_id, m, code FROM codes"
+
+
+def duck_pq_adc_sql(n_queries: int, k_results: int) -> str:
+    pd = _DUCK_SQD.format(n=SUB + 1, a="q.sv", b="c.cw")
+    d_cols = ",\n         ".join(
+        f"SUM(CASE WHEN l.m = {i} THEN l.pd ELSE 0.0 END) AS d{i}" for i in range(M)
+    )
+    add = "d0"
+    for i in range(1, M):
+        add = f"({add} + d{i})"
+    return f"""WITH {duck_pq_ctes()},
+qlut AS (
+  SELECT q.query_id, c.m, c.k, {pd} AS pd
+  FROM (
+    SELECT e.vec_id AS query_id, m.m,
+           e.embedding[m.m * {SUB} + 1 : m.m * {SUB} + {SUB}] AS sv
+    FROM embeddings e, (SELECT unnest(range(0, {M})) AS m) m
+    WHERE e.vec_id < {n_queries}
+  ) q JOIN cb c ON q.m = c.m
+),
+parts AS (
+  SELECT l.query_id, cd.doc_id,
+         {d_cols}
+  FROM codes cd JOIN qlut l ON l.m = cd.m AND l.k = cd.code
+  GROUP BY l.query_id, cd.doc_id
+),
+fin AS (SELECT query_id, doc_id, {add} AS adist_raw FROM parts)
+SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank, ROUND(adist_raw, 6) AS adist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_raw, doc_id) AS rn
+  FROM fin
+) WHERE rn <= {k_results}"""

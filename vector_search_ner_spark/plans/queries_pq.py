@@ -1,0 +1,41 @@
+"""Product-quantization queries (similarity-search scale path #3:
+bytes). See operators/pq.py for the full design + determinism notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.operators import pq
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.sources.catalog import load_table
+
+_N_QUERIES = 8
+_TOPK = 5
+
+
+@query("pq_encode_codes", oracle=pq.duck_pq_encode_sql())
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: every 64-dim vector → 8 subspace codes (32× smaller).
+    Map-side: the codebook broadcasts, argmin is a per-row window over
+    16 candidates — no shuffle of the vector table at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq.build_codebook(emb)
+    return pq.pq_encode(emb, cb)
+
+
+@query("ann_pq_adc_topk", oracle=pq.duck_pq_adc_sql(_N_QUERIES, _TOPK))
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k: per-query LUT (M×K tiny, broadcast) +
+    code-table lookups. The doc-side join touches only the 8-byte codes
+    — the full vectors are never read at query time; at 100 TB that is
+    a 32× scan-byte reduction over brute force, composable with IVF
+    partition pruning (probe clusters, then ADC within)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq.build_codebook(emb)
+    codes = pq.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq.pq_adc_topk(queries, codes, cb, _TOPK)

@@ -481,3 +481,55 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "upsert_latest_wins",
+    oracle="""
+WITH log AS (
+  SELECT doc_id, text, 0 AS version, 'U' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, 'updated: ' || text, 1, 'U' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS VARCHAR), 2, 'D' FROM documents WHERE doc_id % 11 = 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM log
+)
+SELECT doc_id, text, version
+FROM ranked WHERE rn = 1 AND op = 'U'
+ORDER BY doc_id
+""",
+)
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge / upsert compaction (the reference's Chroma sink
+    upserts by explicit id — build_vectorstore.py:233-250; this is that
+    semantic as a set operation): base snapshot ∪ update log ∪
+    tombstones → latest version per key wins, deletes drop the key.
+    One shuffle on the merge key; at 100 TB this is the standard
+    snapshot-compaction job (and the window form beats a self-join
+    MAX-version probe: one pass, no second scan of the log)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", F.lit(0).alias("version"), F.lit("U").alias("op"))
+    updates = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.lit("updated: "), F.col("text")).alias("text"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    tombstones = d.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(2).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    log = base.unionByName(updates).unionByName(tombstones)
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select("doc_id", "text", "version")
+        .orderBy("doc_id")
+    )

@@ -353,3 +353,40 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("chunk_documents_udtf", oracle=duck_chunk_sql(120, 30) + " WHERE doc_id < 100")
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunk contract as chunk_documents, but through Spark 4's
+    Python UDTF extension point (arbitrary 1→N Python generators,
+    LATERAL-joined in SQL) instead of the closed-form sequence+explode.
+    This is the escape hatch for splitters whose logic genuinely can't
+    be closed-form (the reference's recursive separator hierarchy,
+    build_vectorstore.py:50-53); the closed-form stays the production
+    path (JVM codegen, ~10× faster). Arrow-batched so rows cross the
+    Python boundary in columnar batches, and identical output lets one
+    DuckDB oracle check both implementations."""
+    from pyspark.sql.functions import udtf
+
+    size, overlap = 120, 30
+    stride = size - overlap
+
+    @udtf(returnType="chunk_index int, chunk string", useArrow=True)
+    class ChunkUDTF:
+        def eval(self, text: str):
+            if text is None:
+                return
+            n = 1 + max(0, -(-(len(text) - size) // stride))
+            for i in range(n):
+                yield i, text[i * stride : i * stride + size]
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "docs_to_chunk"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_index, c.chunk
+        FROM docs_to_chunk d, LATERAL chunk_udtf(d.text) AS c
+        """
+    )
