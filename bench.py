@@ -49,6 +49,7 @@ HEADLINE = [
     "q8_market_share",
     "q21_sole_blame_supplier",
     "doc_bigram_counts",
+    "ann_pq_adc_topk",
 ]
 
 

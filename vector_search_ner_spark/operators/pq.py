@@ -78,30 +78,27 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
-    queries: DataFrame,
-    codes: DataFrame,
-    codebook: DataFrame,
-    k_results: int,
-    query_id: str = "query_id",
-    query_vec: str = "query_vec",
-) -> DataFrame:
-    """ADC top-k: build the per-query (m, codeword) LUT, join it to the
-    doc codes, sum partials in explicit subspace order, rank."""
-    lut = (
+def _query_lut(queries: DataFrame, codebook: DataFrame, query_id: str, query_vec: str) -> DataFrame:
+    """Per-query (subspace, codeword) squared-L2 lookup table."""
+    return (
         queries.crossJoin(F.broadcast(codebook))
         .withColumn("pd", _sq_l2(_sub(query_vec), F.col("cw")))
-        .select(query_id, F.col("m").alias("lut_m"), F.col("k").alias("lut_k"), "pd")
-    )
-    parts = (
-        codes.join(lut, (F.col("m") == F.col("lut_m")) & (F.col("code") == F.col("lut_k")))
-        .groupBy(query_id, "doc_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("lut_m") == i, F.col("pd")).otherwise(F.lit(0.0))).alias(f"d{i}")
-                for i in range(M)
-            ]
+        .select(
+            F.col(query_id).alias("lut_q"),
+            F.col("m").alias("lut_m"),
+            F.col("k").alias("lut_k"),
+            "pd",
         )
+    )
+
+
+def _adc_rank(joined: DataFrame, query_id: str, k_results: int) -> DataFrame:
+    """(query, doc, lut_m, pd) rows → ordered-sum distance → top-k."""
+    parts = joined.groupBy(query_id, "doc_id").agg(
+        *[
+            F.sum(F.when(F.col("lut_m") == i, F.col("pd")).otherwise(F.lit(0.0))).alias(f"d{i}")
+            for i in range(M)
+        ]
     )
     total = F.col("d0")
     for i in range(1, M):
@@ -113,6 +110,48 @@ def pq_adc_topk(
         .where(F.col("rank") <= k_results)
         .select(query_id, "doc_id", "rank", F.round("adist_raw", 6).alias("adist"))
     )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k_results: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k over ALL docs: build the per-query LUT, join it to the
+    doc codes, sum partials in explicit subspace order, rank."""
+    lut = _query_lut(queries, codebook, query_id, query_vec)
+    joined = codes.join(
+        lut, (F.col("m") == F.col("lut_m")) & (F.col("code") == F.col("lut_k"))
+    ).withColumn(query_id, F.col("lut_q"))
+    return _adc_rank(joined, query_id, k_results)
+
+
+def pq_adc_topk_pairs(
+    queries: DataFrame,
+    pairs: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k_results: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k restricted to candidate (query, doc) `pairs` — the
+    IVF∘PQ composition: IVF probing yields the pairs, ADC ranks them.
+    Only candidate codes join the LUT, so the scan cost is
+    |candidates|, not |corpus|."""
+    joined = (
+        pairs.join(codes, "doc_id")
+        .join(
+            _query_lut(queries, codebook, query_id, query_vec),
+            (F.col("m") == F.col("lut_m"))
+            & (F.col("code") == F.col("lut_k"))
+            & (F.col(query_id) == F.col("lut_q")),
+        )
+    )
+    return _adc_rank(joined, query_id, k_results)
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +219,66 @@ parts AS (
          {d_cols}
   FROM codes cd JOIN qlut l ON l.m = cd.m AND l.k = cd.code
   GROUP BY l.query_id, cd.doc_id
+),
+fin AS (SELECT query_id, doc_id, {add} AS adist_raw FROM parts)
+SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank, ROUND(adist_raw, 6) AS adist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_raw, doc_id) AS rn
+  FROM fin
+) WHERE rn <= {k_results}"""
+
+
+def duck_ivf_pq_sql(n_queries: int, n_cent: int, nprobe: int, k_results: int) -> str:
+    """IVF∘PQ oracle: fixed-centroid probing narrows candidates, ADC
+    ranks them. Reuses the PQ CTEs plus the fixed-IVF assignment SQL."""
+    from vector_search_ner_spark.functions.vector import duck_l2
+
+    pd = _DUCK_SQD.format(n=SUB + 1, a="q.sv", b="c.cw")
+    d_cols = ",\n         ".join(
+        f"SUM(CASE WHEN l.m = {i} THEN l.pd ELSE 0.0 END) AS d{i}" for i in range(M)
+    )
+    add = "d0"
+    for i in range(1, M):
+        add = f"({add} + d{i})"
+    return f"""WITH {duck_pq_ctes()},
+cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {n_cent}
+),
+assigned AS (
+  SELECT doc_id, cluster_id FROM (
+    SELECT d.vec_id AS doc_id, c.cluster_id, row_number() OVER (
+      PARTITION BY d.vec_id ORDER BY {duck_l2("d.embedding", "c.centroid")}, c.cluster_id) AS rn
+    FROM embeddings d CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.vec_id AS query_id, c.cluster_id, row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY {duck_l2("q.embedding", "c.centroid")}, c.cluster_id) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT p.query_id, a.doc_id FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+),
+qlut AS (
+  SELECT q.query_id, c.m, c.k, {pd} AS pd
+  FROM (
+    SELECT e.vec_id AS query_id, m.m,
+           e.embedding[m.m * {SUB} + 1 : m.m * {SUB} + {SUB}] AS sv
+    FROM embeddings e, (SELECT unnest(range(0, {M})) AS m) m
+    WHERE e.vec_id < {n_queries}
+  ) q JOIN cb c ON q.m = c.m
+),
+parts AS (
+  SELECT pr.query_id, pr.doc_id,
+         {d_cols}
+  FROM pairs pr
+  JOIN codes cd ON cd.doc_id = pr.doc_id
+  JOIN qlut l ON l.m = cd.m AND l.k = cd.code AND l.query_id = pr.query_id
+  GROUP BY pr.query_id, pr.doc_id
 ),
 fin AS (SELECT query_id, doc_id, {add} AS adist_raw FROM parts)
 SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank, ROUND(adist_raw, 6) AS adist

@@ -324,3 +324,50 @@ def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).where(F.col("value").isNotNull())
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+SELECT COALESCE(d, TIMESTAMP '1900-01-01 00:00:00') AS d,
+       COALESCE(h, -1) AS h,
+       CAST(GROUPING(d) AS INTEGER) AS g_day,
+       CAST(GROUPING(h) AS INTEGER) AS g_hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+         value
+  FROM events
+)
+GROUP BY ROLLUP (d, h)
+""",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hour-within-day detail,
+    per-day subtotal, and grand total in ONE pass (ROLLUP expands
+    grouping sets map-side — vs 3 separate jobs = 3 scans of the
+    event stream at 100 TB). GROUPING flags mark the levels. This is
+    the continuous-aggregate maintenance shape: the same plan runs
+    per-partition incrementally as new days land."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        "value",
+    )
+    return (
+        base.rollup("d", "h")
+        .agg(
+            F.grouping("d").cast("int").alias("g_day"),
+            F.grouping("h").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("d", F.lit("1900-01-01 00:00:00").cast("timestamp")).alias("d"),
+            F.coalesce("h", F.lit(-1)).alias("h"),
+            "g_day", "g_hour", "n", "total",
+        )
+    )

@@ -39,3 +39,35 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq.pq_adc_topk(queries, codes, cb, _TOPK)
+
+
+@query("ann_ivf_pq_topk", oracle=pq.duck_ivf_pq_sql(4, 16, 4, _TOPK))
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB ANN plan: IVF coarse probing (partition
+    pruning — each query touches nprobe clusters, not the corpus)
+    feeding PQ-ADC fine ranking (8-byte codes, no full vectors at
+    query time). Compute AND bytes both drop; the two quantizers are
+    independent (full-vector centroids vs subspace codebooks). Both
+    stages deterministic → the whole composition is oracle-checked."""
+    from vector_search_ner_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_fixed_build(emb, 16)
+    cb = pq.build_codebook(emb)
+    codes = pq.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from vector_search_ner_spark.functions.vector import l2_distance
+    from vector_search_ner_spark.operators.knn import topk_per_query
+
+    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", l2_distance(F.col("query_vec"), F.col("centroid"))
+    )
+    probes = topk_per_query(qc, 4, "query_id", "cdist", "cluster_id", ascending=True).select(
+        "query_id", "cluster_id"
+    )
+    pairs = probes.join(
+        assigned.select(F.col("vec_id").alias("doc_id"), "cluster_id"), "cluster_id"
+    ).select("query_id", "doc_id")
+    return pq.pq_adc_topk_pairs(queries, pairs, codes, cb, _TOPK)

@@ -533,3 +533,106 @@ def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "version")
         .orderBy("doc_id")
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+@query(
+    "table_profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders""" for c in _PROFILE_COLS
+    ),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report (the first job on any new 100 TB corpus):
+    null / distinct / row counts for every column in ONE scan — the
+    per-column aggregates all evaluate in a single pass and STACK
+    unpivots the one-row result into a per-column report. The oracle
+    is the naive N-scans UNION form; the engine plan reads the table
+    once."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("col_name", "n_nulls", "n_distinct", "n_rows")
+
+
+@query(
+    "dq_constraint_checks",
+    oracle="""
+SELECT 'orders_custkey_fk' AS constraint_name,
+       CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_pk_unique',
+       CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'customer_acctbal_notnull',
+       CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE c_acctbal IS NULL
+UNION ALL
+SELECT 'lineitem_qty_range',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 100
+""",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint/expectation suite (the DQ gate a training pipeline
+    runs before ingesting a drop): referential integrity via LEFT ANTI
+    joins (one shuffle each, no row duplication), primary-key
+    uniqueness via group-count, null and range checks as scan-side
+    filters. Emits one (constraint, violation-count) row each — the
+    contract is every count == 0; non-zero rows name exactly what
+    broke. Extends the reference's ad-hoc duplicate scan
+    (build_vectorstore.py:260-270) into a declared constraint set."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("constraint_name"), F.col("n").cast("bigint").alias("n_violations")
+        )
+
+    fk_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fk_line = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pk_dup = (
+        o.groupBy("o_orderkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nn = c.where(F.col("c_acctbal").isNull()).agg(F.count(F.lit(1)).alias("n"))
+    rng = l.where((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        one("orders_custkey_fk", fk_orders)
+        .unionByName(one("lineitem_orderkey_fk", fk_line))
+        .unionByName(one("orders_pk_unique", pk_dup))
+        .unionByName(one("customer_acctbal_notnull", nn))
+        .unionByName(one("lineitem_qty_range", rng))
+    )

@@ -390,3 +390,34 @@ def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_to_chunk d, LATERAL chunk_udtf(d.text) AS c
         """
     )
+
+
+@query(
+    "doc_bpe_token_counts",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+         AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+         AS n_unique,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+FROM documents
+""",
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs |
+    digit runs | single punctuation — the GPT-2 pre-tokenizer shape,
+    restricted to char classes both engines' regex dialects agree on).
+    This is the 'how many tokens will training see' estimator; pure
+    regexp_extract_all + array ops, map-only at any scale."""
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{pat}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("bigint").alias(
+            "n_number_tokens"
+        ),
+    )
