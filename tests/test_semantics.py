@@ -271,3 +271,56 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"PQ-ADC recall@5 too low: {recall}"
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """freqItems must return EVERY item whose true frequency is >= the
+    support threshold (false positives allowed, false negatives not)."""
+    from vector_search_ner_spark.registry import collect
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    qs, _ = collect()
+    got = {r.item for r in qs["sketch_freq_items"](spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    exact = {
+        r.o_orderpriority
+        for r in o.groupBy("o_orderpriority").count().where(F.col("count") >= 0.15 * n).collect()
+    }
+    assert exact <= got, f"missing truly-frequent items: {exact - got}"
+
+
+def test_dedup_first_wins_matches_pandas(spark):
+    """Property check: distributed first-wins dedup == pandas
+    sort_values + drop_duplicates(keep='first') on randomized inputs
+    (SURVEY §7 hard-point (a): arrival order must survive shuffling)."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from vector_search_ner_spark.operators.dedup import dedup_first_wins
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 10_000), st.integers(0, 99)),
+            min_size=1,
+            max_size=50,
+            unique_by=lambda t: t[1],  # unique arrival index
+        )
+    )
+    def run(rows):
+        df = spark.createDataFrame(rows, "k int, arrival long, payload int").repartition(7)
+        got = (
+            dedup_first_wins(df, ["k"], "arrival")
+            .toPandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = (
+            pd.DataFrame(rows, columns=["k", "arrival", "payload"])
+            .sort_values("arrival", kind="stable")
+            .drop_duplicates("k", keep="first")
+            .sort_values("k", ignore_index=True)
+        )
+        assert got[["k", "arrival", "payload"]].values.tolist() == want.values.tolist()
+
+    run()

@@ -132,3 +132,34 @@ def resize_and_sample_frames(
             yield pd.DataFrame(out)
 
     return with_binary.mapInPandas(op, schema=RESIZE_SAMPLE_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = "doc_id long, frame_idx int, energy long, peak int"
+
+
+def audio_frame_energy(
+    with_binary: DataFrame, frame_len: int = 8, hop: int = 4
+) -> DataFrame:
+    """Audio-path plumbing (decode stubbed like the image path): treat
+    the payload bytes as PCM samples, cut overlapping frames
+    (frame_len/hop — the STFT windowing shape), emit per-frame energy
+    and peak. All integer arithmetic → exact, so the Python path gets
+    a full SQL oracle. A real codec swaps in at the np.frombuffer line
+    only; framing, batching, and the 1→N row shape are the real
+    contract. At scale: payloads stay in executor Arrow batches,
+    output rows are narrow (id, idx, 2 ints)."""
+
+    def op(batches):
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "energy", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                for j, start in enumerate(range(0, len(samples) - frame_len + 1, hop)):
+                    fr = samples[start : start + frame_len]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(j)
+                    out["energy"].append(int((fr * fr).sum()))
+                    out["peak"].append(int(fr.max()))
+            yield pd.DataFrame(out)
+
+    return with_binary.mapInPandas(op, schema=AUDIO_FRAMES_SCHEMA)

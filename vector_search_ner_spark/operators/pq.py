@@ -70,11 +70,14 @@ def pq_encode(
     scored = sub.join(F.broadcast(codebook), "m").withColumn(
         "sqd", _sq_l2(F.col("sv"), F.col("cw"))
     )
-    w = Window.partitionBy("doc_id", "m").orderBy("sqd", "k")
+    # argmin as MIN(struct(sqd, k)) — lexicographic struct ordering ==
+    # ORDER BY sqd, k (same tie-break as the oracle's row_number), but
+    # partial-aggregates map-side: the shuffle carries one row per
+    # (doc, subspace) instead of sorting all K candidates per group
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "m", F.col("k").alias("code"))
+        scored.groupBy("doc_id", "m")
+        .agg(F.min(F.struct("sqd", "k")).alias("best"))
+        .select("doc_id", "m", F.col("best.k").alias("code"))
     )
 
 

@@ -405,3 +405,57 @@ def udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_udaf("n_chars").alias("median_chars"),
         count_udaf("n_chars").alias("n_docs"),
     )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+""",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip (columnar alternative to parquet —
+    completes the format matrix: parquet primary, JSON/CSV ingest, ORC
+    interop). Same predicate/column pushdown machinery applies; the
+    oracle checks losslessness straight off the source table."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _os.path.join(ARTIFACT_DIR, "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, md5(text) || md5(reverse(text)) AS ph
+  FROM documents WHERE doc_id < 300
+), b AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 32),
+                        i -> CAST(('0x' || substring(ph, 2*i - 1, 2)) AS BIGINT)) AS bs
+  FROM base
+)
+SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+       CAST(list_sum(list_transform(range(1, 9),
+                     i -> bs[4*j + i] * bs[4*j + i])) AS BIGINT) AS energy,
+       CAST(list_max(list_transform(range(1, 9), i -> bs[4*j + i])) AS INTEGER) AS peak
+FROM b, LATERAL unnest(range(0, 7)) AS t(j)
+""",
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing over the opaque binary column: 8-sample frames,
+    hop 4 (the STFT window/hop shape), per-frame energy + peak via
+    Arrow-batched mapInPandas — integer-exact, so the whole Python
+    path is oracle-checked. Completes the image/video/audio trio of
+    multimodal plumbing ops."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return mm.audio_frame_energy(mm.attach_fake_binary(docs))

@@ -636,3 +636,108 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("customer_acctbal_notnull", nn))
         .unionByName(one("lineitem_qty_range", rng))
     )
+
+
+@query("sketch_freq_items")
+def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch (single-pass frequent-items — the 'which
+    keys will skew my shuffle / which n-grams dominate the corpus'
+    profiling primitive): Spark's freqItems gives the superset
+    guarantee (every item with frequency ≥ support is returned, some
+    false positives allowed) in one scan with constant memory — vs the
+    exact group-by-count whose shuffle is O(distinct keys) at 100 TB.
+    Sketch contents are impl-specific → rows-only here; the superset
+    guarantee itself is asserted against exact counts in
+    tests/test_semantics.py."""
+    o = load_table(spark, sf_dir, "orders")
+    items = o.stat.freqItems(["o_orderpriority"], support=0.15)
+    return items.select(
+        F.explode(F.col("o_orderpriority_freqItems")).alias("item")
+    ).orderBy("item")
+
+
+@query(
+    "q12_priority_class_counts",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → returnflag per the fixture schema):
+    both CASE buckets count in the same aggregate pass — one join, one
+    shuffle, both tallies."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (5, 10, 15, 20)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 50
+"""
+
+
+@query("q16_supplier_part_variety", oracle=_Q16_SQL)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): NOT IN
+    subquery — the NULL-AWARE anti join, a different physical operator
+    from NOT EXISTS (must respect three-valued NOT IN semantics; Spark
+    plans a null-aware BroadcastHashJoin LeftAnti), plus a distinct-
+    count aggregate over the surviving pairs."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+SELECT s.s_name FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%red%'
+  GROUP BY l.l_suppkey
+  HAVING SUM(l.l_quantity) > 400
+)
+ORDER BY s.s_name
+"""
+
+
+@query("q20_bulk_part_suppliers", oracle=_Q20_SQL)
+def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with bulk volume in a product line):
+    IN-subquery whose inner side is itself an aggregate with HAVING —
+    decorrelates to a LEFT SEMI join against the agg output; the agg
+    shuffles lineitem once on l_suppkey, the semi probe is a broadcast."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q20_SQL)
