@@ -79,3 +79,10 @@ def test_q6_all_predicates_pushed(spark):
     line = pushed[0]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in line, line
+
+
+def test_q16_not_in_plans_null_aware_anti(spark):
+    """NOT IN must become an anti join (null-aware) — never a per-row
+    nested-loop subquery re-execution."""
+    p = _plan(spark, "q16_supplier_part_variety")
+    assert "LeftAnti" in p, p

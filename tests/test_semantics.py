@@ -324,3 +324,27 @@ def test_dedup_first_wins_matches_pandas(spark):
         assert got[["k", "arrival", "payload"]].values.tolist() == want.values.tolist()
 
     run()
+
+
+def test_pipeline_observation_metrics(spark, sf_dir):
+    """Engine observability: df.observe collects pipeline counters
+    (rows seen, rows kept, chars processed) DURING the action — no
+    second scan. This is how the 100 TB ingest jobs report progress
+    without separate count() jobs re-reading the input."""
+    from pyspark.sql import Observation
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("ingest")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("n_chars")).alias("chars_seen"),
+    )
+    kept = observed.where(F.col("n_chars") > 100)
+    n_kept = kept.count()
+    m = obs.get
+    exact = docs.count()
+    assert m["rows_seen"] == exact
+    assert m["chars_seen"] == docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert n_kept <= exact

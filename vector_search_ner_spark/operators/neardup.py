@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -411,4 +411,46 @@ def cosine_neardup_pairs(
         .withColumn("cosine", F.round(cos, 4))
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"), "cosine")
+    )
+
+
+def contamination_best_match(
+    bench: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Cross-corpus contamination check: for every BENCH document, the
+    single TRAIN document with the highest word-k-gram Jaccard overlap
+    (the eval-set-leaked-into-training-data audit). Same shingle-join
+    dataflow as jaccard_pairs but across two corpora, keeping an
+    argmax per bench doc instead of a threshold filter — a report of
+    every bench doc that shares ANY shingle, ranked by its worst
+    offender. At 100 TB the bench side is small (an eval set):
+    broadcast its exploded shingles; the train corpus never shuffles."""
+    def shingled(df: DataFrame, tag: str) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        ).withColumn(f"n_{tag}", F.size("shingles"))
+        return sh.select(f"{tag}_id", f"n_{tag}", F.explode("shingles").alias(f"sh_{tag}"))
+
+    b = shingled(bench, "bench")
+    t = shingled(train, "train")
+    pairs = (
+        t.join(F.broadcast(b), F.col("sh_train") == F.col("sh_bench"))
+        .groupBy("bench_id", "train_id", "n_bench", "n_train")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    overlap = F.round(
+        F.col("common") / (F.col("n_bench") + F.col("n_train") - F.col("common")), 4
+    )
+    w = Window.partitionBy("bench_id").orderBy(F.col("overlap").desc(), F.col("train_id"))
+    return (
+        pairs.withColumn("overlap", overlap)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("bench_id", "train_id", "overlap")
+        .orderBy("bench_id")
     )

@@ -262,3 +262,39 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS sid, source, {nd.duck_word_shingles()} AS shingles FROM documents
+), exploded AS (
+  SELECT sid, source, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+), pairs AS (
+  SELECT b.sid AS bench_id, t.sid AS train_id, b.n_sh AS nb, t.n_sh AS nt,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM exploded b JOIN exploded t ON b.sh = t.sh
+  WHERE b.source = 'src0' AND t.source <> 'src0'
+  GROUP BY b.sid, t.sid, b.n_sh, t.n_sh
+), scored AS (
+  SELECT bench_id, train_id,
+         ROUND(common / CAST(nb + nt - common AS DOUBLE), 4) AS overlap
+  FROM pairs
+)
+SELECT bench_id, train_id, overlap FROM (
+  SELECT *, row_number() OVER (PARTITION BY bench_id ORDER BY overlap DESC, train_id) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY bench_id
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit (source src0 plays the eval set,
+    every other source the training corpus): per bench doc, the train
+    doc with maximum word-6-gram Jaccard overlap. THE pre-training
+    hygiene op the reference's pipeline lacks entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return nd.contamination_best_match(bench, train)

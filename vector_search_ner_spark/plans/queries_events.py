@@ -371,3 +371,94 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_day", "g_hour", "n", "total",
         )
     )
+
+
+@query(
+    "events_funnel_analysis",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+""",
+)
+def events_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase per user):
+    each stage anchors on the previous stage's FIRST event time, so
+    out-of-order occurrences don't count — the sequencing constraint
+    that separates a funnel from three independent counts. Each stage
+    is one groupBy on user_id; Catalyst shares the events scan across
+    stages, and every join is on the (already shuffled) user key."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return stage("1_view", v).unionByName(stage("2_click", c)).unionByName(
+        stage("3_purchase", p)
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH firstwk AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+       CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM firstwk f JOIN activity a ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort, week_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (cohort week of first activity × weeks
+    since × distinct active users): the standard triangle report. Two
+    aggregations on user_id share one shuffle; the final matrix agg is
+    tiny. At scale the DISTINCT (user, week) pre-agg before the join
+    is the thing that keeps the join input bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    firstwk = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    off = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+    ).cast("int")
+    return (
+        activity.join(firstwk, "user_id")
+        .groupBy("cohort", off.alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )
