@@ -50,6 +50,8 @@ HEADLINE = [
     "q21_sole_blame_supplier",
     "doc_bigram_counts",
     "ann_pq_adc_topk",
+    "events_funnel_analysis",
+    "contamination_check",
 ]
 
 

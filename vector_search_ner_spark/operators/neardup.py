@@ -16,6 +16,14 @@ same literals.
 Word shingles use k=6: long enough that shingle document-frequency
 stays tiny (bounded join fan-out); a DF cap on hot shingles is the
 knob to add under adversarial skew.
+
+Lineage (public literature): shingling + resemblance — Broder, "On the
+resemblance and containment of documents" (1997); MinHash-LSH banding —
+Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3; SimHash —
+Charikar, "Similarity estimation techniques from rounding algorithms"
+(STOC 2002), applied web-scale in Manku/Jain/Sarma (WWW 2007); the
+dedup-before-training motivation — Lee et al., "Deduplicating Training
+Data Makes Language Models Better" (ACL 2022).
 """
 
 from __future__ import annotations

@@ -1,5 +1,8 @@
-"""Product quantization (PQ) — the memory-bound ANN scale path, next
-to IVF (compute pruning) and LSH (candidate pruning) in operators/ann.py.
+"""Product quantization (PQ, Jégou/Douze/Schmid, "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011) — the memory-bound ANN scale
+path, next to IVF (compute pruning) and LSH (candidate pruning) in
+operators/ann.py. The IVF∘PQ composition mirrors that paper's IVFADC
+system re-expressed as DataFrame joins.
 
 A 64-dim float vector (256 B) is encoded as M=8 one-byte codes: the
 vector is split into 8 contiguous 8-dim subvectors, each replaced by

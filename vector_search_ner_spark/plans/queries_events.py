@@ -462,3 +462,49 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
         .orderBy("cohort", "week_offset")
     )
+
+
+@query(
+    "events_winsorize_values",
+    oracle="""
+WITH bounds AS (
+  SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(LEAST(GREATEST(value, lo), hi) AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS winsorized_total,
+       CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM events, bounds
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip at exact p1/p99) — the outlier-taming step
+    before loss-weighting or normalization in a training pipeline.
+    The percentile pair is ONE tiny scalar row cross-joined (broadcast)
+    back onto the stream; clipping is map-side. Exact interpolated
+    percentiles match DuckDB quantile_cont bit-for-bit; the clipped
+    sum accumulates as DECIMAL so partial aggregation stays order-free."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(clipped.cast("decimal(18,6)")), 4).cast("double").alias(
+                "winsorized_total"
+            ),
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )

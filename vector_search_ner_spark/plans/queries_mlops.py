@@ -459,3 +459,51 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal plumbing ops."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return mm.audio_frame_energy(mm.attach_fake_binary(docs))
+
+
+@query(
+    "schema_drift_merge",
+    oracle="""
+SELECT CASE WHEN doc_id < 250 THEN 'und' ELSE lang END AS lang_final,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def schema_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations (the storage-layer
+    version of the reference's 지역/근무지역 field drift,
+    main.py:266): generation 1 stores the text as `body` with no lang;
+    generation 2 renames it `body_text` and adds `lang`. mergeSchema
+    unions the generations' columns at read time and COALESCE resolves
+    the drift — exactly the `F.coalesce(new, old, default)` contract
+    SURVEY §1.3 prescribes. Read back is one scan; the oracle derives
+    the same report straight from the un-drifted source."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _os.path.join(ARTIFACT_DIR, "drift")
+    g1 = docs.where(F.col("doc_id") < 250).select("doc_id", F.col("text").alias("body"))
+    g2 = docs.where(F.col("doc_id") >= 250).select(
+        "doc_id", F.col("text").alias("body_text"), "lang"
+    )
+    g1.write.mode("overwrite").parquet(_os.path.join(base, "gen=1"))
+    g2.write.mode("overwrite").parquet(_os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(base, "gen=1"), _os.path.join(base, "gen=2")
+    )
+    body = F.coalesce(F.col("body_text"), F.col("body"))
+    return (
+        merged.select(
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_final"),
+            F.length(body).alias("n_chars"),
+        )
+        .groupBy("lang_final")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang_final")
+    )

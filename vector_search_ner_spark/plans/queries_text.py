@@ -421,3 +421,49 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_number_tokens"
         ),
     )
+
+
+@query(
+    "quality_weighted_sample",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars >= 400 THEN 0.9 WHEN n_chars >= 150 THEN 0.5 ELSE 0.1 END AS keep_p,
+         (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(ROUND(keep_p, 2) AS DOUBLE) AS keep_p, CAST(bucket AS BIGINT) AS bucket
+FROM scored
+WHERE bucket < keep_p * 256
+ORDER BY doc_id
+""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (the data-mixing step:
+    keep high-quality docs at 90%, mid at 50%, low at 10%): the keep
+    decision is a pure function of the doc id's md5 (first byte as a
+    0-255 bucket vs the tier's threshold) — row-stable under
+    repartition/retry/append like dataset_split_assign, unlike
+    rand(seed). Map-only at any scale; tiers here key off n_chars as
+    the stand-in quality score."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    bucket = (nib(1) * 16 + nib(2)).cast("bigint")
+    keep_p = (
+        F.when(F.col("n_chars") >= 400, 0.9)
+        .when(F.col("n_chars") >= 150, 0.5)
+        .otherwise(0.1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.round(keep_p, 2).cast("double").alias("keep_p"),
+            bucket.alias("bucket"),
+        )
+        .where(F.col("bucket") < F.col("keep_p") * 256)
+        .orderBy("doc_id")
+    )
