@@ -86,3 +86,19 @@ def test_q16_not_in_plans_null_aware_anti(spark):
     nested-loop subquery re-execution."""
     p = _plan(spark, "q16_supplier_part_variety")
     assert "LeftAnti" in p, p
+
+
+def test_dedup_first_wins_partial_topk(spark):
+    """Ordered first-wins dedup must plan WindowGroupLimit: per-
+    partition top-1 BEFORE the shuffle, so the exchange carries one
+    row per key per partition, not every duplicate."""
+    p = _plan(spark, "dedup_first_wins")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_range_search_has_no_rank_shuffle(spark):
+    """Radius search must not plan any Window operator — the threshold
+    is a scan-side filter; only the final presentation sort shuffles."""
+    p = _plan(spark, "knn_range_search")
+    assert "BroadcastExchange" in p, p
+    assert "WindowGroupLimit" not in p, p

@@ -508,3 +508,48 @@ def events_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(n * n) AS DOUBLE) / COUNT(*) AS m2,
+         COUNT(*) AS n_hours
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hr, h.n,
+       CAST(ROUND((h.n - s.mu) / sqrt(s.m2 - s.mu * s.mu), 4) AS DOUBLE) AS z
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+WHERE sqrt(s.m2 - s.mu * s.mu) > 0
+  AND abs((h.n - s.mu) / sqrt(s.m2 - s.mu * s.mu)) > 2.5
+ORDER BY h.event_type, h.hr
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection (hourly event counts whose z-score
+    exceeds 2.5 per type — the monitoring query over an ingest
+    stream). Moments accumulate from INTEGER counts (sum, sum-of-
+    squares are exact), so mean/variance/z are bit-identical in both
+    engines; two small aggregations, one broadcast join back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(F.col("n") * F.col("n")).cast("double") / F.count(F.lit(1))).alias("m2"),
+    )
+    sd = F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))
+    z = (F.col("n") - F.col("mu")) / sd
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where((sd > 0) & (F.abs(z) > 2.5))
+        .select("event_type", "hr", "n", F.round(z, 4).cast("double").alias("z"))
+        .orderBy("event_type", "hr")
+    )

@@ -184,3 +184,43 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c).alias("code_sum"),
         max_err.alias("max_err"),
     )
+
+
+@query(
+    "knn_range_search",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, d.vec_id AS doc_id,
+         {duck_cosine("q.query_vec", "d.embedding")} AS score
+  FROM embeddings d CROSS JOIN q
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score
+FROM scored
+WHERE ROUND(score, 6) >= 0.2
+ORDER BY query_id, doc_id
+""",
+)
+def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search (ALL docs within a similarity radius,
+    not top-k): the other half of the similarity-search API — radius
+    queries back near-dup candidate generation and recall-oriented
+    retrieval where k is unknown a priori. Same broadcast-queries scan
+    shape as k-NN but with a scan-side threshold filter instead of the
+    per-query window, so it is strictly cheaper: no rank shuffle at
+    all, output streams straight out of the map stage."""
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    q = _query_batch(spark, sf_dir)
+    score = F.round(cosine_similarity(F.col("query_vec"), F.col("embedding")), 6)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("query_id", "doc_id", score.alias("score"))
+        .where(F.col("score") >= 0.2)
+        .orderBy("query_id", "doc_id")
+    )
