@@ -102,3 +102,17 @@ def test_range_search_has_no_rank_shuffle(spark):
     p = _plan(spark, "knn_range_search")
     assert "BroadcastExchange" in p, p
     assert "WindowGroupLimit" not in p, p
+
+
+def test_ivf_persisted_index_prunes_partitions(spark):
+    """The persisted IVF layout must plan DYNAMIC PARTITION PRUNING on
+    cluster_id: only probed clusters' directories are read — the
+    mechanism that makes IVF sublinear at 100 TB."""
+    p = _plan(spark, "ann_ivf_persisted_pruned")
+    assert "dynamicpruning" in p.lower(), p
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin."""
+    p = _plan(spark, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in p, p

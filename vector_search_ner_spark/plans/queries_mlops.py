@@ -507,3 +507,27 @@ def schema_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_final")
     )
+
+
+@query("ann_ivf_persisted_pruned", oracle=_duck_ivf_fixed())
+def ann_ivf_persisted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index AS A TABLE LAYOUT: assignments persisted
+    partitionBy(cluster_id), probes joined against the partition
+    column — so Spark's dynamic partition pruning reads ONLY the
+    probed clusters' directories. This is the literal 100 TB plan:
+    nprobe/n_clusters of the index touched per query batch, enforced
+    by the storage layout rather than a runtime filter. Same fixed
+    quantizer as ann_ivf_fixed_topk → identical results, same oracle."""
+    import os as _os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_fixed_build(emb, _IVF_N_CENT)
+    path = _os.path.join(ARTIFACT_DIR, "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    index = spark.read.parquet(path).select(
+        F.col("vec_id").alias("doc_id"), "embedding", "cluster_id"
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.ivf_topk(queries, index, centroids, k=_IVF_K, nprobe=_IVF_NPROBE)

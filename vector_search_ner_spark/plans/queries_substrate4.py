@@ -741,3 +741,34 @@ def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_Q20_SQL)
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control surface: SHUFFLE_HASH hint forces a
+    ShuffledHashJoin where the planner would default to broadcast or
+    sort-merge — the escape hatch when the build side fits executor
+    memory but exceeds the broadcast threshold (common mid-size dim at
+    cluster scale: hash build beats the SMJ sort). Semantics identical
+    to the unhinted join, which is exactly what the oracle checks."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
