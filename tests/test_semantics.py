@@ -348,3 +348,32 @@ def test_pipeline_observation_metrics(spark, sf_dir):
     assert m["rows_seen"] == exact
     assert m["chars_seen"] == docs.agg(F.sum("n_chars")).collect()[0][0]
     assert n_kept <= exact
+
+
+def test_chunker_coverage_and_overlap(spark):
+    """Chunker invariants: chunks concatenate back to full coverage
+    (every character position is inside >= 1 chunk) and consecutive
+    chunks overlap by exactly `overlap` chars (except a possibly
+    shorter final chunk)."""
+    from vector_search_ner_spark.operators.chunker import chunk_text
+
+    size, overlap = 50, 10
+    stride = size - overlap
+    texts = ["x" * n for n in (1, 49, 50, 51, 90, 200, 333)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    rows = chunk_text(df, size=size, overlap=overlap).orderBy("doc_id", "chunk_index").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        chunks = by_doc[i]
+        covered = 0
+        for j, r in enumerate(chunks):
+            assert r.chunk_index == j
+            start = j * stride
+            assert len(r.chunk) == min(size, len(t) - start)
+            covered = max(covered, start + len(r.chunk))
+            if j > 0:
+                prev_end = (j - 1) * stride + size
+                assert prev_end - start == overlap or start >= prev_end
+        assert covered == len(t), f"doc {i}: covered {covered} != {len(t)}"

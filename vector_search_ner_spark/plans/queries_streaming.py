@@ -124,3 +124,23 @@ GROUP BY user_id
 @query("stream_user_running_stats", oracle=_RUNNING_STATS_ORACLE)
 def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_user_running_stats(spark, sf_dir)
+
+
+# same two-origin bucket derivation as the batch twin
+_SLIDING_ORACLE = """
+WITH offsets AS (
+  SELECT unnest([TIMESTAMP '2000-01-01 00:00:00',
+                 TIMESTAMP '2000-01-01 00:30:00']) AS origin
+), bucketed AS (
+  SELECT time_bucket(INTERVAL '1 hour', e.ts, o.origin) AS window_start, e.value
+  FROM events e CROSS JOIN offsets o
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM bucketed GROUP BY 1
+"""
+
+
+@query("stream_sliding_counts", oracle=_SLIDING_ORACLE)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_sliding_counts(spark, sf_dir)

@@ -224,3 +224,47 @@ def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") >= 0.2)
         .orderBy("query_id", "doc_id")
     )
+
+
+@query(
+    "embedding_arrow_stats",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       CAST(list_indexof(embedding, list_max(embedding)) AS INTEGER) AS argmax_idx
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def embedding_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow extension point (the zero-copy sibling of
+    mapInPandas: the UDF sees raw pyarrow RecordBatches — no pandas
+    conversion, the right surface for vector/tensor kernels that speak
+    Arrow natively). Stats chosen to be integer-exact (positive-
+    component count, 1-based argmax index) so even this Python path
+    gets a full SQL oracle. At scale: per-batch columnar compute,
+    map-only, no shuffle."""
+    import pyarrow as pa
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def op(batches):
+        for batch in batches:
+            tbl = batch.to_pydict()
+            vec_ids, n_pos, argmax = [], [], []
+            for vid, vec in zip(tbl["vec_id"], tbl["embedding"]):
+                arr = np.asarray(vec, dtype=np.float32)
+                vec_ids.append(vid)
+                n_pos.append(int((arr > 0).sum()))
+                argmax.append(int(arr.argmax()) + 1)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": vec_ids, "n_positive": n_pos, "argmax_idx": argmax},
+                schema=pa.schema(
+                    [("vec_id", pa.int64()), ("n_positive", pa.int64()), ("argmax_idx", pa.int32())]
+                ),
+            )
+
+    return emb.mapInArrow(
+        op, schema="vec_id long, n_positive long, argmax_idx int"
+    ).orderBy("vec_id")

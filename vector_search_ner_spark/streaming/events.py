@@ -278,3 +278,20 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct("n_events", "total_value")).alias("s")
     )
     return w_latest.select("user_id", "s.n_events", "s.total_value")
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING window aggregation (1h length / 30min slide
+    — every event contributes to two windows), streamed to completion;
+    matches the batch events_sliding_window oracle exactly."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+    return _run_to_memory(agg, "complete")
