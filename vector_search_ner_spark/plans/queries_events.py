@@ -553,3 +553,43 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hr", "n", F.round(z, 4).cast("double").alias("z"))
         .orderBy("event_type", "hr")
     )
+
+
+@query(
+    "events_rolling_distinct_users",
+    oracle="""
+WITH hours AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events
+), hourly_users AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events
+)
+SELECT h.hr,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS distinct_users_3h
+FROM hours h JOIN hourly_users u
+  ON u.hr <= h.hr AND u.hr >= h.hr - INTERVAL 2 HOUR
+GROUP BY h.hr
+ORDER BY h.hr
+""",
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count (distinct users over a trailing 3h window
+    per hour) — the aggregation windows can't do directly (COUNT
+    DISTINCT isn't frame-decomposable): expressed as an interval
+    self-join of hourly pre-aggregates. The pre-dedup to (hour, user)
+    bounds the join input to |hours|×|active users|; at 100 TB the
+    approximate path swaps in HLL sketches that union across the
+    trailing window (sketch_distinct_quantiles's machinery)."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(F.date_trunc("hour", "ts").alias("hr")).distinct()
+    hu = ev.select(
+        F.date_trunc("hour", "ts").alias("uhr"), "user_id"
+    ).distinct()
+    cond = (F.col("uhr") <= F.col("hr")) & (
+        F.col("uhr") >= F.col("hr") - F.expr("INTERVAL 2 HOURS")
+    )
+    return (
+        hours.join(hu, cond)
+        .groupBy("hr")
+        .agg(F.count_distinct("user_id").alias("distinct_users_3h"))
+        .orderBy("hr")
+    )
