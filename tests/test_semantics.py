@@ -377,3 +377,25 @@ def test_chunker_coverage_and_overlap(spark):
                 prev_end = (j - 1) * stride + size
                 assert prev_end - start == overlap or start >= prev_end
         assert covered == len(t), f"doc {i}: covered {covered} != {len(t)}"
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty-input robustness: k-NN with an empty query batch, dedup
+    and chunking on empty tables — zero rows out, correct schema, no
+    exceptions (the reference short-circuits empty queries at
+    main.py:419-426; the engine's operators must simply compose)."""
+    from vector_search_ner_spark.operators.chunker import chunk_text
+    from vector_search_ner_spark.operators.dedup import dedup_first_wins
+    from vector_search_ner_spark.operators.knn import knn_join
+
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<float>")
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "doc_id long, embedding array<float>"
+    )
+    out = knn_join(empty_q, docs, k=3, metric="cosine")
+    assert out.count() == 0
+    assert set(out.columns) >= {"query_id", "doc_id", "score", "rank"}
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, arrival long")
+    assert dedup_first_wins(empty_docs, ["doc_id"], "arrival").count() == 0
+    assert chunk_text(empty_docs).count() == 0
