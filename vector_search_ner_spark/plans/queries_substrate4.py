@@ -772,3 +772,49 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "window_frame_gallery",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+            AS INTEGER) AS prio_rank,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       last_value(o_orderkey) OVER
+         (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key,
+       nth_value(o_orderkey, 2) OVER
+         (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_frame_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-function gallery (completes §2.5 with the value-position
+    functions): dense_rank over REAL ties (priority strings — rank
+    depends only on the key value, so ties are deterministic),
+    first_value on the default running frame, last_value / nth_value on
+    the explicit full frame (the default frame would return the current
+    row — the classic last_value gotcha, made explicit here)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    w_run = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w_run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prio = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.dense_rank().over(w_prio).cast("int").alias("prio_rank"),
+        F.first("o_orderkey").over(w_run).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest_key"),
+    )
