@@ -86,3 +86,39 @@ def postings_nested_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested.write.mode("overwrite").json(path)
     raw = read_postings(spark, path, multiline=False)
     return render_detail_reqs(flatten_postings(raw))
+
+
+@query(
+    "postings_explode_outer",
+    oracle="""
+SELECT doc_id AS posting_no, '경력조건: ' || lang AS req_line
+FROM documents WHERE doc_id < 100 AND doc_id % 5 != 0
+UNION ALL
+SELECT doc_id, '학력: ' || source
+FROM documents WHERE doc_id < 100 AND doc_id % 5 != 0
+UNION ALL
+SELECT doc_id, '요건없음'
+FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0
+""",
+)
+def postings_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over a nullable requirements array: postings with
+    NO 세부요건 at all (every 5th here) must SURVIVE the flatten with a
+    default line — plain explode silently drops them, the exact bug a
+    posting pipeline ships without this variant (the reference's
+    .get(key, default) discipline, build_vectorstore.py:145-150,
+    applied to 1→N expansion)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    details = F.when(
+        F.col("doc_id") % 5 == 0, F.lit(None).cast("array<string>")
+    ).otherwise(
+        F.array(
+            F.concat(F.lit("경력조건: "), F.col("lang")),
+            F.concat(F.lit("학력: "), F.col("source")),
+        )
+    )
+    return docs.select(
+        F.col("doc_id").alias("posting_no"), F.explode_outer(details).alias("line")
+    ).select(
+        "posting_no", F.coalesce(F.col("line"), F.lit("요건없음")).alias("req_line")
+    )

@@ -818,3 +818,64 @@ def window_frame_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("priciest_key"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest_key"),
     )
+
+
+_CALENDAR_SPINE_SQL = """
+WITH RECURSIVE cal(d) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM cal WHERE d < TIMESTAMP '1995-02-28 00:00:00'
+)
+SELECT cal.d, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM cal LEFT JOIN orders o ON date_trunc('day', o.o_orderdate) = cal.d
+GROUP BY cal.d
+ORDER BY cal.d
+"""
+
+
+@query("calendar_spine_fill", oracle=_CALENDAR_SPINE_SQL)
+def calendar_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new SQL surface in Spark 4) generating a calendar
+    spine, LEFT-joined to orders so days with NO orders appear as
+    zeros — the gap-filling step a plain GROUP BY can't do (absent
+    groups don't exist to count). Identical SQL text runs on both
+    engines; the recursion is linear (one row per day) so it
+    terminates by construction."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CALENDAR_SPINE_SQL)
+
+
+@query(
+    "map_fn_gallery",
+    oracle="""
+SELECT doc_id,
+       map(['lang', 'src'], [lang, source])['lang'][1] AS lang_val,
+       map(['lang', 'src'], [lang, source])['nope'][1] AS missing_val,
+       CAST(cardinality(map(['lang', 'src'], [lang, source])) AS INTEGER) AS n_keys,
+       array_to_string(list_sort(map_keys(map(['lang', 'src'], [lang, source]))), ',')
+         AS keys_sorted,
+       array_to_string(list_sort(map_values(map(['lang', 'src'], [lang, source]))), ',')
+         AS values_sorted
+FROM documents WHERE doc_id < 50
+ORDER BY doc_id
+""",
+)
+def map_fn_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface (§2.8 extension — the reference stores
+    metadata as schemaless dicts; this is the typed MapType toolkit):
+    construction, safe lookup (try_element_at → NULL on a missing key,
+    the non-throwing form under ANSI mode), cardinality, sorted
+    keys/values projection. All JVM-side; maps serialize columnar in
+    parquet as key/value list pairs."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.try_element_at(m, F.lit("lang")).alias("lang_val"),
+        F.try_element_at(m, F.lit("nope")).alias("missing_val"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("values_sorted"),
+    ).orderBy("doc_id")
