@@ -879,3 +879,74 @@ def map_fn_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.array_join(F.array_sort(F.map_values(m)), ",").alias("values_sorted"),
     ).orderBy("doc_id")
+
+
+@query(
+    "regexp_capture_ids",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT)
+                          = c_custkey THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
+FROM customer
+""",
+)
+def regexp_capture_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group extraction (regexp_extract with a numbered group
+    — the parse-structured-ids-out-of-text op the reference needs for
+    its posting-number strings): parse the numeric id embedded in
+    c_name and check it agrees with the surrogate key. Contract:
+    n_consistent == n_total."""
+    c = load_table(spark, sf_dir, "customer")
+    parsed = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(parsed == F.col("c_custkey"), 1).otherwise(0)).cast("bigint").alias(
+            "n_consistent"
+        ),
+    )
+
+
+@query(
+    "revenue_share_by_nation",
+    oracle="""
+WITH nat AS (
+  SELECT n.n_name AS nation,
+         ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, CAST(revenue AS DOUBLE) AS revenue,
+       CAST(ROUND(CAST(revenue AS DOUBLE)
+                  / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS DOUBLE) AS share
+FROM nat
+ORDER BY nation
+""",
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: a window aggregate over the WHOLE result (empty
+    OVER ()) divides each nation's revenue by the global total without
+    a second scan or a crossJoin — the window reuses the aggregated
+    rows (25 of them), so the 'total' costs one tiny extra exchange.
+    Share division happens on rounded decimals cast to double —
+    engine-independent. The decimal SUM OVER () is order-free, so even
+    the window total is exact."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2).alias("revenue"))
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    return nat.select(
+        "nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(F.col("revenue").cast("double") / total.cast("double"), 6).alias("share"),
+    ).orderBy("nation")
