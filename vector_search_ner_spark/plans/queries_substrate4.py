@@ -950,3 +950,125 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.round(F.col("revenue").cast("double") / total.cast("double"), 6).alias("share"),
     ).orderBy("nation")
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+SELECT CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 100.0 THEN 21
+            ELSE CAST(FLOOR(value / 5.0) AS INTEGER) + 1 END AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+ORDER BY bin
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins over [0,100); under/overflow in
+    bins 0 and 21 — width_bucket semantics spelled out as the explicit
+    CASE both engines evaluate identically; Spark's built-in
+    width_bucket is the shorthand at scale). One-pass distribution
+    profile: bucketing is a pure scalar, the only shuffle carries 22
+    partial counts."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = (
+        F.when(F.col("value") < 0.0, 0)
+        .when(F.col("value") >= 100.0, 21)
+        .otherwise(F.floor(F.col("value") / 5.0).cast("int") + 1)
+    )
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+@query(
+    "stats_corr_exact",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(ROUND((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS DOUBLE) AS pearson_r
+FROM m
+ORDER BY l_returnflag
+""",
+)
+def stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group computed from EXACT decimal
+    moments (sums of x, y, x², y², xy accumulate as decimals — order-
+    free under partial aggregation — then one double formula at the
+    end). The built-in corr() streams doubles and is partition-order
+    dependent; this form is the bit-reproducible alternative, and the
+    moment sums are the same map-side-combine shape."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "l_returnflag", F.round(num / den, 6).alias("pearson_r")
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS k
+  FROM customer
+), b AS (
+  SELECT n_nationkey AS bk, n_name FROM nation
+  UNION ALL
+  SELECT NULL, 'UNKNOWN'
+)
+SELECT COALESCE(b.n_name, '??') AS nation_name, CAST(COUNT(*) AS BIGINT) AS n_custs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.bk
+GROUP BY 1
+ORDER BY nation_name
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH the dimension's NULL sentinel row instead of silently
+    dropping — the missing-dimension-member pattern. A plain equi-join
+    loses every seventh customer here; the null-safe form routes them
+    to 'UNKNOWN'. Spark hash-partitions NULL like any other key value
+    under <=>, so the join stays a regular shuffled/broadcast hash
+    join (no fallback to nested-loop)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    a = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias("k"),
+    )
+    b = n.select(F.col("n_nationkey").alias("bk"), "n_name").unionByName(
+        spark.createDataFrame([(None, "UNKNOWN")], "bk int, n_name string")
+    )
+    return (
+        a.join(F.broadcast(b), a.k.eqNullSafe(b.bk))
+        .groupBy(F.coalesce("n_name", F.lit("??")).alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy("nation_name")
+    )
