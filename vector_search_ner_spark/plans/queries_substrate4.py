@@ -1072,3 +1072,31 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_custs"))
         .orderBy("nation_name")
     )
+
+
+@query(
+    "try_cast_gallery",
+    oracle="""
+SELECT doc_id,
+       TRY_CAST(lang AS INTEGER) AS lang_as_int,
+       TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_roundtrip,
+       CAST(n_chars AS DOUBLE) / NULLIF(doc_id % 5, 0) AS safe_div
+FROM documents
+WHERE doc_id < 50
+ORDER BY doc_id
+""",
+)
+def try_cast_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error handling surface: Spark 4 runs ANSI SQL by
+    default, so a bad CAST or division-by-zero THROWS mid-job — at
+    100 TB that's a 6-hour pipeline dying on one malformed row. The
+    try_* family (try_cast, try_divide, try_add) is the row-level
+    recovery contract: malformed input yields NULL and the job
+    survives. Oracle: DuckDB TRY_CAST / NULLIF-guarded division."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias("chars_roundtrip"),
+        F.try_divide(F.col("n_chars").cast("double"), (F.col("doc_id") % 5)).alias("safe_div"),
+    ).orderBy("doc_id")
