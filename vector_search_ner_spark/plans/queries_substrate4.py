@@ -1100,3 +1100,34 @@ def try_cast_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("string").try_cast("int").alias("chars_roundtrip"),
         F.try_divide(F.col("n_chars").cast("double"), (F.col("doc_id") % 5)).alias("safe_div"),
     ).orderBy("doc_id")
+
+
+@query(
+    "collect_sorted_orderkeys",
+    oracle="""
+SELECT c_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv,
+       CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_custkey < 100
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+)
+def collect_sorted_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered aggregation-to-array (the inverse of explode — nested
+    RESULT construction, how the engine re-materializes the
+    reference's posting-list shape): collect_list is shuffle-order-
+    nondeterministic, so the contract is sort_array AFTER collecting —
+    the only way a distributed array-agg is reproducible."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("orderkeys_csv"),
+            F.size(F.collect_list("o_orderkey")).cast("int").alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -467,3 +467,28 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bucket") < F.col("keep_p") * 256)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+SELECT doc_id, u.i AS pos, u.tok
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) + 1), i -> {'i': i, 'tok': w[i]})) AS u
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 20)
+)
+ORDER BY doc_id, pos
+""",
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-preserving 1→N expansion (posexplode): token streams
+    keep their offsets — required for span labeling, windowed n-grams,
+    and any op where order inside the row matters after the explode.
+    1-based to match SQL ordinality convention."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+        .orderBy("doc_id", "pos")
+    )
