@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "vector_search_ner_spark.plans.queries_postings",
     "vector_search_ner_spark.plans.queries_substrate3",
     "vector_search_ner_spark.plans.queries_substrate4",
+    "vector_search_ner_spark.plans.queries_substrate5",
     "vector_search_ner_spark.plans.queries_pq",
     "vector_search_ner_spark.plans.queries_ner_filter",
     "vector_search_ner_spark.plans.queries_layout",
