@@ -116,3 +116,23 @@ def test_shuffle_hash_hint_respected(spark):
     """The SHUFFLE_HASH hint must produce a ShuffledHashJoin."""
     p = _plan(spark, "join_hint_shuffle_hash")
     assert "ShuffledHashJoin" in p, p
+
+
+def test_lateral_topn_decorrelates_to_window_join(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT 3) subquery must be
+    decorrelated into a rank Window + join — never a per-outer-row
+    re-execution of the inner query — and the c_custkey predicate must
+    reach the customer parquet scan."""
+    p = _plan(spark, "lateral_topn_per_customer")
+    assert "Window" in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+    assert "LessThan(c_custkey,200)" in p, p
+
+
+def test_pivot_multi_agg_single_pass(spark):
+    """Pivot with two aggregates per value must stay ONE hash-agg pass
+    over events (pivot-as-conditional-agg): no join, no extra scan for
+    value discovery (the value list is static)."""
+    p = _plan(spark, "pivot_multi_agg")
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    assert "Join" not in p, p
