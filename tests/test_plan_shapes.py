@@ -136,3 +136,42 @@ def test_pivot_multi_agg_single_pass(spark):
     p = _plan(spark, "pivot_multi_agg")
     assert p.count("Location: InMemoryFileIndex") == 1, p
     assert "Join" not in p, p
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """When the fact-fact join can't broadcast, a selective filter on
+    one side must inject a runtime bloom filter (might_contain) into
+    the other side's scan — Spark's row-level runtime filtering, the
+    scale lever when DPP can't apply (join key isn't a partition col)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(SF + "/lineitem.parquet")
+        o = spark.read.parquet(SF + "/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue(), buf.getvalue()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -492,3 +492,142 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
         .orderBy("doc_id", "pos")
     )
+
+
+_TEXTRANK_ITER_SQL = """
+SELECT n.tok,
+       CAST(150000000 + COALESCE(s.sc, 0) AS BIGINT) AS r
+FROM (SELECT src AS tok FROM wdeg) n
+LEFT JOIN (
+  SELECT dst AS tok,
+         CAST(SUM((r * w * 85) // (wdeg * 100)) AS BIGINT) AS sc
+  FROM e JOIN {prev} ON e.src = {prev}.tok
+  GROUP BY dst
+) s USING (tok)
+"""
+
+_TEXTRANK_SQL = (
+    """
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, u.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) + 1), i -> {'i': i, 'tok': w[i]})) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200))
+),
+big AS (
+  SELECT a.tok AS tok, b.tok AS tok2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok <> b.tok
+),
+edges AS (
+  SELECT src, dst, count(*) AS w FROM (
+    SELECT tok AS src, tok2 AS dst FROM big
+    UNION ALL
+    SELECT tok2 AS src, tok AS dst FROM big
+  ) GROUP BY src, dst
+),
+wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.w, wdeg.wdeg FROM edges JOIN wdeg USING (src)),
+r0 AS (SELECT src AS tok, CAST(1000000000 AS BIGINT) AS r FROM wdeg),
+"""
+    + ",\n".join(
+        f"r{i} AS ({_TEXTRANK_ITER_SQL.format(prev=f'r{i-1}')})" for i in range(1, 6)
+    )
+    + """
+SELECT tok, r FROM r5 ORDER BY r DESC, tok LIMIT 50
+"""
+)
+
+
+@query("textrank_keywords", oracle=_TEXTRANK_SQL)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction = PageRank power iteration over the
+    token co-occurrence (bigram) graph — the engine's ITERATIVE-
+    algorithm surface (Mihalcea & Tarau 2004; Page et al. 1999).
+
+    Exactness contract: ranks live in integer micro-units (start 1e9
+    per node, damping 0.85 applied as per-edge floor-division
+    `(r*w*85) DIV (wdeg*100)`), so every iteration is pure BIGINT
+    arithmetic — order-free under Spark's partial aggregation and
+    bit-identical to the DuckDB oracle, which unrolls the same 5
+    iterations as chained CTEs. No float ever appears, so there is no
+    summation-order nondeterminism to paper over.
+
+    Scale notes: the driver loop composes 5 lazy join+agg plans; edges
+    and degrees are computed once and reused. At 100 TB you'd persist
+    `edges` (it's read 5×) and localCheckpoint the rank DF every few
+    iterations to truncate lineage; both are one-line additions left
+    out here so the whole plan stays visible to Catalyst."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok2")
+    )
+    big = toks.join(nxt, ["doc_id", "pos"]).where(F.col("tok") != F.col("tok2"))
+    edges = (
+        big.select(F.col("tok").alias("src"), F.col("tok2").alias("dst"))
+        .unionAll(big.select(F.col("tok2").alias("src"), F.col("tok").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
+    e = edges.join(wdeg, "src")
+    nodes = wdeg.select(F.col("src").alias("tok"))
+    ranks = nodes.select("tok", F.lit(1_000_000_000).cast("bigint").alias("r"))
+    for _ in range(5):
+        contrib = e.join(ranks, e.src == ranks.tok).select(
+            F.col("dst").alias("tok"),
+            F.expr("CAST((r * w * 85) DIV (wdeg * 100) AS BIGINT)").alias("c"),
+        )
+        summed = contrib.groupBy("tok").agg(F.sum("c").cast("bigint").alias("sc"))
+        ranks = nodes.join(summed, "tok", "left").select(
+            "tok",
+            (F.lit(150_000_000) + F.coalesce(F.col("sc"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+    return ranks.orderBy(F.desc("r"), "tok").limit(50)
+
+
+@query(
+    "string_fn_gallery2",
+    oracle="""
+SELECT doc_id,
+       lpad(lang, 8, '.') AS lpad8,
+       rpad(lang, 8, '.') AS rpad8,
+       translate(source, 'aeiou', 'AEIOU') AS vowels_up,
+       repeat(lang, 3) AS lang3,
+       reverse(source) AS src_rev,
+       ascii(source) AS first_code,
+       CAST(strpos(text, 'the') AS INTEGER) AS the_pos,
+       left(text, 5) AS left5,
+       right(text, 5) AS right5,
+       split_part(text, ' ', 2) AS second_tok,
+       chr(65 + CAST(doc_id % 26 AS INTEGER)) AS bucket_chr
+FROM documents WHERE doc_id < 60
+ORDER BY doc_id
+""",
+)
+def string_fn_gallery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-scalar wave (§2.8 substrate beyond the reference's
+    own usage): padding, char-class translate, repeat, reverse, ascii/
+    chr codec, first-occurrence position, left/right slices, and
+    split_part field extraction — all whole-stage-codegen JVM
+    expressions, no UDF."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return d.select(
+        "doc_id",
+        F.lpad("lang", 8, ".").alias("lpad8"),
+        F.rpad("lang", 8, ".").alias("rpad8"),
+        F.translate("source", "aeiou", "AEIOU").alias("vowels_up"),
+        F.repeat("lang", 3).alias("lang3"),
+        F.reverse("source").alias("src_rev"),
+        F.ascii("source").alias("first_code"),
+        F.instr("text", "the").cast("int").alias("the_pos"),
+        F.expr("left(text, 5)").alias("left5"),
+        F.expr("right(text, 5)").alias("right5"),
+        F.split_part("text", F.lit(" "), F.lit(2)).alias("second_tok"),
+        F.expr("chr(65 + CAST(doc_id % 26 AS INT))").alias("bucket_chr"),
+    ).orderBy("doc_id")
