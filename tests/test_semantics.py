@@ -399,3 +399,28 @@ def test_operators_handle_empty_inputs(spark):
     empty_docs = spark.createDataFrame([], "doc_id long, text string, arrival long")
     assert dedup_first_wins(empty_docs, ["doc_id"], "arrival").count() == 0
     assert chunk_text(empty_docs).count() == 0
+
+
+def test_hll_union_error_bounds(spark, sf_dir):
+    """hll_sketch_agg per day + hll_union_agg rollup must land within
+    HLL(lgK=14) error of the exact per-day and total distinct users —
+    and the merged TOTAL must never exceed the sum of daily estimates
+    (union is monotone, never additive)."""
+    from vector_search_ner_spark.registry import collect
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    qs, _ = collect()
+    rows = {r.day: r for r in qs["sketch_hll_union"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact_total = ev.select("user_id").distinct().count()
+    exact_daily = {
+        str(r.day): r.u
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    tot = rows.pop("TOTAL")
+    assert abs(tot.est_users - exact_total) / exact_total < 0.02
+    for day, r in rows.items():
+        assert abs(r.est_users - exact_daily[day]) / exact_daily[day] < 0.02
+    assert tot.est_users <= sum(r.est_users for r in rows.values())

@@ -593,3 +593,165 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count_distinct("user_id").alias("distinct_users_3h"))
         .orderBy("hr")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       CAST(ROUND(CAST(n AS DOUBLE)
+                  / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+            AS DOUBLE) AS p
+FROM c
+ORDER BY event_type, next_type
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (lead() pairing -> count -> row-normalized probability):
+    the classic clickstream next-action model, and the batch shape of a
+    sequence-LM's bigram statistics. One shuffle for the per-user sort,
+    one for the pair count; the per-row normalizer is a window over the
+    already-tiny (|types|^2) count table. Exactness: the probability is
+    a single bigint/bigint division rounded at the end, so there is no
+    summation-order drift. Reference analogue: the staged-retrieval
+    logs' stage-transition counts (main.py:348-407) are exactly this
+    aggregation done by eye."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 6
+        )
+        .cast("double")
+        .alias("p"),
+    ).orderBy("event_type", "next_type")
+
+
+@query(
+    "events_trailing_hour_range",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                       AS DOUBLE) / 100, 2) AS DOUBLE) AS spend_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def events_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame: per-user trailing-one-hour
+    event count and spend at every event — the sliding-lookback feature
+    (rate limiting, fraud velocity checks) that ROWS frames cannot
+    express because event spacing is irregular. Spark evaluates the
+    interval bound natively against the timestamp order column; no
+    self-join materializes the window. Exactness: spend accumulates as
+    integer cents (value has 2 decimal places) inside the frame, cast
+    and rounded only at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    return (
+        ev.select("event_id", "user_id", "ts", cents.alias("cents"))
+        .withColumn(
+            "n_1h",
+            F.expr(
+                "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+                "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+            ),
+        )
+        .withColumn(
+            "spend_1h",
+            F.round(
+                F.expr(
+                    "SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
+                    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+                ).cast("double")
+                / 100,
+                2,
+            ).cast("double"),
+        )
+        .select("event_id", "user_id", "n_1h", "spend_1h")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "events_ewma_smoothing",
+    oracle="""
+WITH f AS (
+  SELECT event_id, user_id,
+         list(CAST(ROUND(value * 100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(ROUND(CAST(list_sum(list_transform(range(1, len(vals) + 1),
+                    i -> vals[i] * CAST(2**(i - 1) AS BIGINT))) AS DOUBLE)
+                  / CAST(2**len(vals) - 1 AS DOUBLE) / 100, 4)
+            AS DOUBLE) AS ewma
+FROM f
+ORDER BY event_id
+""",
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) of per-user
+    event values over a 16-row trailing frame — time-series smoothing,
+    normally written as an unbounded recursion and therefore "not SQL".
+    Bounding the tail (weights below 2^-16 are sub-cent noise) turns it
+    into a frame aggregate: collect the frame's integer cents, weight
+    element i by 2^i via zip_with, normalize by the geometric sum
+    2^n - 1. Every intermediate is a BIGINT (weights are exact powers
+    of two, cents*2^15 << 2^63), so the fold is order-free and
+    bit-identical to the DuckDB list_transform oracle; the single
+    double division and rounding happen once per row at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    num = F.expr(
+        "aggregate(zip_with(vals, sequence(0, size(vals) - 1), "
+        "(v, i) -> v * shiftleft(CAST(1 AS BIGINT), i)), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    denom = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), size(vals)) - 1 AS DOUBLE)"
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", cents.alias("c"))
+        .withColumn("vals", F.collect_list("c").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(num.cast("double") / denom / 100, 4)
+            .cast("double")
+            .alias("ewma"),
+        )
+        .orderBy("event_id")
+    )

@@ -105,3 +105,52 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.round(F.sum(_dec("value")), 2).cast("double").alias("click_value"),
     )
+
+
+@query(
+    "layout_zorder_cluster",
+    oracle="""
+WITH k AS (
+  SELECT event_id, user_id,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
+  FROM events
+)
+SELECT event_id, user_id, hr,
+       CAST(list_sum(list_transform(range(0, 8),
+              i -> ((user_id >> i) & 1) * CAST(2**(2*i) AS BIGINT)
+                 + ((hr >> i) & 1) * CAST(2**(2*i+1) AS BIGINT)))
+            AS BIGINT) AS zkey,
+       CAST(list_sum(list_transform(range(0, 8),
+              i -> ((user_id >> i) & 1) * CAST(2**(2*i) AS BIGINT)
+                 + ((hr >> i) & 1) * CAST(2**(2*i+1) AS BIGINT)))
+            // 4096 AS BIGINT) AS file_bucket
+FROM k
+ORDER BY zkey, event_id
+""",
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two filter dimensions
+    (user_id x hour-of-day): interleave the low 8 bits of each so rows
+    close in BOTH dimensions land in the same file bucket. Sorting a
+    100 TB table by zkey before writing gives every file a tight
+    min/max envelope on BOTH columns, so predicates on either dimension
+    skip most files via parquet column statistics — the multi-dim
+    generalization of partition pruning (Delta/Iceberg OPTIMIZE ZORDER
+    do exactly this). The bit interleave is a pure integer fold
+    (aggregate over sequence(0,7)), bit-identical to the DuckDB
+    list_transform oracle; file_bucket = zkey DIV 4096 models the
+    sorted-write file assignment."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id", "user_id", F.hour("ts").cast("bigint").alias("hr")
+    )
+    z = F.expr(
+        "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc"
+        " + shiftleft((user_id >> i) & 1, 2*i)"
+        " + shiftleft((hr >> i) & 1, 2*i + 1))"
+    )
+    return (
+        k.withColumn("zkey", z)
+        .withColumn("file_bucket", F.expr("zkey div 4096"))
+        .orderBy("zkey", "event_id")
+    )

@@ -393,3 +393,32 @@ def quartiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
         F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
     )
+
+
+@query("sketch_hll_union")
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable HyperLogLog sketches (Datasketches HllSketch):
+    build one binary sketch per day with hll_sketch_agg, then roll the
+    daily sketches up with hll_union_agg — the two-level pattern that
+    makes 100 TB distinct-count dashboards cheap: partial sketches are
+    computed once per partition/day and merged at any grain later,
+    instead of re-scanning raw data per rollup. (approx_count_distinct
+    can't do this — its sketch isn't exposed for re-aggregation.)
+    Sketch internals are implementation-specific, so rows-only here;
+    tests/test_semantics.py bounds the estimates against exact distinct
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("TOTAL").alias("day"), "est_users", "n_events")
+    return per_day.unionByName(total).orderBy("day")

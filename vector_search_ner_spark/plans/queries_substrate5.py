@@ -20,7 +20,7 @@ Determinism notes (repo rules, see PERF.md):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_search_ner_spark.registry import query
@@ -261,3 +261,63 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.u", "bigint").alias("vuser"),
         F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k_val"),
     ).orderBy("event_id")
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+m AS (
+  SELECT user_id, event_type AS mode_type, n AS mode_n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+),
+md AS (
+  SELECT user_id,
+         CAST(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) / 100
+              AS DOUBLE) AS median_value
+  FROM events GROUP BY user_id
+)
+SELECT m.user_id, m.mode_type, m.mode_n, md.median_value
+FROM m JOIN md ON m.user_id = md.user_id
+WHERE m.rn = 1
+ORDER BY m.user_id
+""",
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + exact interpolated median per group.
+    Spark's builtin mode() leaves ties unspecified, so the mode is
+    derived as rank-1 of (count DESC, value ASC) — reproducible under
+    any partitioning, which a 100 TB retry demands. Median uses exact
+    percentile (sort-based interpolation, == DuckDB quantile_cont) over
+    INTEGER CENTS: even-count midpoints are then exactly x or x.5, so
+    the interpolation is exact in both engines and the single /100
+    double division is the same IEEE op — no rounding, no tie drift
+    (raw-double percentile differs at 26.135-style round boundaries).
+    Count table is tiny (|users| x |types|), so the rank window and
+    join are trivial; the median is the only real per-group sort."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    )
+    m = (
+        c.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    md = ev.groupBy("user_id").agg(
+        (F.percentile(cents, F.lit(0.5)) / 100)
+        .cast("double")
+        .alias("median_value")
+    )
+    return m.join(md, "user_id").orderBy("user_id")
