@@ -107,12 +107,18 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally distance-ranked, no limit (/root/reference/main.py:493-514
     approximated k=1000 ≈ whole index; here it is truly the whole table).
 
-    Global rank WITHOUT a single-partition window: distributed
-    range-partitioned sort, then rank = zipWithIndex + 1 (two passes,
-    every partition stays parallel). Deterministic because
-    (distance, doc_id) is a total order."""
+    Global rank WITHOUT a single-partition window AND without leaving
+    the JVM: after the distributed range-partitioned sort, partitions
+    are contiguous key ranges, so
+        global rank = (rows in earlier partitions) + row_number within
+    — per-partition counts are tiny (one row per partition), their
+    cumulative offsets broadcast back, and the within-partition
+    row_number needs no further exchange. The sort exchange feeds both
+    the count branch and the final branch of one plan, so Spark's
+    ReuseExchange computes it once (asserted in test_plan_shapes).
+    Deterministic because (distance, doc_id) is a total order."""
+    from pyspark.sql import Window
     from vector_search_ner_spark.functions.vector import l2_distance
-    from pyspark.sql import types as T
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
@@ -123,18 +129,23 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_distance(F.col("query_vec"), F.col("embedding")).alias("distance"),
         )
         .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .withColumn("__pid", F.spark_partition_id())
     )
-    ranked = scored.rdd.zipWithIndex().map(
-        lambda pair: (pair[0]["doc_id"], pair[0]["distance"], int(pair[1]) + 1)
+    counts = scored.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
     )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("distance", T.DoubleType()),
-            T.StructField("rank", T.IntegerType()),
-        ]
+    w_in = Window.partitionBy("__pid").orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+    return (
+        scored.join(F.broadcast(offsets), "__pid")
+        .select(
+            "doc_id",
+            "distance",
+            (F.col("__off") + F.row_number().over(w_in)).cast("int").alias("rank"),
+        )
     )
-    return spark.createDataFrame(ranked, schema)
 
 
 @query(
