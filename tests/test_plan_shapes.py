@@ -138,6 +138,40 @@ def test_pivot_multi_agg_single_pass(spark):
     assert "Join" not in p, p
 
 
+def test_events_ts_loads_as_timestamp(spark):
+    """The events loader must normalize `ts` to session-tz TIMESTAMP
+    regardless of the fixture's parquet encoding (TIMESTAMP(NANOS) and
+    timestamp[us] have both shipped). A hard-coded encoding assumption
+    took down ~30 queries in round 2; this pins the contract against
+    the live fixture."""
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp", ev.dtypes
+    # and it must actually be readable (analysis + execution)
+    assert ev.select("ts").limit(1).count() == 1
+
+
+def test_similarity_full_scan_jvm_rank(spark):
+    """The partition-offset global rank must (a) stay JVM-side — no
+    BatchEvalPython / RDD scan in the plan — and (b) produce ranks
+    that are exactly 1..N: the correctness of the offset scheme
+    requires both consumers of the sorted frame to observe the same
+    partitioning, which the persist() guarantees by construction
+    (plans/queries_vector.py). If the persisted partitioning ever
+    stops being shared, ranks go non-contiguous and this fails."""
+    queries, _ = collect()
+    df = queries["similarity_full_scan"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan, plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    ranks = sorted(r["rank"] for r in df.select("rank").collect())
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_runtime_bloom_filter_injected(spark):
     """When the fact-fact join can't broadcast, a selective filter on
     one side must inject a runtime bloom filter (might_contain) into

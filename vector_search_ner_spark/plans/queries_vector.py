@@ -113,11 +113,18 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         global rank = (rows in earlier partitions) + row_number within
     — per-partition counts are tiny (one row per partition), their
     cumulative offsets broadcast back, and the within-partition
-    row_number needs no further exchange. The sort exchange feeds both
-    the count branch and the final branch of one plan, so Spark's
-    ReuseExchange computes it once (asserted in test_plan_shapes).
+    row_number needs no further exchange. The sorted, __pid-stamped
+    frame is persisted so BOTH consumers (the counts branch and the
+    rank branch) observe the one materialized partitioning — partition
+    ids are fixed by construction, not by optimizer exchange reuse
+    (which is non-contractual under AQE). The persisted slice is 3
+    narrow columns, so even a 10^9-vector corpus caches in ~tens of
+    GB cluster-wide; Spark's cache manager dedupes by canonicalized
+    plan, so repeated invocations share one entry. Asserted in
+    tests/test_plan_shapes.py::test_similarity_full_scan_jvm_rank.
     Deterministic because (distance, doc_id) is a total order."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
     from vector_search_ner_spark.functions.vector import l2_distance
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -130,6 +137,7 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
         .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = scored.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -37,15 +37,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and convert to timestamp
-        # (microsecond truncation — matches DuckDB's TIMESTAMP cast).
+        # events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us]
+        # across fixture generations. nanosAsLong (harmless for non-NANOS
+        # columns, must be set before the read) makes a NANOS column load as
+        # bigint; branch on the loaded dtype instead of assuming an encoding.
+        # Either way the result is session-tz TIMESTAMP at microsecond
+        # precision — matching DuckDB's TIMESTAMP read of the same file
+        # (session tz is UTC, so NTZ->LTZ is value-identical).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div` (not `/`): ns values exceed double's 53-bit mantissa
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # integer `div` (not `/`): ns exceed double's 53-bit mantissa
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if ts_type != "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

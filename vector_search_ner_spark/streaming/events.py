@@ -22,16 +22,22 @@ from vector_search_ner_spark.sources.catalog import load_table
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # schema from the batch reader (incl. the ns->us ts normalization)
-    batch = load_table(spark, sf_dir, "events")
+    # Mirror the batch loader's dtype-robust ts normalization
+    # (sources/catalog.py): the fixture has shipped both TIMESTAMP(NANOS)
+    # (loads as bigint under nanosAsLong) and timestamp[us]/[ntz].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
