@@ -1,266 +1,386 @@
-"""The flagship composite: multi-stage filtered retrieval with
-progressive relaxation + hybrid score fusion + top-5 rank — the batch
-re-expression of the reference's chat pipeline E1
-(/root/reference/main.py:416-488: NER parse → staged search 329-411 →
-rerank 252-324 → top-5 project 455-469).
+"""The flagship composite: multi-stage filtered retrieval with the
+reference's FULL progressive-relaxation lattice + hybrid score fusion
++ top-5 rank — the batch re-expression of the chat pipeline E1
+(/root/reference/main.py:416-488: NER parse → multi_stage_search
+329-411 → llm_rerank 252-324 → top-5 project 455-469).
+
+The lattice (multi_stage_search, main.py:336-411), stage for stage:
+  ① region AND job           (param_filter_search use_and=True, :341-348)
+  ② region OR  job, deficit  (use_and=False, gated len<5 ∧ region ∧ job, :351-360)
+  ③ region-only ∪ job-only, deficit (gated len<5; each gated on presence, :363-383)
+  ④ synonym expansion of job (unconditional when job has synonyms, :386-397;
+     each synonym search is ranked by ITS OWN query vector
+     embed(f"{region} {syn}"), main.py:389-396)
+  ⑤ unfiltered fallback k=15 (gated len<15, :400-407)
+`region`/`job` are genuine TEXT predicates — Chroma `$contains` on the
+document text (main.py:146-156) — combined with $and/$or exactly as
+the reference builds its where_document filter, with absent fields
+OMITTED from the filter (main.py:146-152).
+
+Query-side embedding happens AT SEARCH TIME: the query vector is
+HashingEmbedder(concat_ws(' ', region, job)) — the engine twin of the
+reference embedding user text per request (main.py:44-46, invoked via
+vectorstore search at :158, :401) — not a precomputed fixture vector.
 
 Differences, declared:
   * batch (a DataFrame of queries), not request/response;
   * the eager per-request `len(results) < k` stage gates become
-    per-query deficit semi-joins — one lazy plan, no driver actions;
-  * the LLM scorer is replaced by the deterministic cosine model score
-    (LLM impls stay behind the extractor interface, off the oracle path);
-  * metadata-overlap score mirrors compute_ner_similarity
-    (main.py:225-234): sum of {0,1} matches over 3 keys.
+    per-query deficit semi-joins over ONE persisted scored relation —
+    one lazy plan, no driver actions;
+  * exact search (recall 1.0), so the reference's k*3 over-fetch
+    (main.py:158-165) is a no-op here;
+  * the LLM scorer is replaced by the deterministic 0.7/0.3 fusion
+    with the compute_ner_similarity overlap (main.py:225-234,298-323);
+    LLM impls stay behind the extractor interface, off the oracle path.
 
-Query batch: 4 query vectors with a search term + target label each;
-term 'graph' is out-of-vocabulary on purpose so that query exercises
-the full relaxation cascade down to the unfiltered fallback
-(main.py:400-407).
+Scale shape: ONE slim cross join (docs × broadcast probe batch)
+computes score + boolean predicate flags, drops the text column, and
+is persisted; every lattice stage is then a filter + per-query
+windowed top-k over that relation (WindowGroupLimit partial top-k),
+and every deficit gate is a broadcast semi-join on counts. Doc
+embedding is an Arrow-batched pandas UDF, map-only.
+
+The query batch is chosen so every stage is exercised at the driver's
+sf0.01: q0/q2/q3 fill at ①, q1 relaxes to ② (10 docs), q5's rare
+terms open the ③ gate so both single-field searches execute, q4 fills
+entirely from synonym searches at ④ (19 docs across both synonyms —
+and, having ≥15 candidates, proves ⑤'s gate stays CLOSED), q6 is
+fully OOV and fills only at ⑤. Note on ③: under EXACT search its
+output is provably first-wins-subsumed (its candidate sets are
+subsets of ②'s OR-set when ② ran, and identical to ①'s single-filter
+set otherwise) — the stage exists to recover recall under the
+reference's approximate HNSW retrieval, and the oracle proves our
+faithful implementation of it never corrupts the merge.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from vector_search_ner_spark.functions.vector import cosine_similarity, duck_cosine
+from vector_search_ner_spark.embedder import HashingEmbedder
+from vector_search_ner_spark.functions.vector import dot_product, duck_cosine, l2_norm
 from vector_search_ner_spark.operators.fusion import fuse_scores, overlap_score, rank_topn
 from vector_search_ner_spark.operators.knn import topk_per_query
-from vector_search_ner_spark.operators.staged import merge_stages_first_wins, queries_below
+from vector_search_ner_spark.plans.queries_mlops import _duck_embed_cte
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.sources.catalog import load_table
 
-STRICT_K = 5
-FALLBACK_K = 15
-FINAL_N = 5
-# 'dup' is rare (~5% of docs) → its query fills via stage B relaxation;
-# 'graph' is out-of-vocabulary → full fallback to the unfiltered stage C;
-# 'neardup' never appears verbatim but its SYNONYM 'dup' does → fills
-# (partially) via the synonym stage S, then tops up from stage C —
-# exercising the reference's stage ④ (main.py:386-397).
-TERMS = {0: "vector", 1: "stream", 2: "dup", 3: "graph", 4: "neardup"}
-# (term, synonym, syn_idx) — the static impl of the LLM synonym
-# expansion (main.py:186-220); earlier syn_idx wins the stage-S merge.
+STAGE_K = 10  # top_k of every staged search (reference main.py:137)
+DEFICIT_MIN = 5  # relaxation gate (main.py:351,363)
+FALLBACK_K = 15  # unfiltered fallback size + gate (main.py:400-401)
+FINAL_N = 5  # final projection (main.py:455-469)
+
+# (query_id, region_term, job_term) — two genuine text predicates per
+# query; None = field absent from the user NER (omitted from filters,
+# main.py:146-152).
+QUERIES = [
+    (0, "scan", "join"),       # both common → fills at ①
+    (1, "dup", "slow dup"),    # AND nearly empty, OR rich → ②
+    (2, "merge", None),        # region-only user → ① single-filter
+    (3, None, "batch"),        # job-only user → ① single-filter
+    (4, None, "neardup"),      # OOV job with synonyms → fills at ④
+    (5, "slow dup", "dup stream"),  # OR < 5 → ③ runs
+    (6, "qqqq", "zzzz"),       # fully OOV → only ⑤ fires
+]
+# static impl of get_job_synonyms_with_llm (main.py:186-220):
+# job term -> (synonym, syn_idx); earlier syn_idx wins the merge.
 SYNONYMS = [
     ("neardup", "dup", 0),
-    ("vector", "merge", 0),
-    ("vector", "batch", 1),
-    ("stream", "row", 0),
-    ("stream", "filter", 1),
+    ("neardup", "stream", 1),
 ]
 
+_IDS_R = [q for q, r, _ in QUERIES if r is not None]
+_IDS_J = [q for q, _, j in QUERIES if j is not None]
+_IDS_BOTH = [q for q, r, j in QUERIES if r is not None and j is not None]
 
-def _term_case_sql() -> str:
-    whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in TERMS.items())
-    return f"CASE vec_id {whens} ELSE 'none' END"
+
+def _sql_lit(v) -> str:
+    return "NULL" if v is None else "'" + v + "'"
 
 
-def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    term = F.lit(None).cast("string")
-    expr = None
-    for k, v in TERMS.items():
-        expr = F.when(F.col("vec_id") == k, v) if expr is None else expr.when(F.col("vec_id") == k, v)
-    return emb.where(F.col("vec_id") < len(TERMS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-        expr.otherwise("none").alias("term"),
-        (F.col("vec_id") + 2).cast("int").alias("target_label"),
+def _duck_staged_oracle() -> str:
+    qvals = ", ".join(
+        f"({qid}, {_sql_lit(r)}, {_sql_lit(j)})" for qid, r, j in QUERIES
     )
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
-    return d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "lang", "embedding", "label")
-
-
-@query(
-    "staged_retrieval_pipeline",
-    oracle=f"""
-WITH docs AS (
-  SELECT d.doc_id, d.text, d.lang, e.embedding, e.label
-  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-), q AS (
-  SELECT vec_id AS query_id, embedding AS query_vec,
-         {_term_case_sql()} AS term,
-         CAST(vec_id + 2 AS INTEGER) AS target_label
-  FROM embeddings WHERE vec_id < {len(TERMS)}
-), scored AS (
-  SELECT q.query_id, q.term, q.target_label, d.doc_id, d.text, d.lang, d.label,
-         {duck_cosine("q.query_vec", "d.embedding")} AS score
-  FROM docs d CROSS JOIN q
-), a AS (
+    svals = ", ".join(f"('{t}', '{s}', {i})" for t, s, i in SYNONYMS)
+    cos_main = duck_cosine("qv.emb", "dv.emb")
+    cos_syn = duck_cosine("sv.emb", "dv.emb")
+    rank10 = "row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id)"
+    return f"""
+WITH qdef(query_id, region, job) AS (VALUES {qvals}),
+syndef(job, synonym, syn_idx) AS (VALUES {svals}),
+dsrc AS (SELECT doc_id, text, lang FROM documents),
+{_duck_embed_cte("dsrc", "doc_id", "text", "d")},
+qsrc AS (
+  SELECT query_id, concat_ws(' ', region, job) AS qtext FROM qdef
+),
+{_duck_embed_cte("qsrc", "query_id", "qtext", "q")},
+ssrc AS (
+  SELECT q.query_id, s.syn_idx, s.synonym,
+         concat_ws(' ', q.region, s.synonym) AS stext
+  FROM qdef q JOIN syndef s ON q.job = s.job
+),
+{_duck_embed_cte("ssrc", "query_id, syn_idx", "stext", "s")},
+scored AS (
+  SELECT q.query_id, d.doc_id, d.lang,
+         {cos_main} AS score,
+         COALESCE(contains(d.text, q.region), FALSE) AS hr,
+         COALESCE(contains(d.text, q.job), FALSE) AS hj
+  FROM qdef q
+  JOIN q_vec qv ON q.query_id = qv.query_id
+  CROSS JOIN dsrc d
+  JOIN d_vec dv ON d.doc_id = dv.doc_id
+),
+syn_scored AS (
+  SELECT p.query_id, p.syn_idx, d.doc_id, d.lang,
+         {cos_syn} AS score,
+         COALESCE(contains(d.text, q.region), FALSE) AS hr,
+         COALESCE(contains(d.text, q.job), FALSE) AS hj,
+         contains(d.text, p.synonym) AS hs,
+         q.region IS NULL AS no_region
+  FROM ssrc p
+  JOIN qdef q ON p.query_id = q.query_id
+  JOIN s_vec sv ON p.query_id = sv.query_id AND p.syn_idx = sv.syn_idx
+  CROSS JOIN dsrc d
+  JOIN d_vec dv ON d.doc_id = dv.doc_id
+),
+s1 AS (
   SELECT * FROM (
-    SELECT scored.*, row_number() OVER (
-      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
-    FROM scored WHERE contains(text, term) AND label = target_label
-  ) WHERE rn <= {STRICT_K}
-), need_b AS (
-  SELECT q.query_id FROM q
-  LEFT JOIN (SELECT query_id, count(*) AS n FROM a GROUP BY query_id) c
+    SELECT sc.*, {rank10} AS rn
+    FROM scored sc JOIN qdef q ON sc.query_id = q.query_id
+    WHERE (sc.hr OR q.region IS NULL) AND (sc.hj OR q.job IS NULL)
+  ) WHERE rn <= {STAGE_K}
+),
+need2 AS (
+  SELECT q.query_id FROM qdef q
+  LEFT JOIN (SELECT query_id, COUNT(DISTINCT doc_id) AS n FROM s1 GROUP BY query_id) c
     ON q.query_id = c.query_id
-  WHERE COALESCE(c.n, 0) < {STRICT_K}
-), b AS (
+  WHERE COALESCE(c.n, 0) < {DEFICIT_MIN}
+    AND q.region IS NOT NULL AND q.job IS NOT NULL
+),
+s2 AS (
   SELECT * FROM (
-    SELECT s.*, row_number() OVER (
-      PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rn
-    FROM scored s JOIN need_b nb ON s.query_id = nb.query_id
-    WHERE contains(s.text, s.term)
-  ) WHERE rn <= {STRICT_K}
-), m1 AS (
-  SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM (
-    SELECT u.*, row_number() OVER (
-      PARTITION BY query_id, doc_id ORDER BY stage) AS mrn
-    FROM (
-      SELECT query_id, term, target_label, doc_id, text, lang, label, score, 0 AS stage FROM a
-      UNION ALL
-      SELECT query_id, term, target_label, doc_id, text, lang, label, score, 1 AS stage FROM b
-    ) u
-  ) WHERE mrn = 1
-), syn(term, synonym, syn_idx) AS (
-  VALUES {", ".join(f"('{t}', '{s}', {i})" for t, s, i in SYNONYMS)}
-), need_s AS (
-  SELECT q.query_id FROM q
-  LEFT JOIN (SELECT query_id, count(*) AS n FROM m1 GROUP BY query_id) c
-    ON q.query_id = c.query_id
-  WHERE COALESCE(c.n, 0) < {STRICT_K}
-), s_rank AS (
+    SELECT sc.*, {rank10} AS rn
+    FROM scored sc JOIN need2 nd ON sc.query_id = nd.query_id
+    WHERE sc.hr OR sc.hj
+  ) WHERE rn <= {STAGE_K}
+),
+need3 AS (
+  SELECT q.query_id FROM qdef q
+  LEFT JOIN (
+    SELECT query_id, COUNT(DISTINCT doc_id) AS n FROM (
+      SELECT query_id, doc_id FROM s1 UNION SELECT query_id, doc_id FROM s2
+    ) GROUP BY query_id
+  ) c ON q.query_id = c.query_id
+  WHERE COALESCE(c.n, 0) < {DEFICIT_MIN}
+),
+s3r AS (
   SELECT * FROM (
-    SELECT s.*, sy.syn_idx, row_number() OVER (
-      PARTITION BY s.query_id, sy.syn_idx ORDER BY s.score DESC, s.doc_id) AS rn
-    FROM scored s
-    JOIN need_s ns ON s.query_id = ns.query_id
-    JOIN syn sy ON s.term = sy.term
-    WHERE contains(s.text, sy.synonym) AND s.label = s.target_label
-  ) WHERE rn <= {STRICT_K}
-), s_stage AS (
-  SELECT query_id, term, target_label, doc_id, text, lang, label, score FROM (
-    SELECT s.*, row_number() OVER (
-      PARTITION BY query_id, doc_id ORDER BY syn_idx) AS srn
-    FROM s_rank s
-  ) WHERE srn = 1
-), m1s AS (
-  SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM (
-    SELECT u.*, row_number() OVER (
-      PARTITION BY query_id, doc_id ORDER BY stage) AS mrn
-    FROM (
-      SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM m1
-      UNION ALL
-      SELECT query_id, term, target_label, doc_id, text, lang, label, score, 2 AS stage
-      FROM s_stage
-    ) u
-  ) WHERE mrn = 1
-), need_c AS (
-  SELECT q.query_id FROM q
-  LEFT JOIN (SELECT query_id, count(*) AS n FROM m1s GROUP BY query_id) c
-    ON q.query_id = c.query_id
-  WHERE COALESCE(c.n, 0) < {STRICT_K}
-), c AS (
+    SELECT sc.*, {rank10} AS rn
+    FROM scored sc
+    JOIN need3 nd ON sc.query_id = nd.query_id
+    JOIN qdef q ON sc.query_id = q.query_id
+    WHERE q.region IS NOT NULL AND sc.hr
+  ) WHERE rn <= {STAGE_K}
+),
+s3j AS (
   SELECT * FROM (
-    SELECT s.*, row_number() OVER (
-      PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rn
-    FROM scored s JOIN need_c nc ON s.query_id = nc.query_id
+    SELECT sc.*, {rank10} AS rn
+    FROM scored sc
+    JOIN need3 nd ON sc.query_id = nd.query_id
+    JOIN qdef q ON sc.query_id = q.query_id
+    WHERE q.job IS NOT NULL AND sc.hj
+  ) WHERE rn <= {STAGE_K}
+),
+s4 AS (
+  SELECT * FROM (
+    SELECT sc.query_id, sc.doc_id, sc.lang, sc.score, sc.hr, sc.hj,
+           10 + sc.syn_idx AS stage,
+           row_number() OVER (
+             PARTITION BY sc.query_id, sc.syn_idx
+             ORDER BY sc.score DESC, sc.doc_id) AS rn
+    FROM syn_scored sc
+    WHERE (sc.hr OR sc.no_region) AND sc.hs
+  ) WHERE rn <= {STAGE_K}
+),
+need5 AS (
+  SELECT q.query_id FROM qdef q
+  LEFT JOIN (
+    SELECT query_id, COUNT(DISTINCT doc_id) AS n FROM (
+      SELECT query_id, doc_id FROM s1 UNION SELECT query_id, doc_id FROM s2
+      UNION SELECT query_id, doc_id FROM s3r UNION SELECT query_id, doc_id FROM s3j
+      UNION SELECT query_id, doc_id FROM s4
+    ) GROUP BY query_id
+  ) c ON q.query_id = c.query_id
+  WHERE COALESCE(c.n, 0) < {FALLBACK_K}
+),
+s5 AS (
+  SELECT * FROM (
+    SELECT sc.*, {rank10} AS rn
+    FROM scored sc JOIN need5 nd ON sc.query_id = nd.query_id
   ) WHERE rn <= {FALLBACK_K}
-), m2 AS (
-  SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM (
-    SELECT u.*, row_number() OVER (
+),
+allst AS (
+  SELECT query_id, doc_id, lang, score, hr, hj, 0 AS stage FROM s1
+  UNION ALL SELECT query_id, doc_id, lang, score, hr, hj, 1 FROM s2
+  UNION ALL SELECT query_id, doc_id, lang, score, hr, hj, 2 FROM s3r
+  UNION ALL SELECT query_id, doc_id, lang, score, hr, hj, 3 FROM s3j
+  UNION ALL SELECT query_id, doc_id, lang, score, hr, hj, stage FROM s4
+  UNION ALL SELECT query_id, doc_id, lang, score, hr, hj, 100 FROM s5
+),
+m AS (
+  SELECT * FROM (
+    SELECT a.*, row_number() OVER (
       PARTITION BY query_id, doc_id ORDER BY stage) AS mrn
-    FROM (
-      SELECT query_id, term, target_label, doc_id, text, lang, label, score, stage FROM m1s
-      UNION ALL
-      SELECT query_id, term, target_label, doc_id, text, lang, label, score, 3 AS stage FROM c
-    ) u
+    FROM allst a
   ) WHERE mrn = 1
-), fused AS (
+),
+fused AS (
   SELECT query_id, doc_id,
          ROUND(0.7 * score + 0.3 * ((
-             (CASE WHEN contains(text, term) THEN 1 ELSE 0 END)
-           + (CASE WHEN label = target_label THEN 1 ELSE 0 END)
-           + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             CAST(hr AS INTEGER) + CAST(hj AS INTEGER)
+           + CASE WHEN lang = 'en' THEN 1 ELSE 0 END
          ) / 3.0), 4) AS combined_score
-  FROM m2
+  FROM m
 )
-SELECT query_id, doc_id, combined_score,
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, combined_score,
        CAST(rank AS INTEGER) AS rank
 FROM (
-  SELECT fused.*, row_number() OVER (
+  SELECT f.*, row_number() OVER (
     PARTITION BY query_id ORDER BY combined_score DESC, doc_id) AS rank
-  FROM fused
+  FROM fused f
 ) WHERE rank <= {FINAL_N}
-""",
-)
+"""
+
+
+@query("staged_retrieval_pipeline", oracle=_duck_staged_oracle())
 def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qdf = _queries(spark, sf_dir)
-    docs = _docs(spark, sf_dir)
+    # ---- probe batch: one main probe per query + one per (query,
+    # synonym) pair, each carrying ITS OWN query text to embed
+    rows = []
+    for qid, region, job in QUERIES:
+        rows.append(
+            (qid, -1, region, job, None, " ".join(t for t in (region, job) if t))
+        )
+    for job_term, syn, idx in SYNONYMS:
+        for qid, region, job in QUERIES:
+            if job == job_term:
+                rows.append(
+                    (qid, idx, region, job, syn, " ".join(t for t in (region, syn) if t))
+                )
+    probes = spark.createDataFrame(
+        rows, "query_id int, syn_idx int, region string, job string, synonym string, ptext string"
+    )
+    emb = HashingEmbedder()
+    probes = probes.withColumn("pvec", emb.embed_col(F.col("ptext"))).withColumn(
+        "__pnorm", l2_norm(F.col("pvec"))
+    )
 
-    # norms hoisted out of the pair loop (once per doc / per query row)
-    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
-
-    docs = docs.withColumn("__dnorm", l2_norm(F.col("embedding")))
-    qdf = qdf.withColumn("__qnorm", l2_norm(F.col("query_vec")))
-    denom = F.col("__qnorm") * F.col("__dnorm")
-    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("query_vec"), F.col("embedding")) / denom
-    )
-    scored = (
-        docs.crossJoin(F.broadcast(qdf))
-        .withColumn("score", cos)
-        .select("query_id", "term", "target_label", "doc_id", "text", "lang", "label", "score")
+    # ---- docs embedded at plan time (the E3 index fused inline; at
+    # scale this side reads the persisted vector store instead)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn("dvec", emb.embed_col(F.col("text")))
+        .withColumn("__dnorm", l2_norm(F.col("dvec")))
     )
 
-    def stage_topk(df: DataFrame, k: int) -> DataFrame:
-        return topk_per_query(df, k, "query_id", "score", "doc_id").drop("rank")
+    # ---- ONE slim scored relation: score + predicate flags, text
+    # dropped before the persist (norms hoisted per side, guard on 0)
+    denom = F.col("__pnorm") * F.col("__dnorm")
+    score = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col("pvec"), F.col("dvec")) / denom
+    )
+    scored_all = (
+        docs.crossJoin(F.broadcast(probes))
+        .select(
+            "query_id",
+            "syn_idx",
+            "doc_id",
+            "lang",
+            score.alias("score"),
+            F.coalesce(F.col("text").contains(F.col("region")), F.lit(False)).alias("hr"),
+            F.coalesce(F.col("text").contains(F.col("job")), F.lit(False)).alias("hj"),
+            F.coalesce(F.col("text").contains(F.col("synonym")), F.lit(False)).alias("hs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    main = scored_all.where(F.col("syn_idx") == -1).drop("syn_idx", "hs")
+    syn_rows = scored_all.where(F.col("syn_idx") >= 0)
 
-    # stage A: strict — term AND label
-    a = stage_topk(
-        scored.where(F.col("text").contains(F.col("term")) & (F.col("label") == F.col("target_label"))),
-        STRICT_K,
-    )
-    # stage B: relaxed (term only), for queries with a deficit after A
-    need_b = queries_below(qdf, a, STRICT_K)
-    b = stage_topk(
-        scored.join(need_b, "query_id", "left_semi").where(F.col("text").contains(F.col("term"))),
-        STRICT_K,
-    )
-    m1 = merge_stages_first_wins([a, b])
-    # stage S: synonym-expanded strict searches for queries still in
-    # deficit (reference stage ④, main.py:386-397): per synonym, a
-    # contains(synonym) AND label search top-K; merged earliest-synonym-
-    # wins, then first-wins against m1
-    need_s = queries_below(qdf, m1, STRICT_K)
-    syn = spark.createDataFrame(SYNONYMS, "term string, synonym string, syn_idx int")
-    s_cand = (
-        scored.join(need_s, "query_id", "left_semi")
-        .join(F.broadcast(syn), "term")
-        .where(F.col("text").contains(F.col("synonym")) & (F.col("label") == F.col("target_label")))
-    )
-    w_s = Window.partitionBy("query_id", "syn_idx").orderBy(F.col("score").desc(), F.col("doc_id"))
-    s_rank = s_cand.withColumn("rn", F.row_number().over(w_s)).where(F.col("rn") <= STRICT_K)
-    w_syn_dedup = Window.partitionBy("query_id", "doc_id").orderBy("syn_idx")
-    s_stage = (
-        s_rank.withColumn("srn", F.row_number().over(w_syn_dedup))
-        .where(F.col("srn") == 1)
-        .select("query_id", "term", "target_label", "doc_id", "text", "lang", "label", "score")
-    )
-    m1s = merge_stages_first_wins([m1.drop("stage"), s_stage])
-    # stage C: unfiltered fallback k=15 for queries still under-filled
-    need_c = queries_below(qdf, m1s, STRICT_K)
-    c = stage_topk(scored.join(need_c, "query_id", "left_semi"), FALLBACK_K).withColumn(
-        "stage", F.lit(2)
-    )
-    m2 = merge_stages_first_wins([m1s.drop("stage"), c.drop("stage")])
+    qids = spark.createDataFrame([(q,) for q, _, _ in QUERIES], "query_id int")
+    in_r = F.col("query_id").isin(_IDS_R)
+    in_j = F.col("query_id").isin(_IDS_J)
+    cols = ["query_id", "doc_id", "lang", "score", "hr", "hj", "stage"]
 
-    meta = overlap_score(
-        F.col("text").contains(F.col("term")),
-        F.col("label") == F.col("target_label"),
-        F.col("lang") == "en",
+    def stage_topk(df: DataFrame, k: int, stage) -> DataFrame:
+        return (
+            topk_per_query(df, k, "query_id", "score", "doc_id")
+            .drop("rank")
+            .withColumn("stage", F.lit(stage))
+            .select(*cols)
+        )
+
+    def below(frames: list[DataFrame], min_hits: int, only_ids=None) -> DataFrame:
+        u = frames[0].select("query_id", "doc_id")
+        for f in frames[1:]:
+            u = u.unionByName(f.select("query_id", "doc_id"))
+        counts = u.groupBy("query_id").agg(F.count_distinct("doc_id").alias("__n"))
+        out = (
+            qids.join(counts, "query_id", "left")
+            .where(F.coalesce(F.col("__n"), F.lit(0)) < min_hits)
+        )
+        if only_ids is not None:
+            out = out.where(F.col("query_id").isin(only_ids))
+        return out.select("query_id")
+
+    # ① AND of the present fields
+    s1 = stage_topk(main.where((F.col("hr") | ~in_r) & (F.col("hj") | ~in_j)), STAGE_K, 0)
+    # ② OR relaxation — deficit queries having both fields
+    need2 = below([s1], DEFICIT_MIN, _IDS_BOTH)
+    s2 = stage_topk(
+        main.join(need2, "query_id", "left_semi").where(F.col("hr") | F.col("hj")),
+        STAGE_K,
+        1,
     )
-    fused = m2.select(
-        "query_id",
-        "doc_id",
-        fuse_scores(F.col("score"), meta).alias("combined_score"),
+    # ③ region-only ∪ job-only — still-deficit queries, per-field presence
+    need3 = below([s1, s2], DEFICIT_MIN)
+    s3r = stage_topk(
+        main.join(need3, "query_id", "left_semi").where(F.col("hr") & in_r), STAGE_K, 2
+    )
+    s3j = stage_topk(
+        main.join(need3, "query_id", "left_semi").where(F.col("hj") & in_j), STAGE_K, 3
+    )
+    # ④ synonym expansion — unconditional, ranked by the SYN query vector;
+    # stage = 10 + syn_idx so the global first-wins merge keeps the
+    # earliest synonym's row (reference merges syn searches in order)
+    w4 = Window.partitionBy("query_id", "syn_idx").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    s4 = (
+        syn_rows.where((F.col("hr") | ~in_r) & F.col("hs"))
+        .withColumn("rn", F.row_number().over(w4))
+        .where(F.col("rn") <= STAGE_K)
+        .withColumn("stage", F.lit(10) + F.col("syn_idx"))
+        .select(*cols)
+    )
+    # ⑤ unfiltered fallback for queries still under 15 candidates
+    need5 = below([s1, s2, s3r, s3j, s4], FALLBACK_K)
+    s5 = stage_topk(main.join(need5, "query_id", "left_semi"), FALLBACK_K, 100)
+
+    # global first-wins merge (earliest stage wins per (query, doc))
+    merged = s1
+    for f in (s2, s3r, s3j, s4, s5):
+        merged = merged.unionByName(f)
+    w_m = Window.partitionBy("query_id", "doc_id").orderBy(F.col("stage").asc())
+    winner = merged.withColumn("mrn", F.row_number().over(w_m)).where(F.col("mrn") == 1)
+
+    # 0.7/0.3 fusion with the compute_ner_similarity overlap, final top-5
+    meta = overlap_score(F.col("hr"), F.col("hj"), F.col("lang") == "en")
+    fused = winner.select(
+        "query_id", "doc_id", fuse_scores(F.col("score"), meta).alias("combined_score")
     )
     return rank_topn(fused, FINAL_N).select("query_id", "doc_id", "combined_score", "rank")
 
