@@ -424,3 +424,105 @@ def test_hll_union_error_bounds(spark, sf_dir):
     for day, r in rows.items():
         assert abs(r.est_users - exact_daily[day]) / exact_daily[day] < 0.02
     assert tot.est_users <= sum(r.est_users for r in rows.values())
+
+
+def test_hot_shingle_cap_bounds_candidate_fanout(spark):
+    """Adversarial boilerplate corpus: every doc shares one 6-gram
+    header, two docs are true near-dups via their body. The DF cap
+    must (a) bound the candidate join to the genuinely-similar pairs
+    instead of the quadratic all-pairs blowup, and (b) leave the
+    surviving pairs' Jaccard EXACT (full uncapped shingle sets)."""
+    from vector_search_ner_spark.operators import neardup as nd
+
+    n = 60
+    header = "legal boilerplate header common to all"  # 7 tokens → 2 hot shingles
+    rows = []
+    for i in range(n):
+        body = f"unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e unique{i}f"
+        rows.append((i, f"{header} {body}"))
+    # docs 100/101: near-dup bodies sharing 6-gram body shingles
+    dup = "same same2 same3 same4 same5 same6 same7 same8"
+    rows.append((100, f"{header} {dup} tail100"))
+    rows.append((101, f"{header} {dup} tail101"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold 0 → the result set IS the verified candidate set
+    capped = nd.jaccard_pairs(docs, 0.0, df_cap=5)
+    uncapped = nd.jaccard_pairs(docs, 0.0, df_cap=None)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped == (n + 2) * (n + 1) / 2, n_uncapped  # quadratic blowup
+    assert n_capped == 1, capped.collect()  # only the true near-dup pair
+
+    row = capped.collect()[0]
+    assert (row.doc_a, row.doc_b) == (100, 101)
+    # exact Jaccard over FULL sets (hot header shingle INCLUDED in the
+    # verify): 15 tokens → 10 shingles per doc; every window except the
+    # one touching the distinct tail token matches → 9/(10+10-9)
+    assert row.jaccard == round(9 / 11, 4), row
+
+    # contamination twin: bench doc 100 must still find train doc 101
+    bench = docs.where(F.col("doc_id") == 100)
+    train = docs.where(F.col("doc_id") != 100)
+    best = nd.contamination_best_match(bench, train, df_cap=5).collect()
+    assert len(best) == 1 and best[0].train_id == 101, best
+    assert best[0].overlap == round(9 / 11, 4), best
+
+
+def test_adc_refine_recall_floor(spark, sf_dir):
+    """The over-fetch→exact-re-rank knob must never lose recall vs the
+    plain ADC ranking at the same k, and must clear an absolute floor.
+    (Refining the top 3k by exact distance can only promote true
+    neighbors the quantized distances mis-ordered.)"""
+    from vector_search_ner_spark.operators import pq
+    from vector_search_ner_spark.operators.knn import knn_join
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    k = 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact = {(r.query_id, r.doc_id) for r in knn_join(queries, docs, k=k, metric="l2").collect()}
+
+    cb = pq.build_codebook(emb)
+    codes = pq.pq_encode(emb, cb)
+    plain = {(r.query_id, r.doc_id) for r in pq.pq_adc_topk(queries, codes, cb, k).collect()}
+    def refined_recall(overfetch: int) -> float:
+        cand = pq.pq_adc_topk(queries, codes, cb, overfetch * k)
+        refined = {
+            (r.query_id, r.doc_id)
+            for r in pq.exact_refine_topk(cand, queries, emb, k).collect()
+        }
+        return len(exact & refined) / len(exact)
+
+    r_plain = len(exact & plain) / len(exact)
+    r3, r10 = refined_recall(3), refined_recall(10)
+    # measured on the fixture: plain 0.375 → 0.525 @3k → 0.875 @10k
+    assert r3 >= r_plain, (r3, r_plain)
+    assert r3 >= 0.45, r3
+    assert r10 >= r3, (r10, r3)
+    assert r10 >= 0.8, r10
+
+
+def test_asof_deterministic_under_duplicate_ts(spark):
+    """Duplicate (key, ts) rows on the right side must yield ONE
+    deterministic payload (the max), not an engine-order-dependent
+    pick — the dedup-then-asof pattern the event queries use."""
+    from vector_search_ner_spark.operators.asof import asof_join
+
+    clicks = spark.createDataFrame([(1, 10, 100)], "event_id long, user_id long, ts long")
+    views = spark.createDataFrame(
+        [(10, 100, 7.0), (10, 100, 3.0), (10, 90, 9.0)],
+        "user_id long, ts long, value double",
+    )
+    vdedup = views.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    for _ in range(3):
+        out = asof_join(
+            clicks.withColumnRenamed("ts", "ts").select("event_id", "user_id", "ts"),
+            vdedup,
+            on=["user_id"],
+            ts_col="ts",
+            payload_cols=["value"],
+        ).collect()
+        assert len(out) == 1 and out[0].value_asof == 7.0, out

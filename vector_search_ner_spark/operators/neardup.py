@@ -14,8 +14,16 @@ computed driver-side from md5 so the DuckDB oracles inline the exact
 same literals.
 
 Word shingles use k=6: long enough that shingle document-frequency
-stays tiny (bounded join fan-out); a DF cap on hot shingles is the
-knob to add under adversarial skew.
+stays tiny on natural text. Against adversarial skew (boilerplate
+headers shared by millions of docs), `jaccard_pairs` and
+`contamination_best_match` CAP hot shingles: shingles whose document
+frequency exceeds `df_cap` are dropped from CANDIDATE GENERATION
+(the self-join fan-out is quadratic in per-shingle DF — one hot
+shingle at 100 TB is a stage-killing straggler), and surviving
+candidate pairs are verified with the exact Jaccard over the FULL
+uncapped shingle sets. The only semantic change is that a pair whose
+every common shingle is boilerplate-hot is not reported — the
+standard trade (MMDS ch.3 stop-shingle pruning).
 
 Lineage (public literature): shingling + resemblance — Broder, "On the
 resemblance and containment of documents" (1997); MinHash-LSH banding —
@@ -244,36 +252,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+DEFAULT_SHINGLE_DF_CAP = 64
+
+
+def _drop_hot_shingles(exploded: DataFrame, df_cap: int, sh_col: str = "sh") -> DataFrame:
+    """Remove shingles whose document frequency exceeds df_cap. The
+    hot set is by construction tiny relative to the corpus (at most
+    |rows| / df_cap shingles can exceed the cap), so it broadcasts;
+    the anti-join is map-side and the capped relation never shuffles
+    a hot key into the pair join."""
+    hot = (
+        exploded.groupBy(sh_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > df_cap)
+        .select(sh_col)
+    )
+    return exploded.join(F.broadcast(hot), sh_col, "left_anti")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
-
-    Shuffles on the shingle key; fan-out is bounded by shingle DF
-    (k=6 keeps DF tiny). Returns (doc_a, doc_b, jaccard)."""
+    """Exact n-gram Jaccard near-dup pairs: shingle self-join for
+    CANDIDATES (hot shingles above df_cap excluded — the join fan-out
+    is quadratic in per-shingle DF, so one boilerplate shingle would
+    otherwise dominate the stage), then the exact Jaccard over the
+    FULL shingle sets for every surviving candidate pair. Values are
+    exact; only pairs whose every common shingle is hot are skipped.
+    Returns (doc_a, doc_b, jaccard)."""
     sh = docs.select(
         F.col(id_col).alias("sid"), word_shingles(F.col(text_col), k).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("sid", "n_sh", F.explode("shingles").alias("sh"))
+    ).persist()
+    exploded = sh.select("sid", F.explode("shingles").alias("sh"))
+    if df_cap is not None:
+        exploded = _drop_hot_shingles(exploded, df_cap)
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.sid") < F.col("b.sid")))
-        .groupBy(
-            F.col("a.sid").alias("doc_a"),
-            F.col("b.sid").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    sa = sh.select(F.col("sid").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("sid").alias("doc_b"), F.col("shingles").alias("sb"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = common / (F.size("sa") + F.size("sb") - common)
     return (
-        pairs.withColumn("jaccard", F.round(jac, 4))
+        verified.withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -428,35 +459,46 @@ def contamination_best_match(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Cross-corpus contamination check: for every BENCH document, the
     single TRAIN document with the highest word-k-gram Jaccard overlap
-    (the eval-set-leaked-into-training-data audit). Same shingle-join
-    dataflow as jaccard_pairs but across two corpora, keeping an
-    argmax per bench doc instead of a threshold filter — a report of
-    every bench doc that shares ANY shingle, ranked by its worst
-    offender. At 100 TB the bench side is small (an eval set):
-    broadcast its exploded shingles; the train corpus never shuffles."""
-    def shingled(df: DataFrame, tag: str) -> DataFrame:
-        sh = df.select(
-            F.col(id_col).alias(f"{tag}_id"),
-            word_shingles(F.col(text_col), k).alias("shingles"),
-        ).withColumn(f"n_{tag}", F.size("shingles"))
-        return sh.select(f"{tag}_id", f"n_{tag}", F.explode("shingles").alias(f"sh_{tag}"))
+    (the eval-set-leaked-into-training-data audit).
 
-    b = shingled(bench, "bench")
-    t = shingled(train, "train")
-    pairs = (
-        t.join(F.broadcast(b), F.col("sh_train") == F.col("sh_bench"))
-        .groupBy("bench_id", "train_id", "n_bench", "n_train")
-        .agg(F.count(F.lit(1)).alias("common"))
+    Scale shape: candidates come from a shingle equi-join with the
+    bench side BROADCAST (an eval set is small; the train corpus never
+    shuffles for it) and with train-side hot shingles above df_cap
+    excluded — boilerplate shared by the whole corpus must not fan
+    out quadratically or drag every train partition into the pair
+    aggregation. The aggregation that crosses the wire is the slim
+    DISTINCT (bench_id, train_id) pair set (map-side partial dedup),
+    and each surviving pair is verified with the exact Jaccard over
+    the FULL shingle sets, so reported overlaps are exact; only a
+    bench doc whose every common shingle is boilerplate-hot loses its
+    (meaningless) match row."""
+    bsh = bench.select(
+        F.col(id_col).alias("bench_id"), word_shingles(F.col(text_col), k).alias("b_shingles")
     )
+    tsh = train.select(
+        F.col(id_col).alias("train_id"), word_shingles(F.col(text_col), k).alias("t_shingles")
+    ).persist()
+    b_expl = bsh.select("bench_id", F.explode("b_shingles").alias("sh"))
+    t_expl = tsh.select("train_id", F.explode("t_shingles").alias("sh"))
+    if df_cap is not None:
+        t_expl = _drop_hot_shingles(t_expl, df_cap)
+    cand = (
+        t_expl.join(F.broadcast(b_expl), "sh")
+        .select("bench_id", "train_id")
+        .dropDuplicates(["bench_id", "train_id"])
+    )
+    verified = cand.join(F.broadcast(bsh), "bench_id").join(tsh, "train_id")
+    common = F.size(F.array_intersect(F.col("b_shingles"), F.col("t_shingles")))
     overlap = F.round(
-        F.col("common") / (F.col("n_bench") + F.col("n_train") - F.col("common")), 4
+        common / (F.size("b_shingles") + F.size("t_shingles") - common), 4
     )
     w = Window.partitionBy("bench_id").orderBy(F.col("overlap").desc(), F.col("train_id"))
     return (
-        pairs.withColumn("overlap", overlap)
+        verified.withColumn("overlap", overlap)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("bench_id", "train_id", "overlap")

@@ -135,6 +135,41 @@ def pq_adc_topk(
     return _adc_rank(joined, query_id, k_results)
 
 
+def exact_refine_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    emb: DataFrame,
+    k_results: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Over-fetch → exact re-rank (the reference's own k*3 heuristic,
+    /root/reference/main.py:158-165, and the 'R' of IVFADC+R, Jégou
+    2011 §V): `cand` is (query_id, doc_id) over-fetched from an
+    APPROXIMATE ranker; re-rank those candidates by exact L2 on the
+    full vectors and keep k. Only |cand| full vectors are read —
+    k*overfetch per query, not the corpus — so the refine cost is
+    negligible while recovering the recall the quantizer lost."""
+    from vector_search_ner_spark.functions.vector import l2_distance
+
+    qv = queries.select(query_id, query_vec)
+    dv = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv"))
+    exact = (
+        cand.select(query_id, "doc_id")
+        .join(F.broadcast(qv), query_id)
+        .join(dv, "doc_id")
+        .withColumn("distance", l2_distance(F.col(query_vec), F.col("__dv")))
+    )
+    w = Window.partitionBy(query_id).orderBy("distance", "doc_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k_results)
+        .select(query_id, "doc_id", "rank", F.round("distance", 6).alias("distance"))
+    )
+
+
 def pq_adc_topk_pairs(
     queries: DataFrame,
     pairs: DataFrame,
@@ -202,7 +237,35 @@ def duck_pq_encode_sql() -> str:
     return f"WITH {duck_pq_ctes()}\nSELECT doc_id, m, code FROM codes"
 
 
-def duck_pq_adc_sql(n_queries: int, k_results: int) -> str:
+def _duck_refine_tail(fetch_k: int, refine_k: int) -> str:
+    """Append after a `fin(query_id, doc_id, adist_raw)` CTE: take the
+    approximate top fetch_k, re-rank those by exact L2 on the full
+    vectors, keep refine_k — the SQL twin of exact_refine_topk."""
+    from vector_search_ner_spark.functions.vector import duck_l2
+
+    return f""",
+cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_raw, doc_id) AS rn
+    FROM fin
+  ) WHERE rn <= {fetch_k}
+),
+exact AS (
+  SELECT c.query_id, c.doc_id, {duck_l2("q.embedding", "d.embedding")} AS dist
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings d ON d.vec_id = c.doc_id
+)
+SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank, ROUND(dist, 6) AS distance
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn
+  FROM exact
+) WHERE rn <= {refine_k}"""
+
+
+def duck_pq_adc_sql(n_queries: int, k_results: int, refine_k: int | None = None) -> str:
+    """ADC top-k oracle; with refine_k set, k_results is the over-fetch
+    size and the exact-re-rank tail emits refine_k rows per query."""
     pd = _DUCK_SQD.format(n=SUB + 1, a="q.sv", b="c.cw")
     d_cols = ",\n         ".join(
         f"SUM(CASE WHEN l.m = {i} THEN l.pd ELSE 0.0 END) AS d{i}" for i in range(M)
@@ -210,7 +273,7 @@ def duck_pq_adc_sql(n_queries: int, k_results: int) -> str:
     add = "d0"
     for i in range(1, M):
         add = f"({add} + d{i})"
-    return f"""WITH {duck_pq_ctes()},
+    body = f"""WITH {duck_pq_ctes()},
 qlut AS (
   SELECT q.query_id, c.m, c.k, {pd} AS pd
   FROM (
@@ -226,7 +289,10 @@ parts AS (
   FROM codes cd JOIN qlut l ON l.m = cd.m AND l.k = cd.code
   GROUP BY l.query_id, cd.doc_id
 ),
-fin AS (SELECT query_id, doc_id, {add} AS adist_raw FROM parts)
+fin AS (SELECT query_id, doc_id, {add} AS adist_raw FROM parts)"""
+    if refine_k is not None:
+        return body + _duck_refine_tail(k_results, refine_k)
+    return body + f"""
 SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank, ROUND(adist_raw, 6) AS adist
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_raw, doc_id) AS rn
@@ -234,9 +300,12 @@ FROM (
 ) WHERE rn <= {k_results}"""
 
 
-def duck_ivf_pq_sql(n_queries: int, n_cent: int, nprobe: int, k_results: int) -> str:
+def duck_ivf_pq_sql(
+    n_queries: int, n_cent: int, nprobe: int, k_results: int, refine_k: int | None = None
+) -> str:
     """IVF∘PQ oracle: fixed-centroid probing narrows candidates, ADC
-    ranks them. Reuses the PQ CTEs plus the fixed-IVF assignment SQL."""
+    ranks them. Reuses the PQ CTEs plus the fixed-IVF assignment SQL.
+    With refine_k set, the exact-re-rank tail (IVFADC+R) is appended."""
     from vector_search_ner_spark.functions.vector import duck_l2
 
     pd = _DUCK_SQD.format(n=SUB + 1, a="q.sv", b="c.cw")
@@ -246,7 +315,7 @@ def duck_ivf_pq_sql(n_queries: int, n_cent: int, nprobe: int, k_results: int) ->
     add = "d0"
     for i in range(1, M):
         add = f"({add} + d{i})"
-    return f"""WITH {duck_pq_ctes()},
+    body = f"""WITH {duck_pq_ctes()},
 cent AS (
   SELECT CAST(vec_id AS INTEGER) AS cluster_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
@@ -286,7 +355,10 @@ parts AS (
   JOIN qlut l ON l.m = cd.m AND l.k = cd.code AND l.query_id = pr.query_id
   GROUP BY pr.query_id, pr.doc_id
 ),
-fin AS (SELECT query_id, doc_id, {add} AS adist_raw FROM parts)
+fin AS (SELECT query_id, doc_id, {add} AS adist_raw FROM parts)"""
+    if refine_k is not None:
+        return body + _duck_refine_tail(k_results, refine_k)
+    return body + f"""
 SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank, ROUND(adist_raw, 6) AS adist
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_raw, doc_id) AS rn

@@ -77,7 +77,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_windows",
     oracle=f"""
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '{SESSION_GAP_MIN} minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -85,7 +85,7 @@ WITH gaps AS (
   FROM events
 ), sessions AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM gaps
 )
@@ -169,7 +169,10 @@ def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
        epoch_us(v.ts) AS view_us, v.value AS view_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+) v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 """,
 )
@@ -184,7 +187,13 @@ def asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    # one view row per (user_id, ts): duplicate-timestamp payloads would
+    # otherwise make "the most recent view" engine-order-dependent
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
     joined = asof_join(clicks, views, on=["user_id"], ts_col="ts", payload_cols=["ts", "value"])
     return joined.select(
         "event_id",
@@ -201,7 +210,10 @@ def asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
        epoch_us(v.ts) AS view_us, v.value AS view_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+) v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 """,
 )
@@ -217,7 +229,13 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    # one view row per (user_id, ts): duplicate-timestamp payloads would
+    # otherwise make "the most recent view" engine-order-dependent
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:

@@ -421,4 +421,6 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         F.sum("n_events").alias("n_events"),
     ).select(F.lit("TOTAL").alias("day"), "est_users", "n_events")
-    return per_day.unionByName(total).orderBy("day")
+    # explicit total-last sort key: do not rely on 'TOTAL' collating
+    # after ISO dates in whatever locale/format the day strings take
+    return per_day.unionByName(total).orderBy((F.col("day") == "TOTAL").cast("int"), "day")
