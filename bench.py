@@ -66,6 +66,15 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer reads
     queries[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # warm the Python/Arrow worker pool too (fork + Arrow init is a
+    # one-time session cost, not a property of whichever UDF-bearing
+    # query happens to run first)
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda v: v * 1.0, "double")
+    spark.range(1000).repartition(32).select(
+        _warm(F.col("id").cast("double"))
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -526,3 +526,27 @@ def test_asof_deterministic_under_duplicate_ts(spark):
             payload_cols=["value"],
         ).collect()
         assert len(out) == 1 and out[0].value_asof == 7.0, out
+
+
+def test_lsh_star_edges_linear_in_clique(spark):
+    """A full-duplicate clique must produce O(n) star edges (vs the
+    O(n^2) all-pairs bucket join) and label every member into ONE
+    cluster — the cluster-emitting dedup scaling property."""
+    from vector_search_ner_spark.operators import neardup as nd
+    from vector_search_ner_spark.operators.dedup import connected_components
+
+    n = 120
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text) for i in range(n)] + [(500, "totally different content here now ok yes")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = nd.lsh_star_edges(docs)
+    n_edges = edges.count()
+    assert n_edges <= (n + 1) * nd.N_BANDS, n_edges  # linear, not n^2/2
+    labels = connected_components(edges).collect()
+    clusters = {}
+    for r in labels:
+        clusters.setdefault(r.cluster_id, set()).add(r.node)
+    assert set(map(frozenset, clusters.values())) == {
+        frozenset(range(n)),
+        frozenset({500}),
+    }

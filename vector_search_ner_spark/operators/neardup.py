@@ -369,6 +369,45 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_star_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Star edges over MinHash-LSH buckets: every doc connects to the
+    MIN sid of each (band, key) bucket it lands in. A full-duplicate
+    clique of n docs emits O(n · N_BANDS) edges instead of the O(n²)
+    pairs an all-pairs bucket join produces — the edge set has the
+    SAME connected components as bucket co-membership (any two
+    same-bucket docs connect through the hub), which is what a
+    cluster-emitting dedup needs. Self-edges for bucket hubs mean
+    every doc appears in the output, so downstream labeling covers
+    singletons too. Returns (doc_a=hub, doc_b=member)."""
+    sh = docs.select(
+        F.col(id_col).alias("sid"), word_shingles(F.col(text_col)).alias("shingles")
+    )
+    sigs = sh.withColumn("hashes", shingle_hashes(F.col("shingles"))).select(
+        "sid", *minhash_signature_cols(F.col("hashes"))
+    )
+    bands = sigs.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_key("mh", bi).alias("key"))
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    hub = F.min("sid").over(Window.partitionBy("band", "key"))
+    return (
+        bands.withColumn("hub", hub)
+        .select(F.col("hub").alias("doc_a"), F.col("sid").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int,

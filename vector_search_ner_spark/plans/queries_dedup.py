@@ -298,3 +298,65 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("source") == "src0")
     train = docs.where(F.col("source") != "src0")
     return nd.contamination_best_match(bench, train)
+
+
+def _duck_lsh_clusters() -> str:
+    """Recursive-CTE oracle for LSH bucket components: same band-key
+    derivation as the minhash oracle, star edges to each bucket's min
+    sid, then min-reachable-node closure."""
+    shingles = nd.duck_word_shingles()
+    sig_cols = ",\n       ".join(
+        f"{nd.duck_minhash_sig(j, 'shingles')} AS mh{j}" for j in range(nd.N_PERM)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT sid, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
+        for bi in range(nd.N_BANDS)
+    )
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS sid, {shingles} AS shingles FROM documents
+), sigs AS (
+  SELECT sid, shingles,
+       {sig_cols}
+  FROM sh
+), bands AS (
+{band_selects}
+), hubs AS (
+  SELECT band, key, MIN(sid) AS hub FROM bands GROUP BY band, key
+), sym AS (
+  SELECT DISTINCT b.sid AS a, h.hub AS b
+  FROM bands b JOIN hubs h ON b.band = h.band AND b.key = h.key
+  UNION
+  SELECT DISTINCT h.hub AS a, b.sid AS b
+  FROM bands b JOIN hubs h ON b.band = h.band AND b.key = h.key
+), nodes AS (SELECT DISTINCT sid AS node FROM bands),
+reach(node, anc) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.anc = s.a
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(anc) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters_lsh", oracle=_duck_lsh_clusters())
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-emitting LSH dedup: MinHash band buckets -> star edges
+    to each bucket's min-sid hub -> connected components. Every doc
+    gets a cluster label (singletons label themselves), and a
+    full-duplicate clique of n docs moves O(n * bands) edges through
+    the labeler instead of the O(n^2) pairs of the all-pairs bucket
+    join — the shape that survives a corpus where a boilerplate doc
+    is ingested a million times. Candidate-level semantics by design
+    (bucket co-membership, no Jaccard verify): the cluster is the
+    REVIEW unit; pairwise-verified clustering stays available as
+    dedup_clusters_cc. Oracle = recursive-CTE transitive closure over
+    the same star edges."""
+    from vector_search_ner_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = nd.lsh_star_edges(docs)
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("doc_id"), F.col("cluster_id").cast("long")
+    )

@@ -35,10 +35,15 @@ Differences, declared:
 
 Scale shape: ONE slim cross join (docs × broadcast probe batch)
 computes score + boolean predicate flags, drops the text column, and
-is persisted; every lattice stage is then a filter + per-query
-windowed top-k over that relation (WindowGroupLimit partial top-k),
-and every deficit gate is a broadcast semi-join on counts. Doc
-embedding is an Arrow-batched pandas UDF, map-only.
+is persisted; the whole ①②③⑤ cascade then runs in a SINGLE window
+pass over that relation — stage ranks are conditional cumulative sums
+sharing one (query_id → score, doc_id) sort, and every deficit gate
+is a whole-partition aggregate in the same pass (each (query, doc)
+appears exactly once, so COUNT(DISTINCT) over unions of stage sets
+reduces to sums of OR-ed flags). Stage ④ ranks per (query, synonym)
+in a second small window; merge + fusion touch only the selected ~K
+rows per query. Doc embedding is an Arrow-batched pandas UDF,
+map-only.
 
 The query batch is chosen so every stage is exercised at the driver's
 sf0.01: q0/q2/q3 fill at ①, q1 relaxes to ② (10 docs), q5's rare
@@ -257,6 +262,17 @@ FROM (
 
 @query("staged_retrieval_pipeline", oracle=_duck_staged_oracle())
 def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-window-pass lattice execution: every main stage's
+    per-query top-k shares ONE (query_id → score desc, doc_id) sort,
+    so stage ranks are conditional cumulative sums and deficit gates
+    are whole-partition aggregates computed in the SAME pass — one
+    shuffle for the entire ①②③⑤ cascade instead of a window + a
+    count semi-join per stage (each (query, doc) appears exactly once
+    in the main scored relation, so COUNT(DISTINCT doc) over a union
+    of stage sets is a sum of OR-ed membership flags). Stage ④ ranks
+    per (query, synonym) on its own vectors in a second small window;
+    the first-wins merge and final fusion rank run over the ~K
+    selected rows per query only."""
     # ---- probe batch: one main probe per query + one per (query,
     # synonym) pair, each carrying ITS OWN query text to embed
     rows = []
@@ -310,52 +326,13 @@ def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     main = scored_all.where(F.col("syn_idx") == -1).drop("syn_idx", "hs")
     syn_rows = scored_all.where(F.col("syn_idx") >= 0)
 
-    qids = spark.createDataFrame([(q,) for q, _, _ in QUERIES], "query_id int")
     in_r = F.col("query_id").isin(_IDS_R)
     in_j = F.col("query_id").isin(_IDS_J)
+    in_both = F.col("query_id").isin(_IDS_BOTH)
     cols = ["query_id", "doc_id", "lang", "score", "hr", "hj", "stage"]
 
-    def stage_topk(df: DataFrame, k: int, stage) -> DataFrame:
-        return (
-            topk_per_query(df, k, "query_id", "score", "doc_id")
-            .drop("rank")
-            .withColumn("stage", F.lit(stage))
-            .select(*cols)
-        )
-
-    def below(frames: list[DataFrame], min_hits: int, only_ids=None) -> DataFrame:
-        u = frames[0].select("query_id", "doc_id")
-        for f in frames[1:]:
-            u = u.unionByName(f.select("query_id", "doc_id"))
-        counts = u.groupBy("query_id").agg(F.count_distinct("doc_id").alias("__n"))
-        out = (
-            qids.join(counts, "query_id", "left")
-            .where(F.coalesce(F.col("__n"), F.lit(0)) < min_hits)
-        )
-        if only_ids is not None:
-            out = out.where(F.col("query_id").isin(only_ids))
-        return out.select("query_id")
-
-    # ① AND of the present fields
-    s1 = stage_topk(main.where((F.col("hr") | ~in_r) & (F.col("hj") | ~in_j)), STAGE_K, 0)
-    # ② OR relaxation — deficit queries having both fields
-    need2 = below([s1], DEFICIT_MIN, _IDS_BOTH)
-    s2 = stage_topk(
-        main.join(need2, "query_id", "left_semi").where(F.col("hr") | F.col("hj")),
-        STAGE_K,
-        1,
-    )
-    # ③ region-only ∪ job-only — still-deficit queries, per-field presence
-    need3 = below([s1, s2], DEFICIT_MIN)
-    s3r = stage_topk(
-        main.join(need3, "query_id", "left_semi").where(F.col("hr") & in_r), STAGE_K, 2
-    )
-    s3j = stage_topk(
-        main.join(need3, "query_id", "left_semi").where(F.col("hj") & in_j), STAGE_K, 3
-    )
-    # ④ synonym expansion — unconditional, ranked by the SYN query vector;
-    # stage = 10 + syn_idx so the global first-wins merge keeps the
-    # earliest synonym's row (reference merges syn searches in order)
+    # ---- stage ④ first (its doc set feeds the ⑤ gate): per-(query,
+    # synonym) top-k on the synonym probe's own vector
     w4 = Window.partitionBy("query_id", "syn_idx").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -366,14 +343,57 @@ def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("stage", F.lit(10) + F.col("syn_idx"))
         .select(*cols)
     )
-    # ⑤ unfiltered fallback for queries still under 15 candidates
-    need5 = below([s1, s2, s3r, s3j, s4], FALLBACK_K)
-    s5 = stage_topk(main.join(need5, "query_id", "left_semi"), FALLBACK_K, 100)
+    s4_docs = s4.select("query_id", "doc_id").distinct().withColumn("in4", F.lit(True))
 
-    # global first-wins merge (earliest stage wins per (query, doc))
-    merged = s1
-    for f in (s2, s3r, s3j, s4, s5):
-        merged = merged.unionByName(f)
+    # ---- the ①②③⑤ cascade in one window pass over `main`
+    w_ord = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_q = Window.partitionBy("query_id")
+
+    def csum(cond):
+        return F.sum(cond.cast("int")).over(w_cum)
+
+    def qsum(cond):
+        return F.sum(cond.cast("int")).over(w_q)
+
+    p1 = (F.col("hr") | ~in_r) & (F.col("hj") | ~in_j)
+    p2 = F.col("hr") | F.col("hj")
+    p3r = F.col("hr") & in_r
+    p3j = F.col("hj") & in_j
+    x = main.join(F.broadcast(s4_docs), ["query_id", "doc_id"], "left").select(
+        *[c for c in main.columns],
+        F.coalesce(F.col("in4"), F.lit(False)).alias("in4"),
+        (p1 & (csum(p1) <= STAGE_K)).alias("in1"),
+        (p2 & (csum(p2) <= STAGE_K)).alias("r2ok"),
+        (p3r & (csum(p3r) <= STAGE_K)).alias("r3rok"),
+        (p3j & (csum(p3j) <= STAGE_K)).alias("r3jok"),
+        (F.row_number().over(w_ord) <= FALLBACK_K).alias("r5ok"),
+    )
+    x = x.withColumn("in2", (qsum(F.col("in1")) < DEFICIT_MIN) & in_both & F.col("r2ok"))
+    x = x.withColumn(
+        "in3", qsum(F.col("in1") | F.col("in2")) < DEFICIT_MIN
+    ).withColumn("in3r", F.col("in3") & F.col("r3rok")).withColumn(
+        "in3j", F.col("in3") & F.col("r3jok")
+    )
+    sel13 = F.col("in1") | F.col("in2") | F.col("in3r") | F.col("in3j")
+    x = x.withColumn(
+        "in5", (qsum(sel13 | F.col("in4")) < FALLBACK_K) & F.col("r5ok")
+    )
+    main_stage = (
+        F.when(F.col("in1"), 0)
+        .when(F.col("in2"), 1)
+        .when(F.col("in3r"), 2)
+        .when(F.col("in3j"), 3)
+        .when(F.col("in5"), 100)
+    )
+    main_sel = (
+        x.withColumn("stage", main_stage).where(F.col("stage").isNotNull()).select(*cols)
+    )
+
+    # ---- global first-wins merge over the few selected rows per query
+    merged = main_sel.unionByName(s4)
     w_m = Window.partitionBy("query_id", "doc_id").orderBy(F.col("stage").asc())
     winner = merged.withColumn("mrn", F.row_number().over(w_m)).where(F.col("mrn") == 1)
 
@@ -383,6 +403,8 @@ def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", fuse_scores(F.col("score"), meta).alias("combined_score")
     )
     return rank_topn(fused, FINAL_N).select("query_id", "doc_id", "combined_score", "rank")
+
+
 
 
 @query(

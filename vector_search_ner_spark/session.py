@@ -28,6 +28,11 @@ def get_spark(app_name: str = "vector_search_ner_spark", cpus: int | None = None
         # UTC so timestamp values compare 1:1 with the (UTC-naive) DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # split small single-file scans across cores at SCAN time (no
+        # shuffle) so map-side work — notably Arrow UDF stages — runs
+        # parallel even on the tiny local fixtures; at cluster scale
+        # files outnumber cores and this floor is a no-op
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
