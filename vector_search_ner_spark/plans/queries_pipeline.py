@@ -490,3 +490,328 @@ def ner_extract_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("long")
         .alias("length_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# v1 hybrid pipeline (the "remind" generation): LLM_NER-filtered full
+# scan, POST-filtered ANN stages, hybrid top-up, rerank
+# ---------------------------------------------------------------------------
+
+# (query_id, region_term, job_term) for the v1 surface. Regions are the
+# doc-NER region values ('domestic'/'international'); jobs are doc-NER
+# job values (substring-matched, like v1's lowercase `in` tests).
+QUERIES_V1 = [
+    (0, "domestic", "join"),     # NER filter rich → filtered initial set
+    (1, None, "sort"),           # job-only user
+    (2, "domestic", None),       # region-only user (stages all skip)
+    (3, "domestic", "merge"),    # NER set is 5..14 docs → HYBRID fires
+    (4, None, "neardup"),        # OOV job → initial falls back to all; ④ via synonyms
+    (5, "international", "zzzz"),  # OOV job → fallback to all
+]
+SYNONYMS_V1 = [
+    ("neardup", "sort", 0),
+    ("neardup", "scan", 1),
+]
+_V1_IDS_R = [q for q, r, _ in QUERIES_V1 if r is not None]
+_V1_IDS_J = [q for q, _, j in QUERIES_V1 if j is not None]
+_V1_IDS_BOTH = [q for q, r, j in QUERIES_V1 if r is not None and j is not None]
+V1_INIT_K = 1000   # main_remind.py:462 ("k large ≈ full scan")
+V1_STAGE_K = 10    # ANN fetch size AND truncation of每 stage (main_remind.py:142,157)
+V1_MIN_INIT = 5    # fallback gate (main_remind.py:473-474)
+V1_HYBRID_K = 15   # hybrid top-up size + gate (main_remind.py:500-505)
+
+_DOC_JOB_CASE = """CASE WHEN contains(text, 'join') THEN 'join'
+        WHEN contains(text, 'sort') THEN 'sort'
+        WHEN contains(text, 'merge') THEN 'merge'
+        WHEN contains(text, 'scan') THEN 'scan' ELSE NULL END"""
+_DOC_REGION_CASE = "CASE lang WHEN 'en' THEN 'domestic' ELSE 'international' END"
+
+
+def _duck_v1_oracle() -> str:
+    qvals = ", ".join(
+        f"({qid}, {_sql_lit(r)}, {_sql_lit(j)})" for qid, r, j in QUERIES_V1
+    )
+    svals = ", ".join(f"('{t}', '{s}', {i})" for t, s, i in SYNONYMS_V1)
+    cos_m = duck_cosine("mv.emb", "dv.emb")
+    cos_j = duck_cosine("jv.emb", "dv.emb")
+    cos_s = duck_cosine("sv.emb", "dv.emb")
+    rank = "row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id)"
+    return f"""
+WITH qdef1(query_id, region, job) AS (VALUES {qvals}),
+syndef1(job, synonym, syn_idx) AS (VALUES {svals}),
+dsrc AS (
+  SELECT doc_id, text, lang,
+         substring(text, 1, 30) AS title,
+         {_DOC_JOB_CASE} AS ner_job,
+         {_DOC_REGION_CASE} AS region_str
+  FROM documents
+),
+{_duck_embed_cte("dsrc", "doc_id", "text", "d")},
+msrc AS (
+  SELECT query_id, concat_ws(' ', job, region) AS mtext FROM qdef1
+),
+{_duck_embed_cte("msrc", "query_id", "mtext", "m")},
+jsrc AS (
+  SELECT query_id, COALESCE(job, '') AS jtext FROM qdef1
+),
+{_duck_embed_cte("jsrc", "query_id", "jtext", "j")},
+ssrc AS (
+  SELECT q.query_id, s.syn_idx, s.synonym, s.synonym AS stext
+  FROM qdef1 q JOIN syndef1 s ON q.job = s.job
+),
+{_duck_embed_cte("ssrc", "query_id, syn_idx", "stext", "s")},
+mscored AS (
+  SELECT q.query_id, d.doc_id, d.lang, {cos_m} AS score,
+         COALESCE(contains(COALESCE(d.ner_job, ''), q.job), FALSE) AS jm,
+         COALESCE(contains(d.region_str, q.region), FALSE) AS rm
+  FROM qdef1 q
+  JOIN m_vec mv ON q.query_id = mv.query_id
+  CROSS JOIN dsrc d JOIN d_vec dv ON d.doc_id = dv.doc_id
+),
+jscored AS (
+  SELECT q.query_id, d.doc_id, d.lang, {cos_j} AS score,
+         COALESCE(contains(COALESCE(d.ner_job, ''), q.job), FALSE) AS jm,
+         COALESCE(contains(d.region_str, q.region), FALSE) AS rm,
+         COALESCE(contains(d.title, q.job), FALSE) AS tj
+  FROM qdef1 q
+  JOIN j_vec jv ON q.query_id = jv.query_id
+  CROSS JOIN dsrc d JOIN d_vec dv ON d.doc_id = dv.doc_id
+),
+sscored AS (
+  SELECT p.query_id, p.syn_idx, d.doc_id, d.lang, {cos_s} AS score,
+         COALESCE(contains(COALESCE(d.ner_job, ''), q.job), FALSE) AS jm,
+         COALESCE(contains(d.region_str, q.region), FALSE) AS rm,
+         COALESCE(contains(d.title, p.synonym), FALSE) AS ts
+  FROM ssrc p
+  JOIN qdef1 q ON p.query_id = q.query_id
+  JOIN s_vec sv ON p.query_id = sv.query_id AND p.syn_idx = sv.syn_idx
+  CROSS JOIN dsrc d JOIN d_vec dv ON d.doc_id = dv.doc_id
+),
+capped AS (
+  SELECT * FROM (
+    SELECT sc.*, q.region AS q_region, q.job AS q_job, {rank} AS rcap
+    FROM mscored sc JOIN qdef1 q ON sc.query_id = q.query_id
+  ) WHERE rcap <= {V1_INIT_K}
+),
+flt AS (
+  SELECT *, (q_job IS NULL OR jm) AND (q_region IS NULL OR rm) AS ner_ok
+  FROM capped
+),
+init AS (
+  SELECT f.query_id, f.doc_id, f.lang, f.score, f.jm, f.rm
+  FROM flt f
+  JOIN (SELECT query_id, SUM(CASE WHEN ner_ok THEN 1 ELSE 0 END) AS n_f
+        FROM flt GROUP BY query_id) c ON f.query_id = c.query_id
+  WHERE f.ner_ok OR c.n_f < {V1_MIN_INIT}
+),
+jrank AS (
+  SELECT * FROM (
+    SELECT sc.*, q.region IS NOT NULL AS has_r, {rank} AS rn
+    FROM jscored sc JOIN qdef1 q ON sc.query_id = q.query_id
+    WHERE q.job IS NOT NULL
+  ) WHERE rn <= {V1_STAGE_K}
+),
+s1 AS (SELECT query_id, doc_id, lang, score, jm, rm FROM jrank WHERE has_r AND tj AND rm),
+s2 AS (SELECT query_id, doc_id, lang, score, jm, rm FROM jrank WHERE tj),
+s3 AS (
+  SELECT query_id, doc_id, lang, score, jm, rm, 10 + syn_idx AS stage FROM (
+    SELECT sc.*, row_number() OVER (
+      PARTITION BY sc.query_id, sc.syn_idx
+      ORDER BY sc.score DESC, sc.doc_id) AS rn
+    FROM sscored sc WHERE sc.ts
+  ) WHERE rn <= {V1_STAGE_K}
+),
+npre AS (
+  SELECT query_id, COUNT(DISTINCT doc_id) AS n FROM (
+    SELECT query_id, doc_id FROM init UNION SELECT query_id, doc_id FROM s1
+    UNION SELECT query_id, doc_id FROM s2 UNION SELECT query_id, doc_id FROM s3
+  ) GROUP BY query_id
+),
+hyb AS (
+  SELECT query_id, doc_id, lang, score, jm, rm FROM (
+    SELECT sc.*, {rank} AS rn
+    FROM mscored sc JOIN npre n ON sc.query_id = n.query_id AND n.n < {V1_HYBRID_K}
+  ) WHERE rn <= {V1_HYBRID_K}
+),
+allst AS (
+  SELECT query_id, doc_id, lang, score, jm, rm, 0 AS stage FROM init
+  UNION ALL SELECT query_id, doc_id, lang, score, jm, rm, 1 FROM s1
+  UNION ALL SELECT query_id, doc_id, lang, score, jm, rm, 2 FROM s2
+  UNION ALL SELECT query_id, doc_id, lang, score, jm, rm, stage FROM s3
+  UNION ALL SELECT query_id, doc_id, lang, score, jm, rm, 100 FROM hyb
+),
+mrg AS (
+  SELECT * FROM (
+    SELECT a.*, row_number() OVER (PARTITION BY query_id, doc_id ORDER BY stage) AS mrn
+    FROM allst a
+  ) WHERE mrn = 1
+),
+fused AS (
+  SELECT query_id, doc_id,
+         ROUND(0.7 * score + 0.3 * ((
+             CAST(jm AS INTEGER) + CAST(rm AS INTEGER)
+           + CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+         ) / 3.0), 4) AS combined_score
+  FROM mrg
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, combined_score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT f.*, row_number() OVER (
+    PARTITION BY query_id ORDER BY combined_score DESC, doc_id) AS rank
+  FROM fused f
+) WHERE rank <= {FINAL_N}
+"""
+
+
+@query("staged_retrieval_v1_hybrid", oracle=_duck_v1_oracle())
+def staged_retrieval_v1_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's v1 ("remind") hybrid pipeline, stage for stage
+    (/root/reference/main_remind.py:452-512):
+
+      ① k=1000 full-corpus ANN by embed(f"{job} {region}") filtered by
+         the doc-side LLM_NER metadata (user job substring-in doc NER
+         job AND user region substring-in doc NER region, missing user
+         field passes — search_by_llm_ner, main_remind.py:409-447);
+         if < 5 survive, FALL BACK to the whole top-1000 set
+         (main_remind.py:473-474).
+      ② param_filter_search stages (main_remind.py:137-156): ANN
+         k=10 by embed(job) FIRST, then the client-side POST-filter
+         (region substring-in metadata 근무지역, job substring-in
+         채용제목/title) — the v1 flaw the survey documents: stages
+         can silently return < k rows. stage1 region+job (both
+         present), stage2 job-only, stage3 per-synonym job-only.
+      ③ first-wins merge; if < 15 candidates, hybrid top-15 by the
+         initial query vector (main_remind.py:500-505); 0.7/0.3
+         rerank; top-5.
+
+    Doc metadata analogues: NER job/region from the deterministic rule
+    extractor (same CASE as ner_extract_rule), title = first 30 chars.
+    Same single-window-pass execution shape as the v2 pipeline; the
+    q3 ('domestic','merge') NER set is 8 docs at the driver SF, so the
+    hybrid top-up gate genuinely FIRES, and OOV jobs exercise the
+    fall-back-to-all branch."""
+    rows = []
+    for qid, region, job in QUERIES_V1:
+        mtext = " ".join(t for t in (job, region) if t)
+        rows.append((qid, 0, -1, region, job, None, mtext))
+        rows.append((qid, 1, -1, region, job, None, job or ""))
+    for job_term, syn, idx in SYNONYMS_V1:
+        for qid, region, job in QUERIES_V1:
+            if job == job_term:
+                rows.append((qid, 2, idx, region, job, syn, syn))
+    probes = spark.createDataFrame(
+        rows,
+        "query_id int, kind int, syn_idx int, region string, job string, synonym string, ptext string",
+    )
+    emb = HashingEmbedder()
+    probes = probes.withColumn("pvec", emb.embed_col(F.col("ptext"))).withColumn(
+        "__pnorm", l2_norm(F.col("pvec"))
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.substring("text", 1, 30).alias("title"),
+            F.expr(_DOC_JOB_CASE).alias("ner_job"),
+            F.expr(_DOC_REGION_CASE).alias("region_str"),
+        )
+        .withColumn("dvec", emb.embed_col(F.col("text")))
+        .withColumn("__dnorm", l2_norm(F.col("dvec")))
+    )
+    denom = F.col("__pnorm") * F.col("__dnorm")
+    score = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col("pvec"), F.col("dvec")) / denom
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(probes))
+        .select(
+            "query_id",
+            "kind",
+            "syn_idx",
+            "doc_id",
+            "lang",
+            score.alias("score"),
+            F.coalesce(
+                F.coalesce(F.col("ner_job"), F.lit("")).contains(F.col("job")), F.lit(False)
+            ).alias("jm"),
+            F.coalesce(F.col("region_str").contains(F.col("region")), F.lit(False)).alias("rm"),
+            F.coalesce(F.col("title").contains(F.col("job")), F.lit(False)).alias("tj"),
+            F.coalesce(F.col("title").contains(F.col("synonym")), F.lit(False)).alias("ts"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    in_r = F.col("query_id").isin(_V1_IDS_R)
+    in_j = F.col("query_id").isin(_V1_IDS_J)
+    in_both = F.col("query_id").isin(_V1_IDS_BOTH)
+    cols = ["query_id", "doc_id", "lang", "score", "jm", "rm", "stage"]
+
+    # ---- POST-filtered ANN stages over the job-probe frame
+    w_ord = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    jx = (
+        scored.where((F.col("kind") == 1) & in_j)
+        .withColumn("rn", F.row_number().over(w_ord))
+        .where(F.col("rn") <= V1_STAGE_K)
+    )
+    s1 = jx.where(in_both & F.col("tj") & F.col("rm")).withColumn("stage", F.lit(1)).select(*cols)
+    s2 = jx.where(F.col("tj")).withColumn("stage", F.lit(2)).select(*cols)
+    w_syn = Window.partitionBy("query_id", "syn_idx").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    s3 = (
+        scored.where((F.col("kind") == 2) & F.col("ts"))
+        .withColumn("rn", F.row_number().over(w_syn))
+        .where(F.col("rn") <= V1_STAGE_K)
+        .withColumn("stage", F.lit(10) + F.col("syn_idx"))
+        .select(*cols)
+    )
+    stage_docs = (
+        s1.select("query_id", "doc_id")
+        .unionByName(s2.select("query_id", "doc_id"))
+        .unionByName(s3.select("query_id", "doc_id"))
+        .distinct()
+        .withColumn("in_stage", F.lit(True))
+    )
+
+    # ---- ① + ③ in one window pass over the main-probe frame
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_q = Window.partitionBy("query_id")
+    ner_ok = (F.col("jm") | ~in_j) & (F.col("rm") | ~in_r)
+    x = (
+        scored.where(F.col("kind") == 0)
+        .join(F.broadcast(stage_docs), ["query_id", "doc_id"], "left")
+        .withColumn("rall", F.row_number().over(w_ord))
+        .where(F.col("rall") <= V1_INIT_K)
+        .withColumn("ner_ok", ner_ok)
+    )
+    x = x.withColumn(
+        "init_sel",
+        F.col("ner_ok")
+        | (F.sum(F.col("ner_ok").cast("int")).over(w_q) < V1_MIN_INIT),
+    )
+    sel_pre = F.col("init_sel") | F.coalesce(F.col("in_stage"), F.lit(False))
+    x = x.withColumn(
+        "hyb_sel",
+        (F.sum(sel_pre.cast("int")).over(w_q) < V1_HYBRID_K)
+        & (F.col("rall") <= V1_HYBRID_K),
+    )
+    main_stage = F.when(F.col("init_sel"), 0).when(F.col("hyb_sel"), 100)
+    main_sel = (
+        x.withColumn("stage", main_stage).where(F.col("stage").isNotNull()).select(*cols)
+    )
+
+    merged = main_sel
+    for f in (s1, s2, s3):
+        merged = merged.unionByName(f)
+    w_m = Window.partitionBy("query_id", "doc_id").orderBy(F.col("stage").asc())
+    winner = merged.withColumn("mrn", F.row_number().over(w_m)).where(F.col("mrn") == 1)
+    meta = overlap_score(F.col("jm"), F.col("rm"), F.col("lang") == "en")
+    fused = winner.select(
+        "query_id", "doc_id", fuse_scores(F.col("score"), meta).alias("combined_score")
+    )
+    return rank_topn(fused, FINAL_N).select("query_id", "doc_id", "combined_score", "rank")
