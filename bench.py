@@ -52,6 +52,9 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "events_funnel_analysis",
     "contamination_check",
+    "staged_retrieval_v1_hybrid",
+    "ann_ivf_pq_refined",
+    "dedup_clusters_lsh",
 ]
 
 
@@ -78,6 +81,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # each query measured with a cold cache: persisted relations
+        # from earlier queries must not evict/spill this one's working
+        # set (nor serve it data it would otherwise compute)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -172,6 +172,24 @@ def test_similarity_full_scan_jvm_rank(spark):
     assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_staged_pipelines_stay_jvm_side(spark):
+    """Both retrieval pipelines must keep ALL lattice logic JVM-side:
+    the only Python in the plan is the Arrow-batched embedder
+    (ArrowEvalPython), never row-at-a-time BatchEvalPython; and the
+    slim scored relation must be persisted (InMemoryTableScan /
+    TableCacheQueryStage) so the stage branches share one
+    materialization."""
+    queries, _ = collect()
+    for name in ("staged_retrieval_pipeline", "staged_retrieval_v1_hybrid"):
+        df = queries[name](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "BatchEvalPython" not in p, (name, p)
+        assert "ArrowEvalPython" in p, (name, p)
+
+
 def test_runtime_bloom_filter_injected(spark):
     """When the fact-fact join can't broadcast, a selective filter on
     one side must inject a runtime bloom filter (might_contain) into
