@@ -52,16 +52,26 @@ def embed_texts_numpy(texts: pd.Series, dim: int = DEFAULT_DIM) -> list[list[flo
 
 
 class HashingEmbedder:
+    # one UDF object per dim, shared across instances: repeated query
+    # invocations then build canonically-EQUAL plans, so Spark's cache
+    # manager dedupes persisted relations derived from the embedder
+    # instead of accumulating a new cache entry per invocation
+    _udf_cache: dict[int, object] = {}
+
     def __init__(self, dim: int = DEFAULT_DIM):
         self.dim = dim
 
     def udf(self):
+        cached = HashingEmbedder._udf_cache.get(self.dim)
+        if cached is not None:
+            return cached
         dim = self.dim
 
         @F.pandas_udf(T.ArrayType(T.FloatType()))
         def embed(texts: pd.Series) -> pd.Series:
             return pd.Series(embed_texts_numpy(texts, dim))
 
+        HashingEmbedder._udf_cache[self.dim] = embed
         return embed
 
     def embed_col(self, text: Column) -> Column:

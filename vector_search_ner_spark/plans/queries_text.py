@@ -631,3 +631,72 @@ def string_fn_gallery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part("text", F.lit(" "), F.lit(2)).alias("second_tok"),
         F.expr("chr(65 + CAST(doc_id % 26 AS INT))").alias("bucket_chr"),
     ).orderBy("doc_id")
+
+
+_RK_P = 1_000_003
+_RK_B = 131
+_RK_K = 8
+_RK_POW = [pow(_RK_B, _RK_K - 1 - j, _RK_P) for j in range(_RK_K)]
+
+
+def _duck_rolling_fp() -> str:
+    th = "(CAST('0x' || substring(md5(toks[i + {j}]), 1, 15) AS BIGINT) % {p})"
+    terms = " + ".join(
+        f"({th.format(j=j, p=_RK_P)} * {_RK_POW[j]}) % {_RK_P}" for j in range(_RK_K)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), w AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {_RK_K - 1}),
+                        i -> ({terms}) % {_RK_P}) AS whashes
+  FROM t WHERE len(toks) >= {_RK_K}
+)
+SELECT doc_id,
+       CAST(len(whashes) AS INTEGER) AS n_windows,
+       CAST(len(list_distinct(whashes)) AS INTEGER) AS n_distinct,
+       CAST(list_min(whashes) AS BIGINT) AS min_fp,
+       CAST(list_sum(list_distinct(whashes)) % {_RK_P} AS BIGINT) AS set_fp
+FROM w
+"""
+
+
+@query("doc_rolling_fingerprint", oracle=_duck_rolling_fp())
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (Rabin-Karp over word
+    k-grams, the winnowing/MOSS family): every k=8-token window gets a
+    polynomial hash sum(t_j * B^(k-1-j)) mod P with precomputed power
+    literals (no modpow at runtime; products stay < 2^53), and the doc
+    is summarized by its window count, distinct-window count, MINIMUM
+    window hash (the winnowing representative — two docs sharing any
+    k-gram run agree on local minima), and the mod-P sum of the
+    distinct window set (an order-free set fingerprint). All integer
+    arithmetic — bit-exact oracle. Map-only: no shuffle; at 100 TB
+    this is the cheap first pass that feeds fingerprint-equality
+    bucketing before any pairwise comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    th = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % _RK_P
+    d = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= _RK_K)
+    d = d.withColumn("thash", F.transform(F.col("toks"), th))
+
+    # window-hash array: explicit k-term polynomial per position
+    def _w(i):
+        acc = None
+        for j in range(_RK_K):
+            term = (F.element_at(F.col("thash"), i + j) * F.lit(_RK_POW[j])) % _RK_P
+            acc = term if acc is None else (acc + term)
+        return acc % _RK_P
+
+    d = d.withColumn(
+        "whashes", F.transform(F.sequence(F.lit(1), F.size("toks") - (_RK_K - 1)), _w)
+    )
+    dist = F.array_distinct(F.col("whashes"))
+    return d.select(
+        "doc_id",
+        F.size("whashes").alias("n_windows"),
+        F.size(dist).alias("n_distinct"),
+        F.array_min("whashes").cast("long").alias("min_fp"),
+        (F.aggregate(dist, F.lit(0).cast("long"), lambda a, x: a + x) % _RK_P).alias("set_fp"),
+    )
