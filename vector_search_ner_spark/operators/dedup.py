@@ -65,8 +65,14 @@ def connected_components(
     shallow (dup clusters are cliques or short chains). At extreme
     scale the large-star/small-star formulation halves rounds; the
     per-round dataflow is identical."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # materialize the edge list ONCE: every iteration joins against
+    # `sym`, and without the checkpoint each round would re-derive the
+    # whole upstream subtree (for LSH edges: tokenize + md5 + 16
+    # minhash permutations per round)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
