@@ -227,3 +227,35 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_catalog_contract_all_tables(spark):
+    """Every fixture table must load through the catalog and expose
+    the columns the queries depend on — a fixture regeneration that
+    changes an encoding or drops a column should fail HERE, by name,
+    not as ~30 downstream AnalysisExceptions (what round 2's events
+    timestamp re-encoding did)."""
+    from vector_search_ner_spark.sources.catalog import TABLES, load_table
+
+    expected = {
+        "region": {"r_regionkey", "r_name"},
+        "nation": {"n_nationkey", "n_name", "n_regionkey"},
+        "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal"},
+        "supplier": {"s_suppkey", "s_name", "s_nationkey"},
+        "part": {"p_partkey", "p_name", "p_retailprice"},
+        "orders": {"o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"},
+        "lineitem": {"l_orderkey", "l_partkey", "l_quantity", "l_shipdate"},
+        "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+        "documents": {"doc_id", "text", "lang", "n_chars", "source"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    for name in TABLES:
+        df = load_table(spark, SF, name)
+        missing = expected[name] - set(df.columns)
+        assert not missing, (name, missing, df.columns)
+        assert df.limit(1).count() == 1, name
+    # dtype contracts the engine normalizes or depends on
+    ev = load_table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    emb = load_table(spark, SF, "embeddings")
+    assert dict(emb.dtypes)["embedding"].startswith("array"), emb.dtypes
