@@ -550,3 +550,21 @@ def test_lsh_star_edges_linear_in_clique(spark):
         frozenset(range(n)),
         frozenset({500}),
     }
+
+
+def test_jvm_embedder_equals_udf_bitexact(spark, sf_dir):
+    """The pure-expression embedder must equal the pandas-UDF embedder
+    bit for bit on real fixture text (slot sums are integer-valued, so
+    fold order can't drift; the float32 normalization cast matches)."""
+    from vector_search_ner_spark.embedder import HashingEmbedder, hashing_embed_frame
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    udf_side = docs.select(
+        "doc_id", HashingEmbedder().embed_col(F.col("text")).alias("udf_emb")
+    )
+    jvm_side = hashing_embed_frame(docs.select("doc_id", "text"), out_col="jvm_emb")
+    both = udf_side.join(jvm_side.select("doc_id", "jvm_emb"), "doc_id").collect()
+    assert len(both) == 200
+    for r in both:
+        assert r.udf_emb == r.jvm_emb, r.doc_id

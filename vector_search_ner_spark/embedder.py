@@ -105,3 +105,64 @@ class SentenceTransformerEmbedder:
             return pd.Series([[float(x) for x in v] for v in vecs])
 
         return embed
+
+
+def hashing_embed_frame(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+):
+    """The SAME feature-hashing embedding as HashingEmbedder with ZERO
+    Python: explode token hashes → hash-aggregate signed counts per
+    (id, slot) → assemble the dense vector → L2-normalize + float32
+    cast, all built-in JVM expressions (the exact dataflow of the
+    DuckDB oracle CTE). Bit-for-bit equal to the UDF: slot sums are
+    integer-valued doubles so partial-aggregation order can't change
+    them, and the final x/norm float32 cast matches — asserted in
+    tests/test_semantics.py.
+
+    Trade vs the UDF, honestly: the UDF is MAP-ONLY (no shuffle, but
+    Python workers + Arrow transfer); this variant shuffles twice
+    (token histogram, then per-doc assembly — both slim integer rows
+    with map-side partial aggregation) but keeps the whole stage
+    JVM-side. A first attempt as a per-row higher-order-function
+    expression (64 nested aggregate() folds) is a trap: Spark
+    evaluates higher-order functions INTERPRETED, not codegen, and it
+    ran ~1000× slower than either of these. (The small per-row folds
+    kept here — 64-element normalization — are fine; the trap is
+    dim × tokens.) Rows with empty text get the zero vector via the
+    left join back to the source frame."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    exploded = df.select(F.col(id_col), F.explode(th).alias("hv"))
+    slotted = exploded.select(
+        id_col,
+        (F.col("hv") % dim).cast("int").alias("slot"),
+        F.when((F.shiftright("hv", 8).bitwiseAND(F.lit(1))) == 1, 1.0)
+        .otherwise(-1.0)
+        .alias("sign"),
+    )
+    hist = (
+        slotted.groupBy(id_col, "slot")
+        .agg(F.sum("sign").alias("v"))
+        .groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("slot", "v"))).alias("m"))
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0.0)),
+    )
+    withraw = df.join(hist, id_col, "left").withColumn("__raw", raw)
+    norm = F.sqrt(
+        F.aggregate(F.col("__raw"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    emb = F.when(
+        norm > 0.0, F.transform(F.col("__raw"), lambda x: (x / norm).cast("float"))
+    ).otherwise(
+        F.transform(F.col("__raw"), lambda x: F.lit(0.0).cast("float"))
+    )
+    return withraw.withColumn(out_col, emb).drop("m", "__raw")

@@ -531,3 +531,25 @@ def ann_ivf_persisted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ann.ivf_topk(queries, index, centroids, k=_IVF_K, nprobe=_IVF_NPROBE)
+
+
+@query("embed_documents_jvm", oracle=_EMBED_ORACLE)
+def embed_documents_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embed stage with ZERO Python: hashing_embed_frame computes
+    the identical feature-hashed vector as the pandas-UDF path with
+    built-in explode/hash-agg/assembly stages (bit-equality asserted
+    in test_semantics) and shares embed_documents_hashing's oracle
+    verbatim. Trades two slim integer shuffles for removing Python
+    workers and Arrow transfer from the index build entirely when the
+    hashing embedder IS the production embedder; the UDF twin remains
+    the drop-in point for model-backed embedders."""
+    from vector_search_ner_spark.embedder import hashing_embed_frame
+    from vector_search_ner_spark.functions.vector import l2_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashing_embed_frame(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.size("embedding").alias("emb_dim"),
+        F.round(l2_norm(F.col("embedding")), 4).alias("emb_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("c0"),
+    )
