@@ -815,3 +815,88 @@ def staged_retrieval_v1_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", fuse_scores(F.col("score"), meta).alias("combined_score")
     )
     return rank_topn(fused, FINAL_N).select("query_id", "doc_id", "combined_score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# E1 front stage: user-message NER parse + profile fallback
+# ---------------------------------------------------------------------------
+
+# (msg_id, user_message, profile_job, profile_region, profile_age) —
+# the ChatRequest batch: free text + a user_profile whose fields fill
+# NER gaps (main.py:443-449). Messages reuse the corpus vocabulary so
+# the rule extractor genuinely fires or misses per field.
+_CHAT_MSGS = [
+    (0, "looking for join work near the big table", "sort", "domestic", "40s"),
+    (1, "anything about scan and batch jobs", None, "international", None),
+    (2, "just browsing", "merge", "domestic", "30s"),
+    (3, "sort pipelines in a fast cluster", None, None, "50s"),
+    (4, "", "join", "international", None),
+]
+
+
+@query(
+    "user_ner_parse",
+    oracle=f"""
+WITH req(msg_id, user_message, profile_job, profile_region, profile_age) AS (
+  VALUES {", ".join(f"({i}, {_sql_lit(m)}, {_sql_lit(j)}, {_sql_lit(r)}, {_sql_lit(a)})" for i, m, j, r, a in _CHAT_MSGS)}
+), ner AS (
+  SELECT msg_id, user_message, profile_job, profile_region, profile_age,
+         CASE WHEN contains(user_message, 'join') THEN 'join'
+              WHEN contains(user_message, 'sort') THEN 'sort'
+              WHEN contains(user_message, 'merge') THEN 'merge'
+              WHEN contains(user_message, 'scan') THEN 'scan'
+              ELSE NULL END AS ner_job,
+         CASE WHEN contains(user_message, 'near') THEN 'domestic'
+              WHEN contains(user_message, 'cluster') THEN 'international'
+              ELSE NULL END AS ner_region
+  FROM req
+)
+SELECT msg_id,
+       user_message = '' AS is_empty_query,
+       COALESCE(ner_job, profile_job) AS job,
+       COALESCE(ner_region, profile_region) AS region,
+       profile_age AS age_band,
+       ner_job IS NULL AND profile_job IS NOT NULL AS job_from_profile,
+       ner_region IS NULL AND profile_region IS NOT NULL AS region_from_profile
+FROM ner
+""",
+)
+def user_ner_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1's front stage as a batch operator: rule-NER over raw user
+    messages (the deterministic twin of the LLM NER chain,
+    /root/reference/main.py:421-439; LLM impls stay behind the
+    extractor interface) followed by the profile fallback — each
+    missing NER field is filled from the user_profile exactly as the
+    chat endpoint does (main.py:443-449) — plus the empty-query guard
+    flag the endpoint returns early on (main.py:419-426). The output
+    (job, region, age_band) triple is precisely the user_ner dict the
+    staged pipelines consume; `sf_dir` is unused (request-side data),
+    kept for the uniform query signature."""
+    req = spark.createDataFrame(
+        _CHAT_MSGS,
+        "msg_id int, user_message string, profile_job string, profile_region string, profile_age string",
+    )
+    ner_job = (
+        F.when(F.col("user_message").contains("join"), "join")
+        .when(F.col("user_message").contains("sort"), "sort")
+        .when(F.col("user_message").contains("merge"), "merge")
+        .when(F.col("user_message").contains("scan"), "scan")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    ner_region = (
+        F.when(F.col("user_message").contains("near"), "domestic")
+        .when(F.col("user_message").contains("cluster"), "international")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    x = req.withColumn("ner_job", ner_job).withColumn("ner_region", ner_region)
+    return x.select(
+        "msg_id",
+        (F.col("user_message") == "").alias("is_empty_query"),
+        F.coalesce("ner_job", "profile_job").alias("job"),
+        F.coalesce("ner_region", "profile_region").alias("region"),
+        F.col("profile_age").alias("age_band"),
+        (F.col("ner_job").isNull() & F.col("profile_job").isNotNull()).alias("job_from_profile"),
+        (F.col("ner_region").isNull() & F.col("profile_region").isNotNull()).alias(
+            "region_from_profile"
+        ),
+    )
