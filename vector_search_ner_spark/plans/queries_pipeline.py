@@ -96,11 +96,6 @@ SYNONYMS = [
     ("neardup", "stream", 1),
 ]
 
-_IDS_R = [q for q, r, _ in QUERIES if r is not None]
-_IDS_J = [q for q, _, j in QUERIES if j is not None]
-_IDS_BOTH = [q for q, r, j in QUERIES if r is not None and j is not None]
-
-
 def _sql_lit(v) -> str:
     return "NULL" if v is None else "'" + v + "'"
 
@@ -320,15 +315,19 @@ def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("text").contains(F.col("region")), F.lit(False)).alias("hr"),
             F.coalesce(F.col("text").contains(F.col("job")), F.lit(False)).alias("hj"),
             F.coalesce(F.col("text").contains(F.col("synonym")), F.lit(False)).alias("hs"),
+            F.col("region").isNotNull().alias("qr"),
+            F.col("job").isNotNull().alias("qj"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     main = scored_all.where(F.col("syn_idx") == -1).drop("syn_idx", "hs")
     syn_rows = scored_all.where(F.col("syn_idx") >= 0)
 
-    in_r = F.col("query_id").isin(_IDS_R)
-    in_j = F.col("query_id").isin(_IDS_J)
-    in_both = F.col("query_id").isin(_IDS_BOTH)
+    # field-presence gates come from the probe rows themselves — the
+    # lattice works for ANY query batch, nothing is hard-coded
+    in_r = F.col("qr")
+    in_j = F.col("qj")
+    in_both = F.col("qr") & F.col("qj")
     cols = ["query_id", "doc_id", "lang", "score", "hr", "hj", "stage"]
 
     # ---- stage ④ first (its doc set feeds the ⑤ gate): per-(query,
@@ -512,9 +511,6 @@ SYNONYMS_V1 = [
     ("neardup", "sort", 0),
     ("neardup", "scan", 1),
 ]
-_V1_IDS_R = [q for q, r, _ in QUERIES_V1 if r is not None]
-_V1_IDS_J = [q for q, _, j in QUERIES_V1 if j is not None]
-_V1_IDS_BOTH = [q for q, r, j in QUERIES_V1 if r is not None and j is not None]
 V1_INIT_K = 1000   # main_remind.py:462 ("k large ≈ full scan")
 V1_STAGE_K = 10    # ANN fetch size AND truncation of每 stage (main_remind.py:142,157)
 V1_MIN_INIT = 5    # fallback gate (main_remind.py:473-474)
@@ -741,12 +737,15 @@ def staged_retrieval_v1_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("region_str").contains(F.col("region")), F.lit(False)).alias("rm"),
             F.coalesce(F.col("title").contains(F.col("job")), F.lit(False)).alias("tj"),
             F.coalesce(F.col("title").contains(F.col("synonym")), F.lit(False)).alias("ts"),
+            F.col("region").isNotNull().alias("qr"),
+            F.col("job").isNotNull().alias("qj"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    in_r = F.col("query_id").isin(_V1_IDS_R)
-    in_j = F.col("query_id").isin(_V1_IDS_J)
-    in_both = F.col("query_id").isin(_V1_IDS_BOTH)
+    # data-driven field-presence gates (no hard-coded query ids)
+    in_r = F.col("qr")
+    in_j = F.col("qj")
+    in_both = F.col("qr") & F.col("qj")
     cols = ["query_id", "doc_id", "lang", "score", "jm", "rm", "stage"]
 
     # ---- POST-filtered ANN stages over the job-probe frame
