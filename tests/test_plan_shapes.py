@@ -188,6 +188,7 @@ def test_staged_pipelines_stay_jvm_side(spark):
         p = buf.getvalue()
         assert "BatchEvalPython" not in p, (name, p)
         assert "ArrowEvalPython" in p, (name, p)
+        assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p, (name, p)
 
 
 def test_runtime_bloom_filter_injected(spark):

@@ -35,13 +35,29 @@ def _token_slot_sign(token: str, dim: int) -> tuple[int, float]:
     return h % dim, 1.0 if (h >> 8) & 1 else -1.0
 
 
+_WS = None  # compiled lazily: ASCII \s+, matching Java regex \s and RE2
+
+
+def _tokens(t: str) -> list[str]:
+    """ASCII-whitespace tokenization — the SAME class Java's \s+ (JVM
+    twin) and RE2's \s+ (DuckDB oracle) split on. Python str.split()
+    would also split on Unicode whitespace (\xa0, \u2028, ...) and
+    silently diverge from both."""
+    global _WS
+    if _WS is None:
+        import re
+
+        _WS = re.compile(r"\s+", re.ASCII)
+    return [tok for tok in _WS.split(t or "") if tok]
+
+
 def embed_texts_numpy(texts: pd.Series, dim: int = DEFAULT_DIM) -> list[list[float]]:
     """Feature-hashing embedding: tokens hash to (slot, sign); vector
     is the L2-normalized slot histogram. Pure, deterministic."""
     out = []
     for t in texts:
         vec = np.zeros(dim, dtype=np.float64)
-        for tok in (t or "").split():
+        for tok in _tokens(t):
             slot, sign = _token_slot_sign(tok, dim)
             vec[slot] += sign
         n = np.linalg.norm(vec)

@@ -25,6 +25,14 @@ uncapped shingle sets. The only semantic change is that a pair whose
 every common shingle is boilerplate-hot is not reported — the
 standard trade (MMDS ch.3 stop-shingle pruning).
 
+Cache ownership: jaccard_pairs / minhash_lsh_pairs /
+contamination_best_match persist their shingle frames (multiple
+consumers in one plan); DataFrames are returned lazily so the
+operators cannot unpersist. Spark's cache manager dedupes repeated
+same-input invocations by canonicalized plan; callers looping over
+MANY DISTINCT corpora in one session should spark.catalog.clearCache()
+between corpora (bench.py does).
+
 Lineage (public literature): shingling + resemblance — Broder, "On the
 resemblance and containment of documents" (1997); MinHash-LSH banding —
 Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3; SimHash —

@@ -67,7 +67,6 @@ from pyspark.storagelevel import StorageLevel
 from vector_search_ner_spark.embedder import HashingEmbedder
 from vector_search_ner_spark.functions.vector import dot_product, duck_cosine, l2_norm
 from vector_search_ner_spark.operators.fusion import fuse_scores, overlap_score, rank_topn
-from vector_search_ner_spark.operators.knn import topk_per_query
 from vector_search_ner_spark.plans.queries_mlops import _duck_embed_cte
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.sources.catalog import load_table
@@ -512,7 +511,7 @@ SYNONYMS_V1 = [
     ("neardup", "scan", 1),
 ]
 V1_INIT_K = 1000   # main_remind.py:462 ("k large ≈ full scan")
-V1_STAGE_K = 10    # ANN fetch size AND truncation of每 stage (main_remind.py:142,157)
+V1_STAGE_K = 10    # ANN fetch size AND truncation of every stage (main_remind.py:142,157)
 V1_MIN_INIT = 5    # fallback gate (main_remind.py:473-474)
 V1_HYBRID_K = 15   # hybrid top-up size + gate (main_remind.py:500-505)
 
@@ -781,17 +780,21 @@ def staged_retrieval_v1_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_q = Window.partitionBy("query_id")
     ner_ok = (F.col("jm") | ~in_j) & (F.col("rm") | ~in_r)
+    # NOTE: the k-cap is a FLAG, not a pre-filter — the ⑤-gate union
+    # count must see stage docs even when their main-probe rank is
+    # beyond V1_INIT_K (the oracle's npre has no cap), so all main
+    # rows stay in the frame and the cap only scopes ① membership
     x = (
         scored.where(F.col("kind") == 0)
         .join(F.broadcast(stage_docs), ["query_id", "doc_id"], "left")
         .withColumn("rall", F.row_number().over(w_ord))
-        .where(F.col("rall") <= V1_INIT_K)
+        .withColumn("in_cap", F.col("rall") <= V1_INIT_K)
         .withColumn("ner_ok", ner_ok)
     )
+    n_f = F.sum((F.col("in_cap") & F.col("ner_ok")).cast("int")).over(w_q)
     x = x.withColumn(
         "init_sel",
-        F.col("ner_ok")
-        | (F.sum(F.col("ner_ok").cast("int")).over(w_q) < V1_MIN_INIT),
+        F.col("in_cap") & (F.col("ner_ok") | (n_f < V1_MIN_INIT)),
     )
     sel_pre = F.col("init_sel") | F.coalesce(F.col("in_stage"), F.lit(False))
     x = x.withColumn(
