@@ -19,9 +19,12 @@ from vector_search_ner_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship on /root/testdata/sf0.001: the chat pipeline TEXT-IN
+    end to end — raw user messages → rule-NER parse + profile fallback
+    + empty-query guard → full v2 relaxation lattice with query-time
+    embedding → fused top-5. Driver checks rows>0."""
     qs, _ = registry.collect()
-    return qs["staged_retrieval_pipeline"](spark, "/root/testdata/sf0.001")
+    return qs["chat_pipeline_e2e"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

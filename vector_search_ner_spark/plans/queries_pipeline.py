@@ -99,16 +99,22 @@ def _sql_lit(v) -> str:
     return "NULL" if v is None else "'" + v + "'"
 
 
-def _duck_staged_oracle() -> str:
+def _duck_staged_oracle(qdef_cte: str | None = None) -> str:
+    """The full v2-lattice oracle. `qdef_cte` (optional) replaces the
+    static VALUES query batch with any CTE text defining
+    qdef(query_id, region, job) — used by the text-in chat E2E oracle
+    to derive the batch from parsed messages."""
     qvals = ", ".join(
         f"({qid}, {_sql_lit(r)}, {_sql_lit(j)})" for qid, r, j in QUERIES
     )
+    if qdef_cte is None:
+        qdef_cte = f"qdef(query_id, region, job) AS (VALUES {qvals})"
     svals = ", ".join(f"('{t}', '{s}', {i})" for t, s, i in SYNONYMS)
     cos_main = duck_cosine("qv.emb", "dv.emb")
     cos_syn = duck_cosine("sv.emb", "dv.emb")
     rank10 = "row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id)"
     return f"""
-WITH qdef(query_id, region, job) AS (VALUES {qvals}),
+WITH {qdef_cte},
 syndef(job, synonym, syn_idx) AS (VALUES {svals}),
 dsrc AS (SELECT doc_id, text, lang FROM documents),
 {_duck_embed_cte("dsrc", "doc_id", "text", "d")},
@@ -254,35 +260,26 @@ FROM (
 """
 
 
-@query("staged_retrieval_pipeline", oracle=_duck_staged_oracle())
-def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-window-pass lattice execution: every main stage's
-    per-query top-k shares ONE (query_id → score desc, doc_id) sort,
-    so stage ranks are conditional cumulative sums and deficit gates
-    are whole-partition aggregates computed in the SAME pass — one
-    shuffle for the entire ①②③⑤ cascade instead of a window + a
-    count semi-join per stage (each (query, doc) appears exactly once
-    in the main scored relation, so COUNT(DISTINCT doc) over a union
-    of stage sets is a sum of OR-ed membership flags). Stage ④ ranks
-    per (query, synonym) on its own vectors in a second small window;
-    the first-wins merge and final fusion rank run over the ~K
-    selected rows per query only."""
-    # ---- probe batch: one main probe per query + one per (query,
-    # synonym) pair, each carrying ITS OWN query text to embed
-    rows = []
-    for qid, region, job in QUERIES:
-        rows.append(
-            (qid, -1, region, job, None, " ".join(t for t in (region, job) if t))
-        )
-    for job_term, syn, idx in SYNONYMS:
-        for qid, region, job in QUERIES:
-            if job == job_term:
-                rows.append(
-                    (qid, idx, region, job, syn, " ".join(t for t in (region, syn) if t))
-                )
-    probes = spark.createDataFrame(
-        rows, "query_id int, syn_idx int, region string, job string, synonym string, ptext string"
-    )
+def v2_lattice(spark: SparkSession, sf_dir: str, probes: DataFrame) -> DataFrame:
+    """The reusable single-window-pass v2 lattice over ANY probe batch.
+
+    `probes` columns: query_id int, syn_idx int (-1 = the main probe,
+    >= 0 = a synonym probe), region string?, job string?, synonym
+    string?, ptext string (the text to embed for THIS probe). Field
+    presence (NULL region/job) gates the stages per query — nothing
+    about the batch is hard-coded.
+
+    Execution: every main stage's per-query top-k shares ONE
+    (query_id → score desc, doc_id) sort, so stage ranks are
+    conditional cumulative sums and deficit gates are whole-partition
+    aggregates computed in the SAME pass — one shuffle for the entire
+    ①②③⑤ cascade instead of a window + a count semi-join per stage
+    (each (query, doc) appears exactly once in the main scored
+    relation, so COUNT(DISTINCT doc) over a union of stage sets is a
+    sum of OR-ed membership flags). Stage ④ ranks per (query, synonym)
+    on its own vectors in a second small window; the first-wins merge
+    and final fusion rank run over the ~K selected rows per query
+    only."""
     emb = HashingEmbedder()
     probes = probes.withColumn("pvec", emb.embed_col(F.col("ptext"))).withColumn(
         "__pnorm", l2_norm(F.col("pvec"))
@@ -403,6 +400,26 @@ def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_topn(fused, FINAL_N).select("query_id", "doc_id", "combined_score", "rank")
 
 
+@query("staged_retrieval_pipeline", oracle=_duck_staged_oracle())
+def staged_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship v2 lattice over the static QUERIES batch — one
+    main probe per query plus one probe per (query, synonym) pair,
+    each carrying ITS OWN query text to embed (see v2_lattice)."""
+    rows = []
+    for qid, region, job in QUERIES:
+        rows.append(
+            (qid, -1, region, job, None, " ".join(t for t in (region, job) if t))
+        )
+    for job_term, syn, idx in SYNONYMS:
+        for qid, region, job in QUERIES:
+            if job == job_term:
+                rows.append(
+                    (qid, idx, region, job, syn, " ".join(t for t in (region, syn) if t))
+                )
+    probes = spark.createDataFrame(
+        rows, "query_id int, syn_idx int, region string, job string, synonym string, ptext string"
+    )
+    return v2_lattice(spark, sf_dir, probes)
 
 
 @query(
@@ -902,3 +919,91 @@ def user_ner_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_from_profile"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# E1 text-in end to end: raw chat messages → NER parse + profile
+# fallback + empty-query guard → the full v2 lattice → top-5
+# ---------------------------------------------------------------------------
+
+# (msg_id, user_message, profile_region, profile_job). Parse rules
+# (the deterministic NER twin): region = first of fast/slow contained
+# in the message, job = first of neardup/join/sort/merge/scan; missing
+# fields fall back to the profile (main.py:443-449); empty messages
+# are guarded out (main.py:419-426).
+CHAT_E2E_MSGS = [
+    (0, "looking for fast join pipelines", None, None),  # parse both → ①
+    (1, "anything neardup related today", None, None),   # OOV job → ④ via synonyms
+    (2, "need slow merge jobs please", None, None),      # parse both → ①
+    (3, "just browsing", "fast", "scan"),                # full profile fallback
+    (4, "", "slow", "sort"),                             # empty → excluded
+    (5, "qqqq zzzz things", None, None),                 # no fields at all → unfiltered ①
+]
+
+_E2E_REGION_CASE = """CASE WHEN contains(user_message, 'fast') THEN 'fast'
+              WHEN contains(user_message, 'slow') THEN 'slow' END"""
+_E2E_JOB_CASE = """CASE WHEN contains(user_message, 'neardup') THEN 'neardup'
+              WHEN contains(user_message, 'join') THEN 'join'
+              WHEN contains(user_message, 'sort') THEN 'sort'
+              WHEN contains(user_message, 'merge') THEN 'merge'
+              WHEN contains(user_message, 'scan') THEN 'scan' END"""
+
+
+def _duck_chat_e2e_oracle() -> str:
+    reqvals = ", ".join(
+        f"({i}, {_sql_lit(m)}, {_sql_lit(r)}, {_sql_lit(j)})"
+        for i, m, r, j in CHAT_E2E_MSGS
+    )
+    qdef_cte = f"""req(msg_id, user_message, profile_region, profile_job) AS (
+  VALUES {reqvals}
+), qdef AS (
+  SELECT msg_id AS query_id,
+         COALESCE({_E2E_REGION_CASE}, profile_region) AS region,
+         COALESCE({_E2E_JOB_CASE}, profile_job) AS job
+  FROM req WHERE user_message <> ''
+)"""
+    return _duck_staged_oracle(qdef_cte=qdef_cte)
+
+
+@query("chat_pipeline_e2e", oracle=_duck_chat_e2e_oracle())
+def chat_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E1 chat endpoint, text in → ranked results out,
+    as ONE lazy plan with a full oracle: rule-NER over the raw user
+    messages (deterministic twin of main.py:421-439), per-field
+    profile fallback (main.py:443-449), the empty-query guard
+    (main.py:419-426), then the complete v2 relaxation lattice with
+    per-query AND per-synonym query-text embedding, 0.7/0.3 fusion,
+    top-5 (multi_stage_search + llm_rerank, main.py:329-411,452-469).
+    The probe batch — including which stages each query may take — is
+    DERIVED from the messages inside the plan; nothing is
+    pre-extracted driver-side."""
+    req = spark.createDataFrame(
+        CHAT_E2E_MSGS,
+        "msg_id int, user_message string, profile_region string, profile_job string",
+    )
+    parsed = req.where(F.col("user_message") != "").select(
+        F.col("msg_id").alias("query_id"),
+        F.coalesce(F.expr(_E2E_REGION_CASE), F.col("profile_region")).alias("region"),
+        F.coalesce(F.expr(_E2E_JOB_CASE), F.col("profile_job")).alias("job"),
+    )
+    main = parsed.select(
+        "query_id",
+        F.lit(-1).alias("syn_idx"),
+        "region",
+        "job",
+        F.lit(None).cast("string").alias("synonym"),
+        F.concat_ws(" ", "region", "job").alias("ptext"),
+    )
+    syn = spark.createDataFrame(SYNONYMS, "job_term string, synonym string, syn_idx int")
+    synp = (
+        parsed.join(F.broadcast(syn), parsed.job == syn.job_term)
+        .select(
+            "query_id",
+            "syn_idx",
+            "region",
+            "job",
+            "synonym",
+            F.concat_ws(" ", "region", "synonym").alias("ptext"),
+        )
+    )
+    return v2_lattice(spark, sf_dir, main.unionByName(synp))
