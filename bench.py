@@ -55,6 +55,7 @@ HEADLINE = [
     "staged_retrieval_v1_hybrid",
     "ann_ivf_pq_refined",
     "dedup_clusters_lsh",
+    "chat_pipeline_e2e",
 ]
 
 
