@@ -180,7 +180,11 @@ def test_staged_pipelines_stay_jvm_side(spark):
     TableCacheQueryStage) so the stage branches share one
     materialization."""
     queries, _ = collect()
-    for name in ("staged_retrieval_pipeline", "staged_retrieval_v1_hybrid"):
+    for name in (
+        "staged_retrieval_pipeline",
+        "staged_retrieval_v1_hybrid",
+        "chat_pipeline_e2e",
+    ):
         df = queries[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

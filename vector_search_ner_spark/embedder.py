@@ -39,7 +39,7 @@ _WS = None  # compiled lazily: ASCII \s+, matching Java regex \s and RE2
 
 
 def _tokens(t: str) -> list[str]:
-    """ASCII-whitespace tokenization — the SAME class Java's \s+ (JVM
+    r"""ASCII-whitespace tokenization — the SAME class Java's \s+ (JVM
     twin) and RE2's \s+ (DuckDB oracle) split on. Python str.split()
     would also split on Unicode whitespace (\xa0, \u2028, ...) and
     silently diverge from both."""
@@ -150,10 +150,10 @@ def hashing_embed_frame(
     kept here — 64-element normalization — are fine; the trap is
     dim × tokens.) Rows with empty text get the zero vector via the
     left join back to the source frame."""
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    th = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
+    th = F.transform(toks, stable_long_hash)
     exploded = df.select(F.col(id_col), F.explode(th).alias("hv"))
     slotted = exploded.select(
         id_col,

@@ -95,9 +95,9 @@ def duck_word_shingles(text: str = "text", k: int = SHINGLE_K) -> str:
 
 def _shingle_hash(s: Column) -> Column:
     """md5-derived shingle hash in [0, MINHASH_P)."""
-    return (
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
-    )
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    return stable_long_hash(s) % MINHASH_P
 
 
 def _duck_shingle_hash(s: str) -> str:
@@ -153,10 +153,10 @@ def duck_band_key(band: int) -> str:
 
 
 def token_hashes(text: Column) -> Column:
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
     toks = F.split(F.trim(text), " ")
-    return F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
+    return F.transform(toks, stable_long_hash)
 
 
 def simhash_from_hashes(hashes: Column) -> Column:

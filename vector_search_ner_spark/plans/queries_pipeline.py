@@ -96,7 +96,9 @@ SYNONYMS = [
 ]
 
 def _sql_lit(v) -> str:
-    return "NULL" if v is None else "'" + v + "'"
+    """SQL string literal with quote escaping — chat messages are free
+    text, so apostrophes must not break the oracle VALUES clause."""
+    return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
 
 
 def _duck_staged_oracle(qdef_cte: str | None = None) -> str:
@@ -853,6 +855,16 @@ _CHAT_MSGS = [
 ]
 
 
+_PARSE_JOB_CASE = """CASE WHEN contains(user_message, 'join') THEN 'join'
+              WHEN contains(user_message, 'sort') THEN 'sort'
+              WHEN contains(user_message, 'merge') THEN 'merge'
+              WHEN contains(user_message, 'scan') THEN 'scan'
+              ELSE NULL END"""
+_PARSE_REGION_CASE = """CASE WHEN contains(user_message, 'near') THEN 'domestic'
+              WHEN contains(user_message, 'cluster') THEN 'international'
+              ELSE NULL END"""
+
+
 @query(
     "user_ner_parse",
     oracle=f"""
@@ -860,14 +872,8 @@ WITH req(msg_id, user_message, profile_job, profile_region, profile_age) AS (
   VALUES {", ".join(f"({i}, {_sql_lit(m)}, {_sql_lit(j)}, {_sql_lit(r)}, {_sql_lit(a)})" for i, m, j, r, a in _CHAT_MSGS)}
 ), ner AS (
   SELECT msg_id, user_message, profile_job, profile_region, profile_age,
-         CASE WHEN contains(user_message, 'join') THEN 'join'
-              WHEN contains(user_message, 'sort') THEN 'sort'
-              WHEN contains(user_message, 'merge') THEN 'merge'
-              WHEN contains(user_message, 'scan') THEN 'scan'
-              ELSE NULL END AS ner_job,
-         CASE WHEN contains(user_message, 'near') THEN 'domestic'
-              WHEN contains(user_message, 'cluster') THEN 'international'
-              ELSE NULL END AS ner_region
+         {_PARSE_JOB_CASE} AS ner_job,
+         {_PARSE_REGION_CASE} AS ner_region
   FROM req
 )
 SELECT msg_id,
@@ -895,19 +901,10 @@ def user_ner_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CHAT_MSGS,
         "msg_id int, user_message string, profile_job string, profile_region string, profile_age string",
     )
-    ner_job = (
-        F.when(F.col("user_message").contains("join"), "join")
-        .when(F.col("user_message").contains("sort"), "sort")
-        .when(F.col("user_message").contains("merge"), "merge")
-        .when(F.col("user_message").contains("scan"), "scan")
-        .otherwise(F.lit(None).cast("string"))
+    # the SAME fragments the oracle interpolates — rules cannot drift
+    x = req.withColumn("ner_job", F.expr(_PARSE_JOB_CASE)).withColumn(
+        "ner_region", F.expr(_PARSE_REGION_CASE)
     )
-    ner_region = (
-        F.when(F.col("user_message").contains("near"), "domestic")
-        .when(F.col("user_message").contains("cluster"), "international")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    x = req.withColumn("ner_job", ner_job).withColumn("ner_region", ner_region)
     return x.select(
         "msg_id",
         (F.col("user_message") == "").alias("is_empty_query"),
