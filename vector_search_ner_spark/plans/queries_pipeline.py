@@ -25,8 +25,8 @@ vectorstore search at :158, :401) — not a precomputed fixture vector.
 Differences, declared:
   * batch (a DataFrame of queries), not request/response;
   * the eager per-request `len(results) < k` stage gates become
-    per-query deficit semi-joins over ONE persisted scored relation —
-    one lazy plan, no driver actions;
+    per-query whole-partition aggregates over ONE persisted scored
+    relation — one lazy plan, no driver actions;
   * exact search (recall 1.0), so the reference's k*3 over-fetch
     (main.py:158-165) is a no-op here;
   * the LLM scorer is replaced by the deterministic 0.7/0.3 fusion
