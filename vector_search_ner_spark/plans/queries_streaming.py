@@ -144,3 +144,17 @@ FROM bucketed GROUP BY 1
 @query("stream_sliding_counts", oracle=_SLIDING_ORACLE)
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_sliding_counts(spark, sf_dir)
+
+
+# the serving loop answers the SAME queries as the batch k-NN — the
+# oracle is knn_topk_cosine's, verbatim
+def _knn_serving_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_vector import K, _duck_knn
+    from vector_search_ner_spark.functions.vector import duck_cosine
+
+    return _duck_knn(duck_cosine("q.query_vec", "d.embedding"), "DESC", k=K)
+
+
+@query("stream_knn_serving", oracle=_knn_serving_oracle())
+def stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return se.stream_knn_serving(spark, sf_dir)

@@ -301,3 +301,56 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n", "total")
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's request/response serving loop as a QUERY STREAM
+    (/root/reference/main.py:416-439 receives one query per HTTP
+    request; here queries ARRIVE as a Structured Streaming source and
+    each micro-batch is answered with exact k-NN against the static
+    document index — the stream-serving twin of knn_topk_cosine,
+    sharing its oracle bit-for-bit).
+
+    Shape: the query stream is split over 2 files fed one per
+    micro-batch (maxFilesPerTrigger=1); foreachBatch runs the SAME
+    knn_join operator used by the batch path against the static
+    embeddings (re-read per batch, broadcast of the micro-batch's
+    queries — docs never shuffle), appending answers to the sink. At
+    cluster scale this is kafka→foreachBatch→serving-store with the
+    doc index as a persisted table."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vector_search_ner_spark.operators.knn import knn_join
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(base, "query_stream")
+    sink = os.path.join(base, "knn_serving_sink")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qbatch = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qbatch.repartitionByRange(2, "query_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(qbatch.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+
+    def answer(batch_queries: DataFrame, batch_id: int) -> None:
+        knn_join(batch_queries, docs, k=10, metric="cosine").select(
+            "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+        ).write.mode("append").parquet(sink)
+
+    q = stream.writeStream.foreachBatch(answer).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink)
