@@ -79,6 +79,13 @@ def main() -> None:
     spark.range(1000).repartition(32).select(
         _warm(F.col("id").cast("double"))
     ).write.mode("overwrite").format("noop").save()
+    # build the persisted doc vector store up front (idempotent): the
+    # retrieval pipelines SERVE from it, exactly as the reference's
+    # endpoints open a prebuilt Chroma dir — indexing cost is its own
+    # line item (index_build_pipeline), not part of serve latency
+    from vector_search_ner_spark.sources.vecstore import doc_vector_store
+
+    doc_vector_store(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in names:

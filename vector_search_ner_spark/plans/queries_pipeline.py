@@ -42,8 +42,11 @@ is a whole-partition aggregate in the same pass (each (query, doc)
 appears exactly once, so COUNT(DISTINCT) over unions of stage sets
 reduces to sums of OR-ed flags). Stage ④ ranks per (query, synonym)
 in a second small window; merge + fusion touch only the selected ~K
-rows per query. Doc embedding is an Arrow-batched pandas UDF,
-map-only.
+rows per query. Doc vectors come from the PERSISTED vector store
+(sources/vecstore.py — built once per corpus by the map-only
+Arrow-batched embed, then served as a parquet scan), mirroring the
+reference's build-once Chroma persist dir (build_vectorstore.py:
+233-250) opened per process (load_vectorstore, main.py:51-61).
 
 The query batch is chosen so every stage is exercised at the driver's
 sf0.01: q0/q2/q3 fill at ①, q1 relaxes to ② (10 docs), q5's rare
@@ -65,11 +68,18 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from vector_search_ner_spark.embedder import HashingEmbedder
-from vector_search_ner_spark.functions.vector import dot_product, duck_cosine, l2_norm
+from vector_search_ner_spark.functions.vector import (
+    dot_product,
+    dot_product_nc,
+    duck_cosine,
+    l2_norm,
+    to_double_array,
+)
 from vector_search_ner_spark.operators.fusion import fuse_scores, overlap_score, rank_topn
 from vector_search_ner_spark.plans.queries_mlops import _duck_embed_cte
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.sources.catalog import load_table
+from vector_search_ner_spark.sources.vecstore import doc_vector_store
 
 STAGE_K = 10  # top_k of every staged search (reference main.py:137)
 DEFICIT_MIN = 5  # relaxation gate (main.py:351,363)
@@ -283,24 +293,24 @@ def v2_lattice(spark: SparkSession, sf_dir: str, probes: DataFrame) -> DataFrame
     and final fusion rank run over the ~K selected rows per query
     only."""
     emb = HashingEmbedder()
-    probes = probes.withColumn("pvec", emb.embed_col(F.col("ptext"))).withColumn(
-        "__pnorm", l2_norm(F.col("pvec"))
+    probes = (
+        probes.withColumn("pvec", emb.embed_col(F.col("ptext")))
+        .withColumn("pvec_d", to_double_array(F.col("pvec")))
+        .withColumn("__pnorm", l2_norm(F.col("pvec")))
     )
 
-    # ---- docs embedded at plan time (the E3 index fused inline; at
-    # scale this side reads the persisted vector store instead)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang")
-        .withColumn("dvec", emb.embed_col(F.col("text")))
-        .withColumn("__dnorm", l2_norm(F.col("dvec")))
-    )
+    # ---- docs side: the persisted vector store (built once per
+    # corpus fingerprint, then a plain parquet scan — the reference
+    # never re-embeds a document at query time, and neither do we)
+    docs = doc_vector_store(spark, sf_dir)
 
     # ---- ONE slim scored relation: score + predicate flags, text
-    # dropped before the persist (norms hoisted per side, guard on 0)
+    # dropped before the persist (norms hoisted per side, guard on 0;
+    # the fold runs over the pre-cast double arrays — bit-identical,
+    # fewer interpreted nodes per pair)
     denom = F.col("__pnorm") * F.col("__dnorm")
     score = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("pvec"), F.col("dvec")) / denom
+        dot_product_nc(F.col("pvec_d"), F.col("dvec_d")) / denom
     )
     scored_all = (
         docs.crossJoin(F.broadcast(probes))
@@ -719,26 +729,28 @@ def staged_retrieval_v1_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, kind int, syn_idx int, region string, job string, synonym string, ptext string",
     )
     emb = HashingEmbedder()
-    probes = probes.withColumn("pvec", emb.embed_col(F.col("ptext"))).withColumn(
-        "__pnorm", l2_norm(F.col("pvec"))
+    probes = (
+        probes.withColumn("pvec", emb.embed_col(F.col("ptext")))
+        .withColumn("pvec_d", to_double_array(F.col("pvec")))
+        .withColumn("__pnorm", l2_norm(F.col("pvec")))
     )
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "text",
-            "lang",
-            F.substring("text", 1, 30).alias("title"),
-            F.expr(_DOC_JOB_CASE).alias("ner_job"),
-            F.expr(_DOC_REGION_CASE).alias("region_str"),
-        )
-        .withColumn("dvec", emb.embed_col(F.col("text")))
-        .withColumn("__dnorm", l2_norm(F.col("dvec")))
+    # persisted vector store + derived metadata columns (title/NER
+    # analogues are cheap JVM exprs over the stored text; the vectors
+    # themselves are never recomputed at query time)
+    docs = doc_vector_store(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        "lang",
+        F.substring("text", 1, 30).alias("title"),
+        F.expr(_DOC_JOB_CASE).alias("ner_job"),
+        F.expr(_DOC_REGION_CASE).alias("region_str"),
+        "dvec_d",
+        "__dnorm",
     )
     denom = F.col("__pnorm") * F.col("__dnorm")
     score = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("pvec"), F.col("dvec")) / denom
+        dot_product_nc(F.col("pvec_d"), F.col("dvec_d")) / denom
     )
     scored = (
         docs.crossJoin(F.broadcast(probes))
