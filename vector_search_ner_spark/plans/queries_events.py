@@ -773,3 +773,91 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "events_interpolate_linear",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+), w AS (
+  SELECT event_id, user_id, ts, v,
+         last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+         first_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM e
+)
+SELECT event_id, user_id, ts,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * (epoch_us(ts) - pt) / (nt - pt)
+                  ELSE COALESCE(pv, nv) END, 4) AS value_interp,
+       v IS NULL AS was_gap
+FROM w
+ORDER BY user_id, ts, event_id
+""",
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted LINEAR interpolation of gap values (the LOCF
+    sibling `events_fill_forward` carries the last value flat; this
+    one draws the line): rows whose event_type = 'error' are treated
+    as missing sensor readings and rebuilt as
+        prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+    between the nearest valid neighbors per user (leading/trailing
+    gaps fall back to the one neighbor that exists). Two ignore-nulls
+    window scans over one (user_id → ts) sort — no join, no extra
+    shuffle beyond the partitioning the other per-user windows already
+    use; at 100 TB this is a single range-partitioned sort per key,
+    state O(1) per row. Tie-break on event_id keeps the frames
+    deterministic under duplicate (user_id, ts)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    us = F.unix_micros(F.col("ts"))
+    t_of_v = F.when(F.col("v").isNotNull(), us)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pt = F.last(t_of_v, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nt = F.first(t_of_v, ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv + (nv - pv) * (us - pt) / (nt - pt),
+        )
+        .otherwise(F.coalesce(pv, nv))
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(interp, 4).alias("value_interp"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

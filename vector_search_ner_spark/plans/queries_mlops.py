@@ -553,3 +553,37 @@ def embed_documents_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm(F.col("embedding")), 4).alias("emb_norm"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("c0"),
     )
+
+
+_VECSTORE_SCAN_ORACLE = rf"""
+WITH src AS (SELECT doc_id, text, lang FROM documents),
+{_duck_embed_cte("src", "doc_id", "text")}
+SELECT s.doc_id, s.lang,
+       CAST(64 AS INTEGER) AS emb_dim,
+       round(sqrt(list_sum(list_transform(v.emb, x -> x * x))), 4) AS emb_norm,
+       round(v.emb[1], 6) AS emb_c0
+FROM src s JOIN e_vec v ON s.doc_id = v.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@query("vecstore_open_scan", oracle=_VECSTORE_SCAN_ORACLE)
+def vecstore_open_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted vector-store SOURCE (the reference's
+    load_vectorstore, main.py:51-61: open the Chroma persist dir and
+    read — never re-embed): open sources/vecstore.py's build-once
+    parquet store and project per-doc stats. The oracle re-derives the
+    embedding from the raw corpus in SQL, so this checks the store's
+    CONTENT (stale or corrupt artifacts fail the parity), not just its
+    plumbing. The scan prunes to the selected columns — serving reads
+    never touch the text payload."""
+    from vector_search_ner_spark.sources.vecstore import doc_vector_store
+
+    store = doc_vector_store(spark, sf_dir)
+    return store.select(
+        "doc_id",
+        "lang",
+        F.size("dvec").alias("emb_dim"),
+        F.round(F.col("__dnorm"), 4).alias("emb_norm"),
+        F.round(F.element_at("dvec_d", 1), 6).alias("emb_c0"),
+    ).orderBy("doc_id")

@@ -700,3 +700,39 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("whashes").cast("long").alias("min_fp"),
         (F.aggregate(dist, F.lit(0).cast("long"), lambda a, x: a + x) % _RK_P).alias("set_fp"),
     )
+
+
+@query(
+    "customer_pii_scrub",
+    oracle="""
+SELECT c_custkey,
+       'user_' || substring(md5(c_name), 1, 12) AS pseudonym,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+       CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT)
+         AS n_digits_redacted,
+       CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band,
+       c_mktsegment
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def customer_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training-data pipelines, on the person table:
+    deterministic pseudonymization (keyed md5 — joinable across tables,
+    not reversible), digit masking of the display name, and numeric
+    generalization of the account balance into 1000-unit bands
+    (k-anonymity-style coarsening). Pure built-in string/math exprs —
+    map-only, no shuffle, scales as a projection; the same three moves
+    (pseudonymize / redact / generalize) apply to any quasi-identifier
+    column at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat(F.lit("user_"), F.substring(F.md5("c_name"), 1, 12)).alias("pseudonym"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        F.length(F.regexp_replace("c_name", "[^0-9]", "")).cast("int").alias(
+            "n_digits_redacted"
+        ),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("double").alias("acctbal_band"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")
