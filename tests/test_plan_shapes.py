@@ -264,3 +264,19 @@ def test_catalog_contract_all_tables(spark):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     emb = load_table(spark, SF, "embeddings")
     assert dict(emb.dtypes)["embedding"].startswith("array"), emb.dtypes
+
+
+def test_lattice_doc_side_serves_from_vecstore(spark):
+    """The retrieval pipelines must SERVE, not re-embed: the docs side
+    is a parquet scan of the persisted vector store
+    (sources/vecstore.py) — the raw documents.parquet corpus must not
+    appear anywhere in the plan (its presence means corpus
+    re-embedding crept back into the serve path; the only Python/Arrow
+    stage left is the tiny probe-batch embed)."""
+    for name in ("staged_retrieval_pipeline", "chat_pipeline_e2e",
+                 "staged_retrieval_v1_hybrid"):
+        p = _plan(spark, name)
+        assert "vecstore" in p, f"{name}: docs side not reading the vector store"
+        assert "documents.parquet" not in p, (
+            f"{name}: raw corpus scan in the serve path\n{p}"
+        )

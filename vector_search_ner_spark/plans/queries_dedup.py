@@ -323,10 +323,11 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd.contamination_best_match(bench, train)
 
 
-def _duck_lsh_clusters() -> str:
-    """Recursive-CTE oracle for LSH bucket components: same band-key
-    derivation as the minhash oracle, star edges to each bucket's min
-    sid, then min-reachable-node closure."""
+def _duck_lsh_cluster_ctes() -> str:
+    """Recursive-CTE prefix shared by the LSH-cluster oracles: same
+    band-key derivation as the minhash oracle, star edges to each
+    bucket's min sid, min-reachable-node closure, final `labels`
+    (doc_id, cluster_id)."""
     shingles = nd.duck_word_shingles()
     sig_cols = ",\n       ".join(
         f"{nd.duck_minhash_sig(j, 'shingles')} AS mh{j}" for j in range(nd.N_PERM)
@@ -357,10 +358,14 @@ reach(node, anc) AS (
   SELECT node, node FROM nodes
   UNION
   SELECT r.node, s.b FROM reach r JOIN sym s ON r.anc = s.a
-)
-SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(anc) AS BIGINT) AS cluster_id
-FROM reach GROUP BY node
-"""
+), labels AS (
+  SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(anc) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)"""
+
+
+def _duck_lsh_clusters() -> str:
+    return _duck_lsh_cluster_ctes() + "\nSELECT doc_id, cluster_id FROM labels\n"
 
 
 @query("dedup_clusters_lsh", oracle=_duck_lsh_clusters())
@@ -382,4 +387,59 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = nd.lsh_star_edges(docs)
     return connected_components(edges).select(
         F.col("node").cast("long").alias("doc_id"), F.col("cluster_id").cast("long")
+    )
+
+
+def _duck_keep_best() -> str:
+    return (
+        _duck_lsh_cluster_ctes()
+        + """
+, ranked AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+)
+SELECT cluster_id, doc_id AS kept_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+    )
+
+
+@query("dedup_keep_best", oracle=_duck_keep_best())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-dedup OUTPUT stage: LSH clusters -> keep ONE
+    canonical doc per cluster by an explicit policy (longest text,
+    doc_id tie-break) and report what was dropped. The canonical pick
+    is a single hash aggregation with MAX over a (n_chars, -doc_id)
+    struct — map-side partial combine, no window over the full corpus,
+    so a million-member boilerplate clique reduces on the mappers
+    instead of sorting in one reducer. This is what you actually run
+    before training: first-wins (`dedup_first_wins`) keeps the
+    earliest; this keeps the BEST."""
+    from vector_search_ner_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(nd.lsh_star_edges(docs))
+    x = labels.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("node")).alias("neg_id")))
+    return (
+        x.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best.alias("best"),
+        )
+        .select(
+            F.col("cluster_id").cast("long"),
+            (-F.col("best.neg_id")).cast("long").alias("kept_doc_id"),
+            F.col("n_members"),
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
     )
