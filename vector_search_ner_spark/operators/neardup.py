@@ -8,10 +8,14 @@
 
 Everything is built-in column exprs (array higher-order functions), so
 signatures are MAP-ONLY (no shuffle until the candidate join) and the
-joins shuffle only on shingle/band/bucket keys — the standard
+joins shuffle only on shingle-hash/band/bucket keys — the standard
 scale-out shape for 100 TB dedup. Hash/permutation constants are
 computed driver-side from md5 so the DuckDB oracles inline the exact
-same literals.
+same literals. Candidate and verify stages carry 60-bit shingle
+HASHES, never the shingle strings (~5x slimmer persists and shuffles,
+long-typed equi-joins/intersects); the mod-MINHASH_P reduction exists
+only inside the minhash permutations, where its ~1e6 space is part of
+the sketch, not of the exact verify.
 
 Word shingles use k=6: long enough that shingle document-frequency
 stays tiny on natural text. Against adversarial skew (boilerplate
@@ -114,6 +118,27 @@ def shingle_hashes(shingles: Column) -> Column:
     permutations then run pure arithmetic over this array (computing
     md5 inside each permutation would cost 16x the hashing work)."""
     return F.transform(shingles, _shingle_hash)
+
+
+def shingle_hashes60(shingles: Column) -> Column:
+    """Full-width 60-bit md5 hash per shingle — the CANDIDATE/VERIFY
+    representation: pair joins and exact-Jaccard intersects run over
+    8-byte longs instead of ~45-byte shingle strings (slimmer persist,
+    cheaper equi-join keys, faster array_intersect). 60 bits keeps
+    collisions negligible at corpus scale (unlike the mod-MINHASH_P
+    reduction used ONLY inside the minhash permutations, whose ~1e6
+    space saturates on a large corpus); both engines derive the same
+    hashes, so the oracles stay bit-for-bit."""
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    return F.transform(shingles, stable_long_hash)
+
+
+def duck_shingle_hashes60(shingles_sql: str) -> str:
+    return (
+        f"list_transform({shingles_sql}, "
+        f"s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))"
+    )
 
 
 def minhash_signature_cols(hashes: Column) -> list[Column]:
@@ -294,9 +319,10 @@ def jaccard_pairs(
     exact; only pairs whose every common shingle is hot are skipped.
     Returns (doc_a, doc_b, jaccard)."""
     sh = docs.select(
-        F.col(id_col).alias("sid"), word_shingles(F.col(text_col), k).alias("shingles")
+        F.col(id_col).alias("sid"),
+        shingle_hashes60(word_shingles(F.col(text_col), k)).alias("hs"),
     ).persist()
-    exploded = sh.select("sid", F.explode("shingles").alias("sh"))
+    exploded = sh.select("sid", F.explode("hs").alias("sh"))
     if df_cap is not None:
         exploded = _drop_hot_shingles(exploded, df_cap)
     a = exploded.alias("a")
@@ -306,8 +332,8 @@ def jaccard_pairs(
         .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh.select(F.col("sid").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = sh.select(F.col("sid").alias("doc_b"), F.col("shingles").alias("sb"))
+    sa = sh.select(F.col("sid").alias("doc_a"), F.col("hs").alias("sa"))
+    sb = sh.select(F.col("sid").alias("doc_b"), F.col("hs").alias("sb"))
     verified = cand.join(sa, "doc_a").join(sb, "doc_b")
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = common / (F.size("sa") + F.size("sb") - common)
@@ -332,16 +358,18 @@ def minhash_lsh_pairs(
     dedup as bare (doc_a, doc_b); the shingle arrays are joined back
     just twice, once per pair side, for the exact verify. Payload
     through the hot shuffle is O(|docs| * N_BANDS) slim rows."""
-    # the shingle table feeds BOTH the signature branch and the verify
-    # joins; persist it (memory-and-disk, spills at scale) instead of
-    # recomputing the tokenize+md5 pass per consumer
+    # the shingle-hash table feeds BOTH the signature branch and the
+    # verify joins; persist it (memory-and-disk, spills at scale)
+    # instead of recomputing the tokenize+md5 pass per consumer. It
+    # carries 60-bit hashes, not shingle strings — ~5x slimmer persist
+    # and long-typed intersects in the verify (shingle_hashes60)
     sh = docs.select(
         F.col(id_col).alias("sid"),
-        word_shingles(F.col(text_col)).alias("shingles"),
+        shingle_hashes60(word_shingles(F.col(text_col))).alias("hs"),
     ).persist()
-    sigs = sh.withColumn("hashes", shingle_hashes(F.col("shingles"))).select(
-        "sid", *minhash_signature_cols(F.col("hashes"))
-    )
+    sigs = sh.withColumn(
+        "hashes", F.transform(F.col("hs"), lambda h: h % MINHASH_P)
+    ).select("sid", *minhash_signature_cols(F.col("hashes")))
     bands = sigs.select(
         "sid",
         F.explode(
@@ -365,8 +393,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh.select(F.col("sid").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = sh.select(F.col("sid").alias("doc_b"), F.col("shingles").alias("sb"))
+    sa = sh.select(F.col("sid").alias("doc_a"), F.col("hs").alias("sa"))
+    sb = sh.select(F.col("sid").alias("doc_b"), F.col("hs").alias("sb"))
     verified = cand.join(sa, "doc_a").join(sb, "doc_b")
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = common / (F.size("sa") + F.size("sb") - common)
@@ -524,10 +552,12 @@ def contamination_best_match(
     bench doc whose every common shingle is boilerplate-hot loses its
     (meaningless) match row."""
     bsh = bench.select(
-        F.col(id_col).alias("bench_id"), word_shingles(F.col(text_col), k).alias("b_shingles")
+        F.col(id_col).alias("bench_id"),
+        shingle_hashes60(word_shingles(F.col(text_col), k)).alias("b_shingles"),
     )
     tsh = train.select(
-        F.col(id_col).alias("train_id"), word_shingles(F.col(text_col), k).alias("t_shingles")
+        F.col(id_col).alias("train_id"),
+        shingle_hashes60(word_shingles(F.col(text_col), k)).alias("t_shingles"),
     ).persist()
     b_expl = bsh.select("bench_id", F.explode("b_shingles").alias("sh"))
     t_expl = tsh.select("train_id", F.explode("t_shingles").alias("sh"))

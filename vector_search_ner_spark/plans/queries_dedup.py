@@ -79,20 +79,20 @@ def _duck_minhash_pairs(threshold: float) -> str:
         f"{nd.duck_minhash_sig(j, 'shingles')} AS mh{j}" for j in range(nd.N_PERM)
     )
     band_selects = "\nUNION ALL\n".join(
-        f"SELECT sid, shingles, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
+        f"SELECT sid, hs, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
         for bi in range(nd.N_BANDS)
     )
     return f"""
 WITH sh AS (
   SELECT doc_id AS sid, {shingles} AS shingles FROM documents
 ), sigs AS (
-  SELECT sid, shingles,
+  SELECT sid, {nd.duck_shingle_hashes60("shingles")} AS hs,
        {sig_cols}
   FROM sh
 ), bands AS (
 {band_selects}
 ), cand AS (
-  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b, a.shingles AS sa, b.shingles AS sb
+  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b, a.hs AS sa, b.hs AS sb
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.sid < b.sid
 )
@@ -117,9 +117,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH sh AS (
-  SELECT doc_id AS sid, {nd.duck_word_shingles()} AS shingles FROM documents
+  SELECT doc_id AS sid,
+         {nd.duck_shingle_hashes60(nd.duck_word_shingles())} AS hs
+  FROM documents
 ), exploded AS (
-  SELECT sid, unnest(shingles) AS sh FROM sh
+  SELECT sid, unnest(hs) AS sh FROM sh
 ), hot AS (
   SELECT sh FROM exploded GROUP BY sh HAVING COUNT(*) > {nd.DEFAULT_SHINGLE_DF_CAP}
 ), capped AS (
@@ -129,8 +131,8 @@ WITH sh AS (
   FROM capped a JOIN capped b ON a.sh = b.sh AND a.sid < b.sid
 ), v AS (
   SELECT c.doc_a, c.doc_b,
-         len(list_intersect(sa.shingles, sb.shingles)) AS common,
-         len(sa.shingles) AS na, len(sb.shingles) AS nb
+         len(list_intersect(sa.hs, sb.hs)) AS common,
+         len(sa.hs) AS na, len(sb.hs) AS nb
   FROM cand c
   JOIN sh sa ON sa.sid = c.doc_a
   JOIN sh sb ON sb.sid = c.doc_b
@@ -281,9 +283,11 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_check",
     oracle=f"""
 WITH sh AS (
-  SELECT doc_id AS sid, source, {nd.duck_word_shingles()} AS shingles FROM documents
+  SELECT doc_id AS sid, source,
+         {nd.duck_shingle_hashes60(nd.duck_word_shingles())} AS hs
+  FROM documents
 ), exploded AS (
-  SELECT sid, source, unnest(shingles) AS sh FROM sh
+  SELECT sid, source, unnest(hs) AS sh FROM sh
 ), hot AS (
   SELECT sh FROM exploded WHERE source <> 'src0'
   GROUP BY sh HAVING COUNT(*) > {nd.DEFAULT_SHINGLE_DF_CAP}
@@ -295,9 +299,9 @@ WITH sh AS (
   FROM t_capped t JOIN exploded b ON b.sh = t.sh AND b.source = 'src0'
 ), scored AS (
   SELECT c.bench_id, c.train_id,
-         ROUND(len(list_intersect(sb.shingles, st.shingles))
-               / CAST(len(sb.shingles) + len(st.shingles)
-                      - len(list_intersect(sb.shingles, st.shingles)) AS DOUBLE),
+         ROUND(len(list_intersect(sb.hs, st.hs))
+               / CAST(len(sb.hs) + len(st.hs)
+                      - len(list_intersect(sb.hs, st.hs)) AS DOUBLE),
                4) AS overlap
   FROM cand c
   JOIN sh sb ON sb.sid = c.bench_id
