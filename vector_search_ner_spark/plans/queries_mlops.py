@@ -587,3 +587,84 @@ def vecstore_open_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__dnorm"), 4).alias("emb_norm"),
         F.round(F.element_at("dvec_d", 1), 6).alias("emb_c0"),
     ).orderBy("doc_id")
+
+
+_VECSTORE_UPSERT_ORACLE = rf"""
+WITH upd AS (
+  SELECT doc_id, text || ' refreshed update' AS text
+  FROM documents WHERE doc_id % 50 = 0
+), nw AS (
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 5
+), merged AS (
+  SELECT doc_id, text, 'new' AS origin FROM nw
+  UNION ALL
+  SELECT doc_id, text, 'updated' AS origin FROM upd
+  UNION ALL
+  SELECT b.doc_id, b.text, 'kept' AS origin
+  FROM documents b ANTI JOIN upd u ON b.doc_id = u.doc_id
+), src AS (SELECT doc_id, text, origin FROM merged),
+{_duck_embed_cte("src", "doc_id", "text")}
+SELECT s.doc_id, s.origin,
+       round(sqrt(list_sum(list_transform(v.emb, x -> x * x))), 4) AS emb_norm,
+       round(v.emb[1], 6) AS emb_c0
+FROM src s JOIN e_vec v ON s.doc_id = v.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@query("vecstore_incremental_upsert", oracle=_VECSTORE_UPSERT_ORACLE)
+def vecstore_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance — the operation the reference's
+    destructive rebuild (rm -rf + re-embed everything,
+    build_vectorstore.py:22-24) cannot afford at scale: a refresh
+    batch (2% modified docs + a few brand-new ids) is embedded ALONE,
+    and the next store generation is the latest-wins merge of the
+    persisted base generation with the delta — Chroma's upsert-by-id,
+    as a CDC-style union + per-id window. Embed cost is O(|delta|),
+    not O(|corpus|); the base vectors are READ from the persisted
+    store, never recomputed (bit-equality with recomputation is what
+    makes the full oracle below possible). Read-only: returns the
+    merged next generation's report; writing it back is the plain
+    overwrite sink (`sink_parquet_roundtrip` mechanics)."""
+    from pyspark.sql import Window
+    from vector_search_ner_spark.functions.vector import l2_norm, to_double_array
+    from vector_search_ner_spark.sources.vecstore import doc_vector_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta_src = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" refreshed update")).alias("text"),
+            F.lit("updated").alias("origin"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "text",
+                F.lit("new").alias("origin"),
+            )
+        )
+    )
+    emb = HashingEmbedder().embed_col(F.col("text"))
+    delta = (
+        delta_src.withColumn("dvec", emb)
+        .withColumn("dvec_d", to_double_array(F.col("dvec")))
+        .withColumn("__dnorm", l2_norm(F.col("dvec")))
+        .select("doc_id", "origin", "dvec_d", "__dnorm", F.lit(1).alias("gen"))
+    )
+    base = doc_vector_store(spark, sf_dir).select(
+        "doc_id", F.lit("kept").alias("origin"), "dvec_d", "__dnorm", F.lit(0).alias("gen")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("gen").desc())
+    merged = (
+        base.unionByName(delta)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return merged.select(
+        "doc_id",
+        "origin",
+        F.round(F.col("__dnorm"), 4).alias("emb_norm"),
+        F.round(F.element_at("dvec_d", 1), 6).alias("emb_c0"),
+    ).orderBy("doc_id")
