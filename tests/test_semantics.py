@@ -600,3 +600,48 @@ def test_vecstore_bitexact_and_build_once(spark, sf_dir):
     for r in both:
         assert r.dvec == r.ivec, r.doc_id
         assert r["__dnorm"] == r.inorm, r.doc_id
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Restart recovery: a second availableNow run over the SAME
+    checkpoint must process only the files that arrived after the
+    first run stopped — each source record lands exactly once, no
+    reprocessing, no loss. This is the contract that makes the
+    foreachBatch ingest pattern safe to operate (kill/redeploy) at
+    scale."""
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(sink)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    first.coalesce(2).write.mode("append").parquet(src)
+    run_pass()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == first.count()
+
+    second.coalesce(2).write.mode("append").parquet(src)
+    run_pass()
+    landed = spark.read.parquet(sink)
+    assert landed.count() == ev.count()  # no loss, no reprocessing
+    assert landed.select("event_id").distinct().count() == ev.count()  # no dups
