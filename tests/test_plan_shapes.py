@@ -280,3 +280,34 @@ def test_lattice_doc_side_serves_from_vecstore(spark):
         assert "documents.parquet" not in p, (
             f"{name}: raw corpus scan in the serve path\n{p}"
         )
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII scrubbing must stay a projection: no Window, no aggregation
+    — the only exchange allowed is the output ordering's range
+    partitioning. (explain("formatted") prints every node twice, tree
+    + details, so counts are per-node-doubled.)"""
+    p = _plan(spark, "customer_pii_scrub")
+    assert "Window" not in p, p
+    assert "HashAggregate" not in p, p
+    assert p.count("Exchange") <= 2, p
+    assert "rangepartitioning" in p, p
+
+
+def test_keep_best_picks_canonical_via_partial_agg(spark):
+    """The canonical-doc pick must be the MAX-over-struct hash
+    aggregation WITH map-side partial combine (partial_max in the
+    aggregate's function list) — a million-member dup clique must
+    reduce on the mappers, not sort through one reducer."""
+    p = _plan(spark, "dedup_keep_best")
+    assert "partial_max" in p, p
+    assert "partial_count" in p, p
+
+
+def test_interpolate_single_sort_no_join(spark):
+    """Linear interpolation must run as window scans over ONE per-user
+    sort — no self-join; exchanges are the window partitioning and the
+    output ordering only (node count doubled by formatted explain)."""
+    p = _plan(spark, "events_interpolate_linear")
+    assert "Join" not in p, p
+    assert p.count("Exchange") <= 4, p

@@ -56,7 +56,11 @@ def _store_path(sf_dir: str, dim: int) -> str:
     key = hashlib.md5(
         f"{src}:{st.st_mtime_ns}:{st.st_size}:dim={dim}:v{EMBEDDER_VERSION}".encode()
     ).hexdigest()[:16]
-    return os.path.join(ARTIFACT_DIR, "vecstore", key)
+    # one directory level per (corpus, dim) so stale generations
+    # (fixture refresh, embedder bump) can be garbage-collected on
+    # rebuild without touching other corpora or dims
+    corpus = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(ARTIFACT_DIR, "vecstore", f"{corpus}_d{dim}", key)
 
 
 def doc_vector_store(
@@ -75,6 +79,14 @@ def doc_vector_store(
     """
     path = _store_path(sf_dir, dim)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # retire stale generations of THIS corpus before building the
+        # new one (the reference's rm -rf + rebuild, scoped per corpus)
+        parent = os.path.dirname(path)
+        if os.path.isdir(parent):
+            import shutil
+
+            for old in os.listdir(parent):
+                shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
         emb = HashingEmbedder(dim)
         built = (
             load_table(spark, sf_dir, "documents")
