@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_clusters_lsh",
     "chat_pipeline_e2e",
     "dedup_keep_best",
+    "staged_retrieval_topk_scale",
 ]
 
 

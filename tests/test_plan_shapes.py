@@ -311,3 +311,15 @@ def test_interpolate_single_sort_no_join(spark):
     p = _plan(spark, "events_interpolate_linear")
     assert "Join" not in p, p
     assert p.count("Exchange") <= 4, p
+
+
+def test_topk_lattice_plans_window_group_limits(spark):
+    """The scale formulation of the staged lattice must plan a
+    WindowGroupLimit for every stage rank (per-partition top-K heap
+    BEFORE the exchange — only ~K rows per partition per stage reach
+    any shuffle; the single-pass variant's global per-query sort is
+    exactly what this shape avoids at 100 TB), and its deficit gates
+    must be broadcast joins of the tiny count frames."""
+    p = _plan(spark, "staged_retrieval_topk_scale")
+    assert p.count("WindowGroupLimit") >= 5, p
+    assert "BroadcastHashJoin" in p, p

@@ -272,6 +272,46 @@ FROM (
 """
 
 
+def _scored_relation(spark: SparkSession, sf_dir: str, probes: DataFrame) -> DataFrame:
+    """The shared front half of both lattice formulations: embed the
+    probe batch (query-TIME embedding, ~40 rows), open the persisted
+    doc vector store, and compute ONE slim scored relation — score +
+    boolean predicate flags per (probe, doc), text dropped before the
+    persist (norms hoisted per side, zero-norm guarded; the fold runs
+    over the pre-cast double arrays — bit-identical, fewer interpreted
+    nodes per pair)."""
+    emb = HashingEmbedder()
+    probes = (
+        probes.withColumn("pvec", emb.embed_col(F.col("ptext")))
+        .withColumn("pvec_d", to_double_array(F.col("pvec")))
+        .withColumn("__pnorm", l2_norm(F.col("pvec")))
+    )
+    # docs side: the persisted vector store (built once per corpus
+    # fingerprint, then a plain parquet scan — the reference never
+    # re-embeds a document at query time, and neither do we)
+    docs = doc_vector_store(spark, sf_dir)
+    denom = F.col("__pnorm") * F.col("__dnorm")
+    score = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product_nc(F.col("pvec_d"), F.col("dvec_d")) / denom
+    )
+    return (
+        docs.crossJoin(F.broadcast(probes))
+        .select(
+            "query_id",
+            "syn_idx",
+            "doc_id",
+            "lang",
+            score.alias("score"),
+            F.coalesce(F.col("text").contains(F.col("region")), F.lit(False)).alias("hr"),
+            F.coalesce(F.col("text").contains(F.col("job")), F.lit(False)).alias("hj"),
+            F.coalesce(F.col("text").contains(F.col("synonym")), F.lit(False)).alias("hs"),
+            F.col("region").isNotNull().alias("qr"),
+            F.col("job").isNotNull().alias("qj"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def v2_lattice(spark: SparkSession, sf_dir: str, probes: DataFrame) -> DataFrame:
     """The reusable single-window-pass v2 lattice over ANY probe batch.
 
@@ -292,42 +332,7 @@ def v2_lattice(spark: SparkSession, sf_dir: str, probes: DataFrame) -> DataFrame
     on its own vectors in a second small window; the first-wins merge
     and final fusion rank run over the ~K selected rows per query
     only."""
-    emb = HashingEmbedder()
-    probes = (
-        probes.withColumn("pvec", emb.embed_col(F.col("ptext")))
-        .withColumn("pvec_d", to_double_array(F.col("pvec")))
-        .withColumn("__pnorm", l2_norm(F.col("pvec")))
-    )
-
-    # ---- docs side: the persisted vector store (built once per
-    # corpus fingerprint, then a plain parquet scan — the reference
-    # never re-embeds a document at query time, and neither do we)
-    docs = doc_vector_store(spark, sf_dir)
-
-    # ---- ONE slim scored relation: score + predicate flags, text
-    # dropped before the persist (norms hoisted per side, guard on 0;
-    # the fold runs over the pre-cast double arrays — bit-identical,
-    # fewer interpreted nodes per pair)
-    denom = F.col("__pnorm") * F.col("__dnorm")
-    score = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product_nc(F.col("pvec_d"), F.col("dvec_d")) / denom
-    )
-    scored_all = (
-        docs.crossJoin(F.broadcast(probes))
-        .select(
-            "query_id",
-            "syn_idx",
-            "doc_id",
-            "lang",
-            score.alias("score"),
-            F.coalesce(F.col("text").contains(F.col("region")), F.lit(False)).alias("hr"),
-            F.coalesce(F.col("text").contains(F.col("job")), F.lit(False)).alias("hj"),
-            F.coalesce(F.col("text").contains(F.col("synonym")), F.lit(False)).alias("hs"),
-            F.col("region").isNotNull().alias("qr"),
-            F.col("job").isNotNull().alias("qj"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    scored_all = _scored_relation(spark, sf_dir, probes)
     main = scored_all.where(F.col("syn_idx") == -1).drop("syn_idx", "hs")
     syn_rows = scored_all.where(F.col("syn_idx") >= 0)
 
@@ -1016,3 +1021,136 @@ def chat_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return v2_lattice(spark, sf_dir, main.unionByName(synp))
+
+
+def v2_lattice_topk(spark: SparkSession, sf_dir: str, probes: DataFrame) -> DataFrame:
+    """The SAME v2 relaxation lattice as `v2_lattice`, in the
+    per-stage TOP-K formulation — the shape that survives 100 TB.
+
+    The single-pass formulation sorts the ENTIRE (query × corpus)
+    scored relation once per query partition to drive its cumulative-
+    sum stage ranks: elegant, one shuffle, but that is a global sort
+    of the corpus per query batch — the thing you cannot do at 100 TB.
+    Here every stage is `filter(stage predicate) → row_number ≤ K`,
+    which Spark plans as WindowGroupLimit: a per-partition top-K heap
+    runs BEFORE the exchange, so each stage shuffles only ~K rows per
+    partition per query — never the corpus. Deficit gates become
+    broadcast joins of per-query COUNT(DISTINCT doc) frames over the
+    already-K-sized stage outputs (tiny). Results are IDENTICAL to
+    `v2_lattice` (same oracle, asserted equal in tests): stage
+    member sets, gate decisions, first-wins merge, and fusion ranks
+    all coincide.
+
+    Local trade, declared: six small windows + gate joins cost more
+    fixed overhead than one shared sort at fixture scale, so the
+    single-pass variant stays the local flagship; this one is the
+    plan you deploy when the store is a table, not a broadcast. The
+    persisted scored relation is itself the local-scale convenience —
+    at 100 TB you drop the persist and let each stage's column-pruned
+    store scan feed its own WindowGroupLimit."""
+    scored_all = _scored_relation(spark, sf_dir, probes)
+    main = scored_all.where(F.col("syn_idx") == -1).drop("syn_idx", "hs")
+    syn_rows = scored_all.where(F.col("syn_idx") >= 0)
+
+    in_r = F.col("qr")
+    in_j = F.col("qj")
+    in_both = F.col("qr") & F.col("qj")
+    cols = ["query_id", "doc_id", "lang", "score", "hr", "hj", "stage"]
+    qmain = probes.where(F.col("syn_idx") == -1).select(
+        "query_id",
+        F.col("region").isNotNull().alias("qr"),
+        F.col("job").isNotNull().alias("qj"),
+    )
+
+    def topk(df, pred, k, extra_part=()):
+        w = Window.partitionBy("query_id", *extra_part).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            df.where(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    p1 = (F.col("hr") | ~in_r) & (F.col("hj") | ~in_j)
+    p2 = F.col("hr") | F.col("hj")
+    p3r = F.col("hr") & in_r
+    p3j = F.col("hj") & in_j
+
+    s1 = topk(main, p1, STAGE_K).withColumn("stage", F.lit(0)).select(*cols)
+    s4 = (
+        topk(syn_rows.where((F.col("hr") | ~in_r) & F.col("hs")), F.lit(True),
+             STAGE_K, extra_part=("syn_idx",))
+        .withColumn("stage", F.lit(10) + F.col("syn_idx"))
+        .select(*cols)
+    )
+
+    def gate(selected, limit, extra_pred=None):
+        # queries whose selected-so-far DISTINCT doc count is below
+        # `limit` — counts run over K-sized frames, then broadcast
+        counts = selected.groupBy("query_id").agg(
+            F.count_distinct("doc_id").alias("n")
+        )
+        g = qmain.join(counts, "query_id", "left").where(
+            F.coalesce(F.col("n"), F.lit(0)) < limit
+        )
+        if extra_pred is not None:
+            g = g.where(extra_pred)
+        return F.broadcast(g.select("query_id"))
+
+    g2 = gate(s1.select("query_id", "doc_id"), DEFICIT_MIN, in_both)
+    s2 = topk(main, p2, STAGE_K).join(g2, "query_id").withColumn(
+        "stage", F.lit(1)
+    ).select(*cols)
+
+    u12 = s1.select("query_id", "doc_id").unionByName(s2.select("query_id", "doc_id"))
+    g3 = gate(u12, DEFICIT_MIN)
+    s3r = topk(main, p3r, STAGE_K).join(g3, "query_id").withColumn(
+        "stage", F.lit(2)
+    ).select(*cols)
+    s3j = topk(main, p3j, STAGE_K).join(g3, "query_id").withColumn(
+        "stage", F.lit(3)
+    ).select(*cols)
+
+    sel_all = u12
+    for f in (s3r, s3j, s4):
+        sel_all = sel_all.unionByName(f.select("query_id", "doc_id"))
+    g5 = gate(sel_all, FALLBACK_K)
+    s5 = topk(main, F.lit(True), FALLBACK_K).join(g5, "query_id").withColumn(
+        "stage", F.lit(100)
+    ).select(*cols)
+
+    merged = s1
+    for f in (s2, s3r, s3j, s4, s5):
+        merged = merged.unionByName(f)
+    w_m = Window.partitionBy("query_id", "doc_id").orderBy(F.col("stage").asc())
+    winner = merged.withColumn("mrn", F.row_number().over(w_m)).where(F.col("mrn") == 1)
+    meta = overlap_score(F.col("hr"), F.col("hj"), F.col("lang") == "en")
+    fused = winner.select(
+        "query_id", "doc_id", fuse_scores(F.col("score"), meta).alias("combined_score")
+    )
+    return rank_topn(fused, FINAL_N).select("query_id", "doc_id", "combined_score", "rank")
+
+
+@query("staged_retrieval_topk_scale", oracle=_duck_staged_oracle())
+def staged_retrieval_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`staged_retrieval_pipeline` in the per-stage WindowGroupLimit
+    formulation (see v2_lattice_topk) over the SAME static query
+    batch — identical results, identical oracle; registered so the
+    scale-shape plan is continuously exercised and compared."""
+    rows = []
+    for qid, region, job in QUERIES:
+        rows.append(
+            (qid, -1, region, job, None, " ".join(t for t in (region, job) if t))
+        )
+    for job_term, syn, idx in SYNONYMS:
+        for qid, region, job in QUERIES:
+            if job == job_term:
+                rows.append(
+                    (qid, idx, region, job, syn, " ".join(t for t in (region, syn) if t))
+                )
+    probes = spark.createDataFrame(
+        rows, "query_id int, syn_idx int, region string, job string, synonym string, ptext string"
+    )
+    return v2_lattice_topk(spark, sf_dir, probes)
