@@ -63,6 +63,14 @@ def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(_fold_sum(diffs))
 
 
+def l2_distance_nc(a: Column, b: Column) -> Column:
+    """L2 over pre-cast array<double> — bit-identical to `l2_distance`
+    and drops FOUR interpreted casts per element (the squared-diff
+    lambda evaluates each cast twice)."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(_fold_sum(diffs))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 when either vector has zero norm."""
     denom = l2_norm(a) * l2_norm(b)

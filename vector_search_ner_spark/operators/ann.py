@@ -61,15 +61,21 @@ def ivf_topk(
     top-k within the probed clusters only. The doc side is touched
     only on (query, cluster) matches — with the table partitioned by
     cluster_id this is partition pruning, not a full scan."""
+    from vector_search_ner_spark.functions.vector import l2_distance_nc, to_double_array
+
+    # pre-cast each side ONCE (below the join) — the candidate-set
+    # distance fold is interpreted, so per-pair casts dominate its
+    # node count; bit-identical (see functions/vector.py)
+    queries = queries.withColumn("__qv", to_double_array(F.col(query_vec)))
     qc = (
         queries.crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", l2_distance(F.col(query_vec), F.col("centroid")))
+        .withColumn("cdist", l2_distance_nc(F.col("__qv"), F.col("centroid")))
     )
     probes = topk_per_query(qc, nprobe, query_id, "cdist", "cluster_id", ascending=True).select(
-        query_id, "cluster_id", query_vec
+        query_id, "cluster_id", "__qv"
     )
-    cand = probes.join(assigned, "cluster_id")
-    scored = cand.withColumn("distance", l2_distance(F.col(query_vec), F.col(vec_col))).select(
+    cand = probes.join(assigned.withColumn("__dv", to_double_array(F.col(vec_col))), "cluster_id")
+    scored = cand.withColumn("distance", l2_distance_nc(F.col("__qv"), F.col("__dv"))).select(
         query_id, F.col(doc_id), "distance"
     )
     return topk_per_query(scored, k, query_id, "distance", doc_id, ascending=True)

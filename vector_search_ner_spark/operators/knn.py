@@ -9,7 +9,10 @@ Design for scale (100 TB doc side, small query batch):
     InferWindowGroupLimit rule (3.5+) turns this into a per-partition
     partial top-k (WindowGroupLimit) BEFORE the shuffle, so only
     ~k rows per partition per query move — not |docs| × |queries|.
-  * metric exprs are built-in higher-order functions (codegen, no UDF).
+  * metric exprs are built-in higher-order functions (JVM-side, no
+    UDF; they evaluate interpreted — see functions/vector.py — so both
+    vector sides are pre-cast to array<double> once per row to keep
+    the per-pair node count minimal).
 
 Semantics notes vs the reference:
   * exact, not approximate — recall 1.0 (declared improvement; see
@@ -85,24 +88,37 @@ def knn_join(
     """
     if doc_filter is not None:
         docs = docs.where(doc_filter)
+    # pre-cast both vector sides to array<double> ONCE per row (the
+    # pair-scoring folds are interpreted, so per-element casts inside
+    # the pair loop are the dominant node count; casting up front is
+    # bit-identical — same doubles, same fold)
+    from vector_search_ner_spark.functions.vector import (
+        dot_product_nc,
+        l2_distance_nc,
+        l2_norm,
+        to_double_array,
+    )
+
+    docs = docs.withColumn("__dv", to_double_array(F.col(doc_vec)))
+    queries = queries.select(query_id, query_vec).withColumn(
+        "__qv", to_double_array(F.col(query_vec))
+    )
     if metric == "cosine":
         # hoist the norms out of the pair loop: |d| once per doc row,
         # |q| once per query row — not once per (query, doc) pair.
-        # Bit-identical to computing them inline (same fold, same doubles).
-        from vector_search_ner_spark.functions.vector import l2_norm
-
         docs = docs.withColumn("__dnorm", l2_norm(F.col(doc_vec)))
-        queries = queries.select(query_id, query_vec).withColumn(
-            "__qnorm", l2_norm(F.col(query_vec))
-        )
+        queries = queries.withColumn("__qnorm", l2_norm(F.col(query_vec)))
         denom = F.col("__qnorm") * F.col("__dnorm")
         expr = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            dot_product(F.col(query_vec), F.col(doc_vec)) / denom
+            dot_product_nc(F.col("__qv"), F.col("__dv")) / denom
         )
         asc = False
+    elif metric == "dot":
+        expr, asc = dot_product_nc(F.col("__qv"), F.col("__dv")), False
+    elif metric == "l2":
+        expr, asc = l2_distance_nc(F.col("__qv"), F.col("__dv")), True
     else:
         expr, asc = score_expr(metric, F.col(query_vec), F.col(doc_vec))
-        queries = queries.select(query_id, query_vec)
     scored = (
         docs.crossJoin(F.broadcast(queries))
         .withColumn(score_col, expr)

@@ -125,15 +125,17 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic because (distance, doc_id) is a total order."""
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
-    from vector_search_ner_spark.functions.vector import l2_distance
+    from vector_search_ner_spark.functions.vector import l2_distance_nc, to_double_array
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "__dv", to_double_array(F.col("embedding"))
+    )
+    q = emb.where(F.col("vec_id") == 0).select(to_double_array("embedding").alias("__qv"))
     scored = (
         emb.crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
-            l2_distance(F.col("query_vec"), F.col("embedding")).alias("distance"),
+            l2_distance_nc(F.col("__qv"), F.col("__dv")).alias("distance"),
         )
         .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
         .withColumn("__pid", F.spark_partition_id())
