@@ -668,3 +668,21 @@ def test_topk_lattice_equals_single_pass(spark, sf_dir):
         .collect()
     ]
     assert a == b
+
+
+def test_embedder_unicode_whitespace_contract(spark):
+    """Unicode whitespace (NBSP, LINE SEP) must NOT split tokens on
+    either embedder path: Python's default str.split() would split on
+    it and silently diverge from Java/RE2 \\s+ — the ASCII-\\s contract
+    in embedder._tokens exists exactly for this, so pin it with
+    characters that would expose the divergence."""
+    from vector_search_ner_spark.embedder import HashingEmbedder, hashing_embed_frame
+
+    texts = ["a\xa0b", "x y", "n\xa0\xa0m end", "tab\tsplit ok"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    u = df.select("doc_id", HashingEmbedder().embed_col(F.col("text")).alias("u"))
+    j = hashing_embed_frame(df, out_col="j").select("doc_id", "j")
+    for r in u.join(j, "doc_id").collect():
+        assert r.u == r.j, r.doc_id
