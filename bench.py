@@ -58,6 +58,7 @@ HEADLINE = [
     "chat_pipeline_e2e",
     "dedup_keep_best",
     "staged_retrieval_topk_scale",
+    "corpus_prep_pipeline",
 ]
 
 

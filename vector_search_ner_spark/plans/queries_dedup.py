@@ -447,3 +447,85 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def _duck_corpus_prep() -> str:
+    from vector_search_ner_spark.plans.queries_text import _duck_lang_id, _duck_quality
+
+    nib = "strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1"
+    return (
+        _duck_lsh_cluster_ctes()
+        + f"""
+, ranked AS (
+  SELECT l.cluster_id, l.doc_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+), kept AS (
+  SELECT doc_id FROM ranked WHERE rn = 1
+), scored AS (
+  SELECT d.doc_id, {_duck_quality()} AS quality, {_duck_lang_id()} AS lang_pred
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+)
+SELECT doc_id, quality, lang_pred,
+       CASE WHEN {nib} < 12 THEN 'train'
+            WHEN {nib} < 14 THEN 'val'
+            ELSE 'test' END AS split
+FROM scored
+WHERE quality >= 0.5 AND lang_pred <> 'und'
+ORDER BY doc_id
+"""
+    )
+
+
+@query("corpus_prep_pipeline", oracle=_duck_corpus_prep())
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data flagship, end to end as ONE lazy plan — what
+    you actually run on a crawl before pretraining:
+
+      ① near-dup CLUSTER (MinHash bands → star edges → connected
+        components — O(n·bands) edges even on full-dup cliques);
+      ② keep ONE canonical doc per cluster (longest, id tie-break —
+        MAX-over-struct hash agg, map-side combine);
+      ③ quality-score + language-ID the survivors (map-only exprs);
+      ④ drop low-quality and unidentifiable-language docs;
+      ⑤ assign the content-hash train/val/test split (row-stable under
+        repartition/retry, unlike rand(seed)).
+
+    Per-doc roster out (doc_id, quality, lang_pred, split), fully
+    DuckDB-oracle-checked through the recursive-CTE closure. The only
+    shuffles at scale: the slim band exchange, the CC label rounds
+    (diameter-bounded), and one hash agg — scoring, filtering, and
+    splitting are all width-one projections."""
+    from vector_search_ner_spark.operators.dedup import connected_components
+    from vector_search_ner_spark.operators.textstats import lang_id, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(nd.lsh_star_edges(docs))
+    sized = labels.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    kept = (
+        sized.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("n_chars"), (-F.col("node")).alias("neg_id"))).alias("b"))
+        .select((-F.col("b.neg_id")).cast("long").alias("doc_id"))
+    )
+    scored = docs.join(kept, "doc_id").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    nibble = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1),
+    ) - 1
+    return (
+        scored.where((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        .select(
+            "doc_id",
+            "quality",
+            "lang_pred",
+            F.when(nibble < 12, "train").when(nibble < 14, "val").otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
