@@ -86,23 +86,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("neighbor_min"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter+count over the materialized
+        # frame — not another join+shuffle per round
         new_labels = (
             labels.join(neigh, labels.node == neigh.a, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("neighbor_min"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
