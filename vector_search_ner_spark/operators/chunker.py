@@ -11,7 +11,9 @@ slices instead (same size/overlap contract, reproducible in ANSI SQL):
     chunk_i  = substring(text, i*stride + 1, size)      (i = 0-based)
 
 Pure built-in exprs (sequence + explode = a generator/UDTF shape, no
-Python), so chunking 100 TB of text is one narrow codegen stage.
+Python), so chunking 100 TB of text is one narrow JVM map stage (the
+per-row sequence/transform evaluates interpreted, but it is O(chunks
+per doc), not O(dim × tokens) — see functions/vector.py).
 """
 
 from __future__ import annotations

@@ -1,8 +1,10 @@
 """Text-analysis operators for training-data pipelines: token counting,
 quality scoring, language-ID heuristic, document fingerprinting.
-All built-in column exprs (codegen; no UDFs) → each has an exact
-DuckDB oracle. Designed as narrow map-only stages: at 100 TB they run
-at parquet-scan speed with zero shuffles.
+All built-in column exprs (JVM-side, no UDFs; the array higher-order
+pieces evaluate interpreted — see functions/vector.py — which is fine
+at these small per-row fold sizes) → each has an exact DuckDB oracle.
+Designed as narrow map-only stages: at 100 TB they run at
+parquet-scan speed with zero shuffles.
 """
 
 from __future__ import annotations
