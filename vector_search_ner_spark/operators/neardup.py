@@ -17,6 +17,16 @@ long-typed equi-joins/intersects); the mod-MINHASH_P reduction exists
 only inside the minhash permutations, where its ~1e6 space is part of
 the sketch, not of the exact verify.
 
+Shingle hashes are Rabin-Karp style: md5 runs once per TOKEN, and each
+word-k-gram's 60-bit hash is a two-lane polynomial combine of its k
+token hashes (each lane a degree-k polynomial over a prime < 2^30, so
+every product stays under 2^60 — safe in int64 on BOTH engines; the
+lanes concatenate to 60 bits). The shingle STRINGS never materialize:
+vs md5-per-shingle this hashes k-fold fewer bytes and builds no
+intermediate k-word strings — measured ~2x faster on the signature
+stage (PERF.md round 5). Same scheme as the rolling fingerprints in
+queries_text.py, generalized to two lanes for 60-bit width.
+
 Word shingles use k=6: long enough that shingle document-frequency
 stays tiny on natural text. Against adversarial skew (boilerplate
 headers shared by millions of docs), `jaccard_pairs` and
@@ -73,72 +83,101 @@ def _md5_const(tag: str) -> int:
 MINHASH_A = [(_md5_const(f"minhash-a:{j}") % (MINHASH_P - 1)) + 1 for j in range(N_PERM)]
 MINHASH_B = [_md5_const(f"minhash-b:{j}") % MINHASH_P for j in range(N_PERM)]
 
+# two-lane polynomial gram hash: primes just under 2^30 keep every
+# product (acc * M + h) under 2^60 in int64 on both engines; the lane
+# multipliers derive from md5 like every other constant here
+GRAM_P1 = 1_073_741_789
+GRAM_P2 = 1_073_741_783
+GRAM_M1 = (_md5_const("gram-m1") % (GRAM_P1 - 2)) + 2
+GRAM_M2 = (_md5_const("gram-m2") % (GRAM_P2 - 2)) + 2
+_LANE_SHIFT = 1 << 30
+
+
+def _gram_pows(m: int, p: int, k: int) -> list[int]:
+    """Coefficient of the j-th token (0-based) in a degree-k fold:
+    m^(k-1-j) mod p — lets the oracle evaluate the fold closed-form."""
+    return [pow(m, k - 1 - j, p) for j in range(k)]
+
 
 # ---------------------------------------------------------------------------
-# shingling
+# token + gram hashing (map-only; md5 once per token, never per shingle)
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-gram shingles; whole trimmed text when < k tokens."""
-    toks = F.split(F.trim(text), " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.trim(text)))
-
-
-def duck_word_shingles(text: str = "text", k: int = SHINGLE_K) -> str:
-    toks = f"string_split(trim({text}), ' ')"
-    return f"""CASE WHEN len({toks}) >= {k}
-      THEN list_distinct(list_transform(generate_series(1, len({toks}) - {k - 1}),
-             i -> array_to_string({toks}[i:i+{k - 1}], ' ')))
-      ELSE [trim({text})] END"""
-
-
-def _shingle_hash(s: Column) -> Column:
-    """md5-derived shingle hash in [0, MINHASH_P)."""
+def token_hashes60(text: Column) -> Column:
+    """60-bit md5 hash per whitespace token. Materialize this ONCE per
+    row (own projection) before deriving gram hashes: the rolling
+    combine references every token hash k times."""
     from vector_search_ner_spark.functions.text import stable_long_hash
 
-    return stable_long_hash(s) % MINHASH_P
+    toks = F.split(F.trim(text), " ")
+    return F.transform(toks, stable_long_hash)
 
 
-def _duck_shingle_hash(s: str) -> str:
-    return f"(CAST('0x' || substring(md5({s}), 1, 15) AS BIGINT) % {MINHASH_P})"
+def duck_token_hashes60(text: str = "text") -> str:
+    return (
+        f"list_transform(string_split(trim({text}), ' '), "
+        f"t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT))"
+    )
+
+
+def _lane_fold(sub: Column, m: int, p: int) -> Column:
+    return F.aggregate(
+        sub, F.lit(0).cast("long"), lambda acc, h: (acc * m + (h % p)) % p
+    )
+
+
+def gram_hashes60(th: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct 60-bit hashes of the word k-gram shingles, computed
+    from a MATERIALIZED token-hash array (`token_hashes60`) by a
+    two-lane polynomial fold per gram position — Rabin-Karp over token
+    hashes instead of md5 over k-word strings (k-fold fewer hashed
+    bytes, no intermediate strings). Short docs (< k tokens) hash as
+    ONE whole-text shingle: the same fold over the full token array.
+    This is the CANDIDATE/VERIFY representation: pair joins and
+    exact-Jaccard intersects run over 8-byte longs, and 60 bits keeps
+    collisions negligible at corpus scale. Both engines derive
+    identical values (`duck_gram_hashes60`), so oracles stay
+    bit-for-bit."""
+    n = F.size(th)
+    lane = lambda sub: _lane_fold(sub, GRAM_M1, GRAM_P1) * _LANE_SHIFT + _lane_fold(
+        sub, GRAM_M2, GRAM_P2
+    )
+    grams = F.transform(F.sequence(F.lit(0), n - k), lambda i: lane(F.slice(th, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(lane(th)))
+
+
+def duck_gram_hashes60(th: str, k: int = SHINGLE_K) -> str:
+    """DuckDB twin of `gram_hashes60` over a token-hash list column.
+    The per-gram fold is evaluated closed-form (precomputed power
+    coefficients, list_sum of k terms — each term < 2^60, k·2^60 fits
+    int64 for k <= 8); the variable-length short-doc fold uses
+    list_reduce with a prepended 0 accumulator (same recurrence as
+    Spark's aggregate)."""
+    pow1 = _gram_pows(GRAM_M1, GRAM_P1, k)
+    pow2 = _gram_pows(GRAM_M2, GRAM_P2, k)
+
+    def closed(pows: list[int], p: int) -> str:
+        terms = " + ".join(
+            f"(({th}[i + {j}] % {p}) * {pows[j]}) % {p}" for j in range(k)
+        )
+        return f"(({terms}) % {p})"
+
+    def reduce_lane(m: int, p: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), {th}), "
+            f"(acc, h) -> (acc * {m} + (h % {p})) % {p})"
+        )
+
+    return f"""CASE WHEN len({th}) >= {k}
+      THEN list_distinct(list_transform(generate_series(1, len({th}) - {k - 1}),
+             i -> {closed(pow1, GRAM_P1)} * {_LANE_SHIFT} + {closed(pow2, GRAM_P2)}))
+      ELSE [{reduce_lane(GRAM_M1, GRAM_P1)} * {_LANE_SHIFT} + {reduce_lane(GRAM_M2, GRAM_P2)}] END"""
 
 
 # ---------------------------------------------------------------------------
 # MinHash signatures (map-only: array transform + array_min, no explode)
 # ---------------------------------------------------------------------------
-
-
-def shingle_hashes(shingles: Column) -> Column:
-    """Materialize the md5-derived hash per shingle ONCE; the N_PERM
-    permutations then run pure arithmetic over this array (computing
-    md5 inside each permutation would cost 16x the hashing work)."""
-    return F.transform(shingles, _shingle_hash)
-
-
-def shingle_hashes60(shingles: Column) -> Column:
-    """Full-width 60-bit md5 hash per shingle — the CANDIDATE/VERIFY
-    representation: pair joins and exact-Jaccard intersects run over
-    8-byte longs instead of ~45-byte shingle strings (slimmer persist,
-    cheaper equi-join keys, faster array_intersect). 60 bits keeps
-    collisions negligible at corpus scale (unlike the mod-MINHASH_P
-    reduction used ONLY inside the minhash permutations, whose ~1e6
-    space saturates on a large corpus); both engines derive the same
-    hashes, so the oracles stay bit-for-bit."""
-    from vector_search_ner_spark.functions.text import stable_long_hash
-
-    return F.transform(shingles, stable_long_hash)
-
-
-def duck_shingle_hashes60(shingles_sql: str) -> str:
-    return (
-        f"list_transform({shingles_sql}, "
-        f"s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))"
-    )
 
 
 def minhash_signature_cols(hashes: Column) -> list[Column]:
@@ -152,11 +191,13 @@ def minhash_signature_cols(hashes: Column) -> list[Column]:
     return sigs
 
 
-def duck_minhash_sig(j: int, shingles_sql: str) -> str:
+def duck_minhash_sig(j: int, hs_sql: str) -> str:
+    """Permutation j's signature from a 60-bit gram-hash list (the
+    mod-MINHASH_P reduction happens here, inside the sketch)."""
     a, b = MINHASH_A[j], MINHASH_B[j]
     return (
-        f"list_min(list_transform({shingles_sql}, "
-        f"s -> ({a} * {_duck_shingle_hash('s')} + {b}) % {MINHASH_P}))"
+        f"list_min(list_transform({hs_sql}, "
+        f"h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
     )
 
 
@@ -318,10 +359,13 @@ def jaccard_pairs(
     FULL shingle sets for every surviving candidate pair. Values are
     exact; only pairs whose every common shingle is hot are skipped.
     Returns (doc_a, doc_b, jaccard)."""
-    sh = docs.select(
-        F.col(id_col).alias("sid"),
-        shingle_hashes60(word_shingles(F.col(text_col), k)).alias("hs"),
-    ).persist()
+    sh = (
+        docs.select(
+            F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
+        )
+        .select("sid", gram_hashes60(F.col("__th"), k).alias("hs"))
+        .persist()
+    )
     exploded = sh.select("sid", F.explode("hs").alias("sh"))
     if df_cap is not None:
         exploded = _drop_hot_shingles(exploded, df_cap)
@@ -362,11 +406,14 @@ def minhash_lsh_pairs(
     # verify joins; persist it (memory-and-disk, spills at scale)
     # instead of recomputing the tokenize+md5 pass per consumer. It
     # carries 60-bit hashes, not shingle strings — ~5x slimmer persist
-    # and long-typed intersects in the verify (shingle_hashes60)
-    sh = docs.select(
-        F.col(id_col).alias("sid"),
-        shingle_hashes60(word_shingles(F.col(text_col))).alias("hs"),
-    ).persist()
+    # and long-typed intersects in the verify (gram_hashes60)
+    sh = (
+        docs.select(
+            F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
+        )
+        .select("sid", gram_hashes60(F.col("__th")).alias("hs"))
+        .persist()
+    )
     sigs = sh.withColumn(
         "hashes", F.transform(F.col("hs"), lambda h: h % MINHASH_P)
     ).select("sid", *minhash_signature_cols(F.col("hashes")))
@@ -420,11 +467,11 @@ def lsh_star_edges(
     every doc appears in the output, so downstream labeling covers
     singletons too. Returns (doc_a=hub, doc_b=member)."""
     sh = docs.select(
-        F.col(id_col).alias("sid"), word_shingles(F.col(text_col)).alias("shingles")
-    )
-    sigs = sh.withColumn("hashes", shingle_hashes(F.col("shingles"))).select(
-        "sid", *minhash_signature_cols(F.col("hashes"))
-    )
+        F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
+    ).select("sid", gram_hashes60(F.col("__th")).alias("hs"))
+    sigs = sh.withColumn(
+        "hashes", F.transform(F.col("hs"), lambda h: h % MINHASH_P)
+    ).select("sid", *minhash_signature_cols(F.col("hashes")))
     bands = sigs.select(
         "sid",
         F.explode(
@@ -551,14 +598,26 @@ def contamination_best_match(
     the FULL shingle sets, so reported overlaps are exact; only a
     bench doc whose every common shingle is boilerplate-hot loses its
     (meaningless) match row."""
-    bsh = bench.select(
-        F.col(id_col).alias("bench_id"),
-        shingle_hashes60(word_shingles(F.col(text_col), k)).alias("b_shingles"),
+    # persist BOTH shingle frames: each is consumed twice (explode for
+    # candidates + array for verify), and the cache boundary also stops
+    # InferFiltersFromGenerate from pushing a size(shingles)>0 filter
+    # below the projection — that inlines the whole gram-hash expression
+    # into the filter, where the token-hash transform re-evaluates per
+    # gram position (measured 100x slower on the bench side)
+    bsh = (
+        bench.select(
+            F.col(id_col).alias("bench_id"), token_hashes60(F.col(text_col)).alias("__th")
+        )
+        .select("bench_id", gram_hashes60(F.col("__th"), k).alias("b_shingles"))
+        .persist()
     )
-    tsh = train.select(
-        F.col(id_col).alias("train_id"),
-        shingle_hashes60(word_shingles(F.col(text_col), k)).alias("t_shingles"),
-    ).persist()
+    tsh = (
+        train.select(
+            F.col(id_col).alias("train_id"), token_hashes60(F.col(text_col)).alias("__th")
+        )
+        .select("train_id", gram_hashes60(F.col("__th"), k).alias("t_shingles"))
+        .persist()
+    )
     b_expl = bsh.select("bench_id", F.explode("b_shingles").alias("sh"))
     t_expl = tsh.select("train_id", F.explode("t_shingles").alias("sh"))
     if df_cap is not None:

@@ -74,19 +74,20 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_pairs(threshold: float) -> str:
-    shingles = nd.duck_word_shingles()
     sig_cols = ",\n       ".join(
-        f"{nd.duck_minhash_sig(j, 'shingles')} AS mh{j}" for j in range(nd.N_PERM)
+        f"{nd.duck_minhash_sig(j, 'hs')} AS mh{j}" for j in range(nd.N_PERM)
     )
     band_selects = "\nUNION ALL\n".join(
         f"SELECT sid, hs, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
         for bi in range(nd.N_BANDS)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id AS sid, {shingles} AS shingles FROM documents
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
 ), sigs AS (
-  SELECT sid, {nd.duck_shingle_hashes60("shingles")} AS hs,
+  SELECT sid, hs,
        {sig_cols}
   FROM sh
 ), bands AS (
@@ -116,10 +117,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS (
-  SELECT doc_id AS sid,
-         {nd.duck_shingle_hashes60(nd.duck_word_shingles())} AS hs
-  FROM documents
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
 ), exploded AS (
   SELECT sid, unnest(hs) AS sh FROM sh
 ), hot AS (
@@ -282,10 +283,10 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "contamination_check",
     oracle=f"""
-WITH sh AS (
-  SELECT doc_id AS sid, source,
-         {nd.duck_shingle_hashes60(nd.duck_word_shingles())} AS hs
-  FROM documents
+WITH t AS (
+  SELECT doc_id AS sid, source, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS (
+  SELECT sid, source, {nd.duck_gram_hashes60("th")} AS hs FROM t
 ), exploded AS (
   SELECT sid, source, unnest(hs) AS sh FROM sh
 ), hot AS (
@@ -332,19 +333,20 @@ def _duck_lsh_cluster_ctes() -> str:
     band-key derivation as the minhash oracle, star edges to each
     bucket's min sid, min-reachable-node closure, final `labels`
     (doc_id, cluster_id)."""
-    shingles = nd.duck_word_shingles()
     sig_cols = ",\n       ".join(
-        f"{nd.duck_minhash_sig(j, 'shingles')} AS mh{j}" for j in range(nd.N_PERM)
+        f"{nd.duck_minhash_sig(j, 'hs')} AS mh{j}" for j in range(nd.N_PERM)
     )
     band_selects = "\nUNION ALL\n".join(
         f"SELECT sid, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
         for bi in range(nd.N_BANDS)
     )
     return f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id AS sid, {shingles} AS shingles FROM documents
+WITH RECURSIVE t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
 ), sigs AS (
-  SELECT sid, shingles,
+  SELECT sid, hs,
        {sig_cols}
   FROM sh
 ), bands AS (
