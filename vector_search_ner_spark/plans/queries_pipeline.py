@@ -1078,12 +1078,20 @@ def v2_lattice_topk(spark: SparkSession, sf_dir: str, probes: DataFrame) -> Data
     p3r = F.col("hr") & in_r
     p3j = F.col("hj") & in_j
 
-    s1 = topk(main, p1, STAGE_K).withColumn("stage", F.lit(0)).select(*cols)
+    # persist every stage frame: the gate chain (g2→s2→u12→g3→s3→
+    # sel_all→g5→s5→merged) references earlier stages from MANY
+    # subtrees — without a cache boundary s1's window re-evaluates
+    # ~15-20x through the expanded DAG (measured 7.3s vs 3.4s at
+    # sf0.1). The frames are K-rows-per-query tiny, so this is the
+    # right call at 100 TB too: you always materialize stage outputs,
+    # never re-derive them per gate.
+    s1 = topk(main, p1, STAGE_K).withColumn("stage", F.lit(0)).select(*cols).persist()
     s4 = (
         topk(syn_rows.where((F.col("hr") | ~in_r) & F.col("hs")), F.lit(True),
              STAGE_K, extra_part=("syn_idx",))
         .withColumn("stage", F.lit(10) + F.col("syn_idx"))
         .select(*cols)
+        .persist()
     )
 
     def gate(selected, limit, extra_pred=None):
@@ -1102,16 +1110,16 @@ def v2_lattice_topk(spark: SparkSession, sf_dir: str, probes: DataFrame) -> Data
     g2 = gate(s1.select("query_id", "doc_id"), DEFICIT_MIN, in_both)
     s2 = topk(main, p2, STAGE_K).join(g2, "query_id").withColumn(
         "stage", F.lit(1)
-    ).select(*cols)
+    ).select(*cols).persist()
 
     u12 = s1.select("query_id", "doc_id").unionByName(s2.select("query_id", "doc_id"))
     g3 = gate(u12, DEFICIT_MIN)
     s3r = topk(main, p3r, STAGE_K).join(g3, "query_id").withColumn(
         "stage", F.lit(2)
-    ).select(*cols)
+    ).select(*cols).persist()
     s3j = topk(main, p3j, STAGE_K).join(g3, "query_id").withColumn(
         "stage", F.lit(3)
-    ).select(*cols)
+    ).select(*cols).persist()
 
     sel_all = u12
     for f in (s3r, s3j, s4):
