@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_keep_best",
     "staged_retrieval_topk_scale",
     "corpus_prep_pipeline",
+    "doc_lm_surprisal",
+    "dataset_pack_sequences",
 ]
 
 

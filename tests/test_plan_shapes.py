@@ -323,3 +323,40 @@ def test_topk_lattice_plans_window_group_limits(spark):
     p = _plan(spark, "staged_retrieval_topk_scale")
     assert p.count("WindowGroupLimit") >= 5, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_mixture_quota_plans_window_group_limit(spark):
+    """Exact-quota mixture sampling must plan the per-source rank
+    filter as WindowGroupLimit — each input partition forwards at most
+    quota rows per source before the exchange, so the full corpus
+    never shuffles."""
+    p = _plan(spark, "mixture_resample_quota")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """Sequence packing must compute the global prefix sum WITHOUT a
+    data-wide single-partition window or global sort: the only
+    SinglePartition exchange feeds the per-bucket totals (one row per
+    bucket), the doc-level running sum is partitioned by the static
+    hash-range bucket, and bucket offsets come back via broadcast."""
+    p = _plan(spark, "dataset_pack_sequences")
+    assert "BroadcastExchange" in p, p
+    # the big-relation window is partitioned (hashpartitioning on the
+    # bucket); SinglePartition may appear only for the tiny totals frame
+    doc_window_single = [
+        ln for ln in p.splitlines()
+        if "SinglePartition" in ln and "rangepartitioning" in ln
+    ]
+    assert not doc_window_single, p
+    assert "Sort" in p and "hashpartitioning" in p, p
+
+
+def test_lm_surprisal_partial_aggs(spark):
+    """The LM build and the per-doc scoring agg must both partial-
+    aggregate map-side (partial_count / partial_sum in the plan), and
+    the 1-row total must broadcast."""
+    p = _plan(spark, "doc_lm_surprisal")
+    assert "partial_count" in p, p
+    assert "partial_sum" in p, p
+    assert "BroadcastExchange" in p, p

@@ -1,0 +1,264 @@
+"""Training-data preparation operators beyond the reference's surface
+(north-star scope, same family as the dedup/sharding queries):
+
+  * `doc_lm_surprisal`       — corpus-trained unigram-LM surprisal
+                               scoring (the CCNet/Gopher "perplexity
+                               filter" shape, integer-exact);
+  * `dataset_pack_sequences` — pack the corpus into fixed token-budget
+                               training sequences via a DISTRIBUTED
+                               exclusive prefix sum (no global sort,
+                               no single-partition window over data);
+  * `mixture_resample_quota` — exact per-source quota sampling for
+                               dataset mixing (weights -> quotas ->
+                               per-source deterministic top-k by hash).
+
+All three are fully DuckDB-oracle-checked; arithmetic is integer or
+single-division double, so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.functions.text import (
+    duck_stable_long_hash,
+    stable_long_hash,
+)
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.sources.catalog import load_table
+
+# -- unigram-LM surprisal ----------------------------------------------------
+# Quantized per-token surprisal in whole bits: floor(log2(total)) -
+# floor(log2(count)). Integer everywhere (floor-log2 is the binary
+# digit count), so partial aggregation is exact and order-independent —
+# no cross-engine float drift, unlike a sum of ln() terms whose result
+# depends on accumulation order.
+
+_FLUENT_BITS = 9.0  # docs averaging rarer-than-2^-9 tokens are suspect
+
+
+def _floor_log2(c) -> object:
+    return F.length(F.bin(c)) - 1
+
+
+@query(
+    "doc_lm_surprisal",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {duck_stable_long_hash("unnest(string_split(trim(text), ' '))")} AS th
+  FROM documents
+), lm AS (
+  SELECT th, COUNT(*) AS cnt FROM toks GROUP BY th
+), tot AS (
+  SELECT COUNT(*) AS total FROM toks
+), scored AS (
+  SELECT t.doc_id,
+         (length(bin(tot.total)) - 1) - (length(bin(l.cnt)) - 1) AS bits
+  FROM toks t JOIN lm l ON t.th = l.th CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       ROUND(SUM(bits) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_surprisal_bits,
+       SUM(bits) / CAST(COUNT(*) AS DOUBLE) <= {_FLUENT_BITS} AS is_fluent
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter (the CCNet/Gopher perplexity-filter
+    shape, no external model): train a unigram LM on the corpus itself
+    (token -> count), then score every document by its mean token
+    surprisal; high-surprisal docs are gibberish/OCR-noise candidates.
+
+    Surprisal is QUANTIZED to whole bits — floor(log2(total)) -
+    floor(log2(count)) — so the per-doc sum is integer-exact and
+    order-independent (a float sum of ln() terms would drift across
+    engines and partition orders). Scale shape: one explode feeding
+    BOTH the LM aggregation and the scoring join (persisted, 2 slim
+    long columns); the LM build is a map-side-combining hash agg; the
+    score join shuffles on the 60-bit token hash, never the token
+    string; the total-token count broadcasts as a 1-row frame. At 100
+    TB the LM relation is vocabulary-sized (sublinear in corpus), so
+    the score join's LM side is broadcastable when the vocab fits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.split(F.trim(F.col("text")), " "), stable_long_hash)
+        ).alias("th"),
+    ).persist()
+    lm = toks.groupBy("th").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    bits = _floor_log2(F.col("total")) - _floor_log2(F.col("cnt"))
+    per_doc = (
+        toks.join(lm, "th")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).cast("long").alias("total_bits"),
+        )
+    )
+    avg = F.col("total_bits") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "total_bits",
+        F.round(avg, 4).alias("avg_surprisal_bits"),
+        (avg <= _FLUENT_BITS).alias("is_fluent"),
+    )
+
+
+# -- sequence packing --------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per training sequence
+_PACK_BUCKETS = 32
+_BUCKET_WIDTH = (1 << 60) // _PACK_BUCKETS  # hash domain is [0, 2^60)
+
+
+@query(
+    "dataset_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         {duck_stable_long_hash("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS "offset",
+       CAST(off // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+       CAST((off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq,
+       CAST((off + n_tokens - 1) // {_PACK_BUDGET}
+            - off // {_PACK_BUDGET} + 1 AS BIGINT) AS n_seqs
+FROM o
+""",
+)
+def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate the corpus in
+    a deterministic shuffled order (content-hash of doc_id) and cut it
+    into fixed {budget}-token training sequences; emit each document's
+    global token offset and the sequence range it lands in (documents
+    may straddle a boundary — the concat-and-cut packing used with
+    block-diagonal attention masks).
+
+    The global exclusive prefix sum is DISTRIBUTED: the 60-bit order
+    hash is uniform, so fixed-width ranges of the hash domain are
+    balanced contiguous slices of the global order — each doc's bucket
+    is a map-only `h div W`, the within-bucket running sum is a
+    bucket-partitioned window, and cross-bucket offsets come from a
+    per-bucket total (one tiny row per bucket) prefix-summed and
+    broadcast back. No global sort, no single-partition window over
+    data, no reliance on optimizer exchange reuse — partitioning is
+    fixed by arithmetic, not by the planner (contrast the __pid
+    pattern in similarity_full_scan, which needs a persist barrier).
+    Every quantity is an integer, so the oracle (one global window)
+    matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+        stable_long_hash(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("__bucket", F.expr(f"h div {_BUCKET_WIDTH}"))
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    btot = base.groupBy("__bucket").agg(F.sum("n_tokens").alias("__btot"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).cast("long").alias("__boff"),
+    )
+    off = (
+        F.col("__boff") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    ).cast("long")
+    first = F.expr(f"offset div {_PACK_BUDGET}")
+    last = F.expr(f"(offset + n_tokens - 1) div {_PACK_BUDGET}")
+    return (
+        base.join(F.broadcast(boff), "__bucket")
+        .withColumn("offset", off)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset",
+            first.cast("long").alias("first_seq"),
+            last.cast("long").alias("last_seq"),
+            (last - first + 1).cast("long").alias("n_seqs"),
+        )
+    )
+
+
+# -- exact-quota mixture sampling --------------------------------------------
+
+# docs sampled per weight unit; per-source quota = weight * this
+_QUOTA_PER_UNIT = 10
+_MIX_WEIGHTS = {"src0": 4, "src1": 2}  # every other source: weight 1
+
+
+def _mix_quota_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {w * _QUOTA_PER_UNIT}"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"CASE {whens} ELSE {_QUOTA_PER_UNIT} END"
+
+
+@query(
+    "mixture_resample_quota",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {duck_stable_long_hash("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank
+FROM ranked
+WHERE rn <= {_mix_quota_case_sql()}
+""",
+)
+def mixture_resample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling with EXACT per-source quotas (the
+    Pile/Dolma mixing step): each source's quota = mixture weight x a
+    fixed docs-per-unit budget, filled by the quota docs with the
+    smallest salted content hash — a deterministic without-replacement
+    sample that is stable under retries and repartitioning (unlike
+    rand(seed)), and exact where hash-THRESHOLD sampling
+    (`quality_weighted_sample`) only hits quotas in expectation.
+
+    Scale shape: one shuffle on source; Spark plans the rank filter as
+    WindowGroupLimit, so each input partition forwards at most quota
+    rows per source before the exchange — the full corpus never moves.
+    Skew note: partition-by-source is as skewed as the mixture itself;
+    at 100 TB you pre-aggregate candidates per (source, salt) with the
+    same per-partition limit, then re-rank the quota-sized survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    quota = F.lit(_QUOTA_PER_UNIT)
+    for s, w in _MIX_WEIGHTS.items():
+        quota = F.when(F.col("source") == s, w * _QUOTA_PER_UNIT).otherwise(quota)
+    h = stable_long_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    w_s = Window.partitionBy("source").orderBy("h", "doc_id")
+    max_quota = max(_MIX_WEIGHTS.values(), default=1) * _QUOTA_PER_UNIT
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w_s))
+        # the LITERAL bound is what turns the rank filter into a
+        # WindowGroupLimit (per-partition top-maxquota heap before the
+        # exchange); the exact per-source CASE quota then trims on top
+        .where(F.col("rn") <= F.lit(max_quota))
+        .where(F.col("rn") <= quota)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("sample_rank"))
+    )
