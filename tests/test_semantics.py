@@ -686,3 +686,127 @@ def test_embedder_unicode_whitespace_contract(spark):
     j = hashing_embed_frame(df, out_col="j").select("doc_id", "j")
     for r in u.join(j, "doc_id").collect():
         assert r.u == r.j, r.doc_id
+
+
+def test_gram_hashes_match_python_reference(spark):
+    """Property check: the two-lane rolling gram hash (md5 per token +
+    polynomial combine) equals an independent Python reimplementation
+    on randomized token lists — pinning the exact values both engines'
+    oracles rely on, including the <k-token whole-text fallback."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from vector_search_ner_spark.operators import neardup as nd
+
+    def py_tok_hash(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    def py_lane(hs, m, p):
+        acc = 0
+        for h in hs:
+            acc = (acc * m + (h % p)) % p
+        return acc
+
+    def py_gram_hashes(tokens, k=nd.SHINGLE_K):
+        th = [py_tok_hash(t) for t in tokens]
+
+        def lane2(sub):
+            return (
+                py_lane(sub, nd.GRAM_M1, nd.GRAM_P1) * (1 << 30)
+                + py_lane(sub, nd.GRAM_M2, nd.GRAM_P2)
+            )
+
+        if len(th) >= k:
+            out, seen = [], set()
+            for i in range(len(th) - k + 1):
+                g = lane2(th[i : i + k])
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+            return out
+        return [lane2(th)]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abcXYZ012", min_size=1, max_size=4),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def run(tokens):
+        text = " ".join(tokens)
+        df = spark.createDataFrame([(text,)], "text string")
+        got = (
+            df.select(nd.token_hashes60(F.col("text")).alias("__th"))
+            .select(nd.gram_hashes60(F.col("__th")).alias("hs"))
+            .collect()[0]["hs"]
+        )
+        # split(trim(text), ' ') tokenization — mirror it exactly
+        assert got == py_gram_hashes(text.strip().split(" "))
+
+    run()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check: the iterative min-label propagation equals a
+    driver-side union-find (min node id per component) on random edge
+    lists — including self-loops and disconnected chains."""
+    from hypothesis import given, settings, strategies as st
+
+    from vector_search_ner_spark.operators.dedup import connected_components
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want
+
+    run()
+
+
+def test_pack_sequences_partitions_token_stream(spark, sf_dir):
+    """Packing invariants independent of the oracle: in (hash, doc_id)
+    order the offsets are an EXACT exclusive prefix sum (each doc
+    starts where the previous ended), sequences are budget-sized, and
+    the span arithmetic is consistent."""
+    from vector_search_ner_spark.registry import collect
+
+    queries, _ = collect()
+    rows = sorted(
+        queries["dataset_pack_sequences"](spark, sf_dir).collect(),
+        key=lambda r: r["offset"],
+    )
+    expect = 0
+    for r in rows:
+        assert r["offset"] == expect, (r, expect)
+        assert r["first_seq"] == r["offset"] // 256
+        assert r["last_seq"] == (r["offset"] + r["n_tokens"] - 1) // 256
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        expect += r["n_tokens"]
