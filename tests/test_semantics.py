@@ -810,3 +810,35 @@ def test_pack_sequences_partitions_token_stream(spark, sf_dir):
         assert r["last_seq"] == (r["offset"] + r["n_tokens"] - 1) // 256
         assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
         expect += r["n_tokens"]
+
+
+def test_pysource_filter_pushdown_prunes_range(spark):
+    """The custom Python DataSource must fold id-range predicates into
+    the generated range (fully handled — nothing yielded back), split
+    the残 range into the requested partitions, and yield non-id
+    filters back to Spark for post-scan evaluation."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from vector_search_ner_spark.sources.pydatasource import SyntheticDocsReader
+
+    r = SyntheticDocsReader(5000, 8)
+    unsupported = list(
+        r.pushFilters([
+            GreaterThanOrEqual(("id",), 1000),
+            LessThan(("id",), 3000),
+            EqualTo(("word",), "alpha"),
+        ])
+    )
+    assert unsupported == [EqualTo(("word",), "alpha")]
+    parts = r.partitions()
+    assert parts[0].start == 1000 and parts[-1].end == 3000
+    assert len(parts) == 8
+    covered = []
+    for p in parts:
+        covered.extend(range(p.start, p.end))
+    assert covered == list(range(1000, 3000))
+    # degenerate: contradictory range still yields one empty partition
+    r2 = SyntheticDocsReader(100, 4)
+    list(r2.pushFilters([GreaterThanOrEqual(("id",), 90), LessThan(("id",), 10)]))
+    p2 = r2.partitions()
+    assert len(p2) == 1 and p2[0].start >= p2[0].end

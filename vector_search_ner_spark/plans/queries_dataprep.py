@@ -262,3 +262,69 @@ def mixture_resample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= quota)
         .select("doc_id", "source", F.col("rn").cast("int").alias("sample_rank"))
     )
+
+
+# -- custom Python DataSource ------------------------------------------------
+
+_SYN_N = 5000
+_SYN_LO, _SYN_HI = 1000, 3000
+
+
+@query(
+    "pysource_synthetic_docs",
+    oracle=f"""
+WITH g AS (
+  SELECT unnest(generate_series(0, {_SYN_N - 1})) AS id
+), h AS (
+  SELECT id,
+         CAST('0x' || substring(md5('syn:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM g
+), rows_ AS (
+  SELECT id,
+         CAST(hv % 10000 AS INTEGER) AS raw,
+         (hv % 10000) / 10000.0 AS score,
+         (['alpha','beta','gamma','delta','epsilon'])[CAST(hv % 5 AS INTEGER) + 1] AS word
+  FROM h
+)
+SELECT word,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(raw) AS BIGINT) AS sum_raw,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score
+FROM rows_
+WHERE id >= {_SYN_LO} AND id < {_SYN_HI}
+GROUP BY word
+""",
+)
+def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource API surface end to end (SURVEY §2.1
+    source extension): read from the registered `synthetic_docs`
+    custom source — schema declaration, 8-way InputPartition planning,
+    and id-range filter PUSHDOWN (`pushFilters` narrows the generated
+    range before any row materializes; asserted at unit level in
+    tests/test_semantics.py) — then aggregate. Content is md5-derived,
+    so the DuckDB oracle regenerates every row closed-form from
+    generate_series: the whole source is correctness-checked, not just
+    smoke-tested. sf_dir is unused by design — the source IS the data."""
+    from vector_search_ner_spark.sources.pydatasource import register
+
+    register(spark)
+    # runtime-settable; off by default in Spark 4.1 — without it a
+    # reader implementing pushFilters() refuses to initialize
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", _SYN_N)
+        .option("parts", 8)
+        .load()
+    )
+    return (
+        df.where((F.col("id") >= _SYN_LO) & (F.col("id") < _SYN_HI))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("raw").cast("long").alias("sum_raw"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )

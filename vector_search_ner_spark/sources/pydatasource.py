@@ -1,0 +1,117 @@
+"""Custom source via the Spark 4 Python DataSource API (SURVEY §2.1's
+source-extension surface, the PySpark-native analogue of writing a DSv2
+connector): a deterministic synthetic-documents generator with REAL
+partition planning and filter pushdown.
+
+Why a generator source: it exercises every part of the API contract —
+schema declaration, `partitions()` fan-out (each InputPartition is a
+contiguous id range, so the scan parallelizes like any splittable
+file format), `pushFilters()` (id-range predicates narrow the
+generated range BEFORE any row materializes — the Python-source
+equivalent of parquet rowgroup pruning; unhandled predicates are
+returned to Spark for post-scan evaluation), and per-partition
+`read()` yielding plain tuples. Content derives from md5 arithmetic,
+so a DuckDB oracle reproduces every row closed-form from
+generate_series — the source is fully correctness-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+WORDS = ("alpha", "beta", "gamma", "delta", "epsilon")
+_SCHEMA = "id long, bucket int, raw int, score double, word string"
+
+
+def _hv(i: int) -> int:
+    """The same 60-bit md5 derivation both engines use everywhere:
+    CAST('0x' || substring(md5('syn:' || id), 1, 15) AS BIGINT)."""
+    return int(hashlib.md5(f"syn:{i}".encode()).hexdigest()[:15], 16)
+
+
+def row_for(i: int) -> tuple:
+    hv = _hv(i)
+    raw = hv % 10000
+    return (i, int(hv % 16), int(raw), raw / 10000.0, WORDS[hv % len(WORDS)])
+
+
+@dataclass
+class RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, n: int, parts: int) -> None:
+        self.lo = 0
+        self.hi = n
+        self.n_parts = max(1, parts)
+
+    def pushFilters(self, filters: list[Filter]):
+        """Fold id-range predicates into the generated range (fully
+        handled — Spark will not re-evaluate them); every other filter
+        is yielded back for post-scan evaluation."""
+        for f in filters:
+            if isinstance(f, GreaterThan) and f.attribute == ("id",):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("id",):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, LessThan) and f.attribute == ("id",):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual) and f.attribute == ("id",):
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, EqualTo) and f.attribute == ("id",):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        total = hi - lo
+        parts = min(self.n_parts, total) or 1
+        step, rem = divmod(total, parts)
+        out, s = [], lo
+        for p in range(parts):
+            e = s + step + (1 if p < rem else 0)
+            out.append(RangePartition(s, e))
+            s = e
+        return out
+
+    def read(self, partition: RangePartition):
+        for i in range(partition.start, partition.end):
+            yield row_for(i)
+
+
+class SyntheticDocsDataSource(DataSource):
+    """spark.read.format("synthetic_docs").option("n", N)
+    .option("parts", P).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(
+            int(self.options.get("n", 1000)), int(self.options.get("parts", 8))
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticDocsDataSource)
