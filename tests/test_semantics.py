@@ -842,3 +842,50 @@ def test_pysource_filter_pushdown_prunes_range(spark):
     list(r2.pushFilters([GreaterThanOrEqual(("id",), 90), LessThan(("id",), 10)]))
     p2 = r2.partitions()
     assert len(p2) == 1 and p2[0].start >= p2[0].end
+
+
+def test_pysink_commit_protocol(spark, tmp_path):
+    """The custom sink must be transactional: temps are invisible
+    until commit (readers see only part files + manifest), the
+    manifest row counts equal the data, abort removes temps, and
+    overwrite replaces previously committed parts."""
+    import json
+    import os
+
+    from vector_search_ner_spark.sources.pydatasource import (
+        JsonlCommit,
+        JsonlManifestWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    w = JsonlManifestWriter(out, overwrite=True)
+
+    class R:  # minimal Row stand-in
+        def __init__(self, **kw):
+            self._d = kw
+
+        def asDict(self):
+            return self._d
+
+    m1 = w.write(iter([R(a=1), R(a=2)]))
+    m2 = w.write(iter([R(a=3)]))
+    # before commit: only temp files, no manifest
+    names = sorted(os.listdir(out))
+    assert all(n.startswith("_tmp-") for n in names), names
+    w.commit([m1, m2])
+    names = sorted(os.listdir(out))
+    assert names == ["_MANIFEST.json", "part-00000.jsonl", "part-00001.jsonl"], names
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["total_rows"] == 3
+    assert [p["rows"] for p in man["parts"]] == [2, 1]
+    # abort: temps cleaned, committed files untouched
+    m3 = w.write(iter([R(a=9)]))
+    w.abort([m3])
+    assert not os.path.exists(m3.tmp_path)
+    # overwrite: second commit replaces the old parts
+    w2 = JsonlManifestWriter(out, overwrite=True)
+    mo = w2.write(iter([R(a=7)]))
+    w2.commit([mo])
+    names = sorted(os.listdir(out))
+    assert names == ["_MANIFEST.json", "part-00000.jsonl"], names
+    assert json.load(open(os.path.join(out, "_MANIFEST.json")))["total_rows"] == 1

@@ -10,9 +10,13 @@
                                no single-partition window over data);
   * `mixture_resample_quota` — exact per-source quota sampling for
                                dataset mixing (weights -> quotas ->
-                               per-source deterministic top-k by hash).
+                               per-source deterministic top-k by hash);
+  * `pysource_synthetic_docs` / `pysink_jsonl_roundtrip` — the custom
+                               connector surface (Python DataSource
+                               API reader with pushdown + partitioned
+                               planning; transactional manifest sink).
 
-All three are fully DuckDB-oracle-checked; arithmetic is integer or
+All fully DuckDB-oracle-checked; arithmetic is integer or
 single-division double, so both engines agree bit-for-bit.
 """
 
@@ -327,4 +331,62 @@ def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("score").alias("min_score"),
             F.max("score").alias("max_score"),
         )
+    )
+
+
+@query(
+    "pysink_jsonl_roundtrip",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY lang
+""",
+)
+def pysink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python DataSource API (SURVEY §2.1 sink
+    extension): push documents through the `jsonl_manifest` custom
+    sink — per-task temp files + driver-side commit() publishing part
+    files and a _MANIFEST.json (the two-phase no-torn-reads protocol
+    every exactly-once sink uses; abort() cleans temps) — then read
+    the committed JSONL back and aggregate. The oracle computes the
+    same aggregate from the source table, so the sink+readback
+    round-trip is value-checked end to end, and a row-count
+    cross-check against the manifest guards the commit metadata."""
+    import json
+    import os
+
+    from vector_search_ner_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+        "pysink_jsonl",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    (
+        docs.write.format("jsonl_manifest")
+        .option("path", out_dir)
+        .mode("overwrite")
+        .save()
+    )
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        os.path.join(out_dir, "part-*.jsonl")
+    )
+    n_back = back.count()
+    if n_back != manifest["total_rows"]:
+        raise AssertionError(
+            f"manifest/total mismatch: {manifest['total_rows']} vs {n_back}"
+        )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
     )

@@ -1,7 +1,9 @@
-"""Custom source via the Spark 4 Python DataSource API (SURVEY §2.1's
-source-extension surface, the PySpark-native analogue of writing a DSv2
-connector): a deterministic synthetic-documents generator with REAL
-partition planning and filter pushdown.
+"""Custom connector via the Spark 4 Python DataSource API (SURVEY
+§2.1's source/sink-extension surface, the PySpark-native analogue of
+writing a DSv2 connector): a deterministic synthetic-documents
+generator with REAL partition planning and filter pushdown, plus a
+transactional JSONL sink with a two-phase commit manifest
+(`JsonlManifestDataSource`).
 
 Why a generator source: it exercises every part of the API contract —
 schema declaration, `partitions()` fan-out (each InputPartition is a
@@ -23,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -30,6 +33,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 WORDS = ("alpha", "beta", "gamma", "delta", "epsilon")
@@ -115,3 +119,86 @@ class SyntheticDocsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# the write half: a transactional JSONL sink with a commit manifest
+# ---------------------------------------------------------------------------
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    """Task/driver split of the DSv2 commit protocol, in Python: each
+    task streams its rows to a TEMP file and returns (temp path, row
+    count) as its commit message; only the DRIVER's commit() publishes
+    — temps are renamed to ordered part files and a _MANIFEST.json
+    records per-part row counts, so readers (and retries) never observe
+    a half-written table. abort() removes the temps. This is the same
+    two-phase shape every exactly-once Spark sink uses; at cluster
+    scale the rename is an object-store move and the manifest is the
+    committed-files source of truth."""
+
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl") and not name.startswith("_tmp-"):
+                    os.remove(os.path.join(self.path, name))
+        manifest = []
+        idx = 0
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-{idx:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            manifest.append({"file": os.path.basename(final), "rows": m.n_rows})
+            idx += 1
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump({"parts": manifest, "total_rows": sum(p["rows"] for p in manifest)}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonlManifestDataSource(DataSource):
+    """df.write.format("jsonl_manifest").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool) -> JsonlManifestWriter:
+        return JsonlManifestWriter(self.options["path"], overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlManifestDataSource)
