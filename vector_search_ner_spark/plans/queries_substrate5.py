@@ -321,3 +321,56 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_value")
     )
     return m.join(md, "user_id").orderBy("user_id")
+
+
+@query(
+    "sql_udf_gallery",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+  FROM documents WHERE doc_id < 50
+), lat AS (
+  SELECT doc_id, text, toks,
+         unnest(generate_series(1, least(3, len(toks)))) AS i
+  FROM base
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS pos,
+       toks[i] AS tok,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       ROUND(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+             / CAST(length(text) AS DOUBLE), 4) AS vowel_ratio
+FROM lat
+""",
+)
+def sql_udf_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN) — the
+    declarative function-extension surface: named logic that stays
+    ENTIRELY inside Catalyst (the function body inlines into the plan
+    at analysis time — full codegen/pushdown, unlike a Python UDF).
+    One scalar UDF (vowel_ratio), one SQL TABLE function (first_toks,
+    used via LATERAL correlation), composed in one statement. The
+    oracle inlines the same logic — which is exactly the point: a SQL
+    UDF is a reusable name for an expression, not an execution
+    boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") < 50).createOrReplaceTempView("__sqludf_docs")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION vowel_ratio(s STRING)
+           RETURNS DOUBLE
+           RETURN ROUND(length(regexp_replace(lower(s), '[^aeiou]', ''))
+                        / CAST(length(s) AS DOUBLE), 4)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION first_toks(s STRING, k INT)
+           RETURNS TABLE (tok STRING, pos INT)
+           RETURN SELECT g, CAST(i AS INT)
+                  FROM LATERAL VIEW posexplode(split(trim(s), ' ')) t AS i, g
+                  WHERE i < k"""
+    )
+    return spark.sql(
+        """SELECT d.doc_id, f.pos, f.tok,
+                  size(split(trim(d.text), ' ')) AS n_tokens,
+                  vowel_ratio(d.text) AS vowel_ratio
+           FROM __sqludf_docs d, LATERAL first_toks(d.text, 3) f"""
+    )
