@@ -889,3 +889,39 @@ def test_pysink_commit_protocol(spark, tmp_path):
     names = sorted(os.listdir(out))
     assert names == ["_MANIFEST.json", "part-00000.jsonl"], names
     assert json.load(open(os.path.join(out, "_MANIFEST.json")))["total_rows"] == 1
+
+
+def test_lloyd_kmeans_reduces_inertia(spark, sf_dir):
+    """Lloyd iterations must not worsen the quantization objective:
+    total squared distance to the nearest centroid after 2 learned
+    iterations <= the fixed-init quantizer's. (Exact equality of every
+    intermediate vs SQL is the oracle's job; this pins the ML
+    property.)"""
+    from pyspark.sql import functions as F
+
+    from vector_search_ner_spark.operators import ann
+    from vector_search_ner_spark.functions.vector import to_double_array
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def inertia(centroids):
+        sq = lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        d = (
+            emb.select(to_double_array("embedding").alias("v"))
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("sqd", sq(F.col("v"), F.col("centroid")))
+            .groupBy("v")
+            .agg(F.min("sqd").alias("m"))
+        )
+        return d.agg(F.sum("m")).collect()[0][0]
+
+    _, c0 = ann.lloyd_build(emb, 16, n_iter=0)
+    _, c2 = ann.lloyd_build(emb, 16, n_iter=2)
+    i0, i2 = inertia(c0), inertia(c2)
+    assert i2 <= i0, (i0, i2)
+    assert c2.count() == 16

@@ -106,6 +106,99 @@ def ivf_fixed_build(
     return assigned, centroids
 
 
+LLOYD_SCALE = 1_000_000
+
+
+def lloyd_build(
+    emb: DataFrame,
+    n_clusters: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's KMeans, bit-exact across engines — the
+    natively-implemented iterative-ML quantizer (the MLlib KMeans
+    variant stays rows-only because its init/refinement are not
+    SQL-reproducible; this one is, so LEARNED-centroid IVF gets a full
+    oracle).
+
+    Init = the first n_clusters vectors (the fixed quantizer). Each
+    iteration: (a) ASSIGN — broadcast centroids, argmin squared-L2 as
+    MIN(struct(dist, cluster_id)) (map-side partial combine, ties to
+    the lower cluster id; the doc vector rides in the struct tail,
+    which can never influence the ordering); (b) UPDATE — per
+    (cluster, dim), components quantize to integer microunits
+    (floor(x·1e6)): the partial sums are exact int64, so the mean is
+    order- and partition-independent, finished by ONE double division.
+    Empty clusters keep their previous centroid. The oracle unrolls
+    the same iterations in SQL; every number matches bit-for-bit.
+
+    Scale shape per iteration: one broadcast join (centroids are tiny)
+    + two hash aggregations (argmin, then (cluster, dim) sums — both
+    combine map-side). n_iter is a driver loop over one growing lazy
+    plan: fine for the 2-3 Lloyd rounds a coarse quantizer needs;
+    checkpoint per round (like connected_components) if you iterate
+    to convergence."""
+    from vector_search_ner_spark.functions.vector import to_double_array
+
+    docs = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("__raw"),
+        to_double_array(F.col(vec_col)).alias("__dv"),
+    ).persist()
+    centroids = emb.where(F.col(id_col) < n_clusters).select(
+        F.col(id_col).cast("int").alias("cluster_id"),
+        to_double_array(F.col(vec_col)).alias("centroid"),
+    )
+    sq = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = docs.crossJoin(F.broadcast(cents)).withColumn(
+            "__dist", sq(F.col("__dv"), F.col("centroid"))
+        )
+        return d.groupBy("doc_id").agg(
+            F.min(F.struct("__dist", "cluster_id", "__dv", "__raw")).alias("b")
+        ).select(
+            "doc_id",
+            F.col("b.cluster_id").alias("cluster_id"),
+            F.col("b.__dv").alias("__dv"),
+            F.col("b.__raw").alias("__raw"),
+        )
+
+    for _ in range(n_iter):
+        a = assign(centroids)
+        upd = (
+            a.select("cluster_id", F.posexplode("__dv").alias("d", "x"))
+            .withColumn("u", F.floor(F.col("x") * LLOYD_SCALE).cast("long"))
+            .groupBy("cluster_id", "d")
+            .agg(F.sum("u").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        vals = upd.withColumn(
+            "val",
+            F.col("s").cast("double") / (F.col("n").cast("double") * float(LLOYD_SCALE)),
+        )
+        newc = vals.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "val"))), lambda s: s["val"]
+            ).alias("__new")
+        )
+        centroids = (
+            centroids.join(newc, "cluster_id", "left")
+            .select(
+                "cluster_id",
+                F.coalesce(F.col("__new"), F.col("centroid")).alias("centroid"),
+            )
+        )
+    final = assign(centroids).select(
+        F.col("doc_id").alias(id_col), F.col("__raw").alias(vec_col), "cluster_id"
+    )
+    return final, centroids
+
+
 def lsh_similarity_join(
     emb: DataFrame,
     threshold: float,

@@ -668,3 +668,99 @@ def vecstore_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__dnorm"), 4).alias("emb_norm"),
         F.round(F.element_at("dvec_d", 1), 6).alias("emb_c0"),
     ).orderBy("doc_id")
+
+
+_LLOYD_ITER = 2
+_LLOYD_DIM = 64  # fixture embedding dim (TESTDATA.md)
+
+
+def _duck_ivf_lloyd() -> str:
+    """Unrolled-SQL twin of ann.lloyd_build + ivf_topk: _LLOYD_ITER
+    exact Lloyd iterations (argmin assignment, integer-microunit
+    centroid means, empty-cluster carry), then probe + pruned exact
+    search — every intermediate matches the Spark plan bit-for-bit."""
+    from vector_search_ner_spark.functions.vector import duck_l2
+
+    sqd = (
+        "list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    parts = [
+        f"""docs AS (
+  SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {_IVF_N_CENT}
+)"""
+    ]
+    for it in range(1, _LLOYD_ITER + 1):
+        prev = f"c{it - 1}"
+        s = sqd.format(a="d.v", b="c.centroid")
+        parts.append(
+            f"""a{it} AS (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT d.doc_id, d.v, c.cluster_id, row_number() OVER (
+      PARTITION BY d.doc_id ORDER BY {s}, c.cluster_id) AS rn
+    FROM docs d CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), u{it} AS (
+  SELECT cluster_id, g.d,
+         SUM(CAST(FLOOR(v[g.d] * 1000000) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a{it}, (SELECT unnest(generate_series(1, {_LLOYD_DIM})) AS d) g
+  GROUP BY cluster_id, g.d
+), n{it} AS (
+  SELECT cluster_id,
+         list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS centroid
+  FROM u{it} GROUP BY cluster_id
+), c{it} AS (
+  SELECT c.cluster_id, COALESCE(nn.centroid, c.centroid) AS centroid
+  FROM {prev} c LEFT JOIN n{it} nn ON c.cluster_id = nn.cluster_id
+)"""
+        )
+    cf = f"c{_LLOYD_ITER}"
+    sf_ = sqd.format(a="d.v", b="c.centroid")
+    tail = f"""af AS (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT d.doc_id, d.v, c.cluster_id, row_number() OVER (
+      PARTITION BY d.doc_id ORDER BY {sf_}, c.cluster_id) AS rn
+    FROM docs d CROSS JOIN {cf} c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+), probes AS (
+  SELECT query_id, qv, cluster_id FROM (
+    SELECT q.query_id, q.qv, c.cluster_id, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {duck_l2("q.qv", "c.centroid")}, c.cluster_id) AS rn
+    FROM q CROSS JOIN {cf} c
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+SELECT query_id, doc_id, distance, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT p.query_id, a.doc_id,
+         {duck_l2("p.qv", "a.v")} AS distance,
+         row_number() OVER (
+           PARTITION BY p.query_id ORDER BY {duck_l2("p.qv", "a.v")}, a.doc_id) AS rank
+  FROM probes p JOIN af a ON p.cluster_id = a.cluster_id
+) WHERE rank <= {_IVF_K}
+"""
+    return "WITH " + ",\n".join(parts) + ",\n" + tail
+
+
+@query("ann_ivf_lloyd_topk", oracle=_duck_ivf_lloyd())
+def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF k-NN with a LEARNED coarse quantizer — natively-implemented
+    distributed Lloyd's KMeans (ann.lloyd_build: 2 exact iterations,
+    integer-microunit centroid means, deterministic init/ties), then
+    probe + pruned exact search. This upgrades learned-centroid IVF
+    from rows-only (the MLlib KMeans variant) to a FULL oracle: the
+    SQL twin unrolls both Lloyd iterations and reproduces assignment,
+    centroid updates, probing, and ranking bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.lloyd_build(emb, _IVF_N_CENT, n_iter=_LLOYD_ITER)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned = assigned.select(F.col("vec_id").alias("doc_id"), "embedding", "cluster_id")
+    return ann.ivf_topk(queries, assigned, centroids, k=_IVF_K, nprobe=_IVF_NPROBE)
