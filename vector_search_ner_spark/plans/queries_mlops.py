@@ -674,17 +674,20 @@ _LLOYD_ITER = 2
 _LLOYD_DIM = 64  # fixture embedding dim (TESTDATA.md)
 
 
-def _duck_ivf_lloyd() -> str:
-    """Unrolled-SQL twin of ann.lloyd_build + ivf_topk: _LLOYD_ITER
-    exact Lloyd iterations (argmin assignment, integer-microunit
-    centroid means, empty-cluster carry), then probe + pruned exact
-    search — every intermediate matches the Spark plan bit-for-bit."""
-    from vector_search_ner_spark.functions.vector import duck_l2
+_LLOYD_SQD = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
 
-    sqd = (
-        "list_sum(list_transform(generate_series(1, len({a})), "
-        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-    )
+
+def _duck_lloyd_ctes(n_clusters: int = _IVF_N_CENT) -> str:
+    """Unrolled-SQL twin of ann.lloyd_build: _LLOYD_ITER exact Lloyd
+    iterations (argmin assignment, integer-microunit centroid means,
+    empty-cluster carry). Ends with `af` (doc_id, v, cluster_id — the
+    final assignment) and `c{_LLOYD_ITER}` (the learned centroids);
+    append a consumer tail. Every intermediate matches the Spark plan
+    bit-for-bit."""
+    sqd = _LLOYD_SQD
     parts = [
         f"""docs AS (
   SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -692,7 +695,7 @@ def _duck_ivf_lloyd() -> str:
 ), c0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cluster_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM embeddings WHERE vec_id < {_IVF_N_CENT}
+  FROM embeddings WHERE vec_id < {n_clusters}
 )"""
     ]
     for it in range(1, _LLOYD_ITER + 1):
@@ -722,13 +725,24 @@ def _duck_ivf_lloyd() -> str:
         )
     cf = f"c{_LLOYD_ITER}"
     sf_ = sqd.format(a="d.v", b="c.centroid")
-    tail = f"""af AS (
+    parts.append(
+        f"""af AS (
   SELECT doc_id, v, cluster_id FROM (
     SELECT d.doc_id, d.v, c.cluster_id, row_number() OVER (
       PARTITION BY d.doc_id ORDER BY {sf_}, c.cluster_id) AS rn
     FROM docs d CROSS JOIN {cf} c
   ) WHERE rn = 1
-), q AS (
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+def _duck_ivf_lloyd() -> str:
+    """_duck_lloyd_ctes + the IVF probe / pruned exact-search tail."""
+    from vector_search_ner_spark.functions.vector import duck_l2
+
+    cf = f"c{_LLOYD_ITER}"
+    tail = f"""q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
 ), probes AS (
   SELECT query_id, qv, cluster_id FROM (
@@ -745,7 +759,7 @@ SELECT query_id, doc_id, distance, CAST(rank AS INTEGER) AS rank FROM (
   FROM probes p JOIN af a ON p.cluster_id = a.cluster_id
 ) WHERE rank <= {_IVF_K}
 """
-    return "WITH " + ",\n".join(parts) + ",\n" + tail
+    return _duck_lloyd_ctes() + ",\n" + tail
 
 
 @query("ann_ivf_lloyd_topk", oracle=_duck_ivf_lloyd())
@@ -764,3 +778,78 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = assigned.select(F.col("vec_id").alias("doc_id"), "embedding", "cluster_id")
     return ann.ivf_topk(queries, assigned, centroids, k=_IVF_K, nprobe=_IVF_NPROBE)
+
+
+def _duck_semantic_clusters() -> str:
+    sqd = _LLOYD_SQD.format(a="a.v", b="c.centroid")
+    cf = f"c{_LLOYD_ITER}"
+    return (
+        _duck_lloyd_ctes()
+        + f""",
+j AS (
+  SELECT a.doc_id, a.cluster_id,
+         CAST(FLOOR({sqd} * 1000000) AS BIGINT) AS u
+  FROM af a JOIN {cf} c ON a.cluster_id = c.cluster_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY u, doc_id) AS rn
+  FROM j
+),
+agg AS (
+  SELECT cluster_id, COUNT(*) AS n, SUM(u) AS su FROM j GROUP BY cluster_id
+)
+SELECT a.cluster_id,
+       CAST(a.n AS BIGINT) AS n_members,
+       r.doc_id AS rep_doc_id,
+       ROUND(CAST(a.su AS DOUBLE) / (CAST(a.n AS DOUBLE) * 1000000.0), 6) AS avg_sqdist
+FROM agg a JOIN r ON r.cluster_id = a.cluster_id AND r.rn = 1
+"""
+    )
+
+
+@query("corpus_semantic_clusters", oracle=_duck_semantic_clusters())
+def corpus_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic corpus curation (the SemDeDup/topic-pruning shape):
+    cluster the embedding corpus with the exact Lloyd quantizer, then
+    per cluster report size, the REPRESENTATIVE member (closest to the
+    centroid — what you keep when pruning semantically redundant
+    regions), and the mean quantization error as a cluster-coherence
+    signal. Distances quantize to integer microunits before the
+    aggregate, so the mean is order-independent and the whole summary
+    matches the unrolled SQL twin exactly. One broadcast join + one
+    map-side-combining aggregate after the Lloyd rounds."""
+    from vector_search_ner_spark.functions.vector import to_double_array
+    from vector_search_ner_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.lloyd_build(emb, _IVF_N_CENT, n_iter=_LLOYD_ITER)
+    sq = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    j = (
+        assigned.select(
+            F.col("vec_id").alias("doc_id"),
+            to_double_array(F.col("embedding")).alias("v"),
+            "cluster_id",
+        )
+        .join(F.broadcast(centroids), "cluster_id")
+        .withColumn(
+            "u", F.floor(sq(F.col("v"), F.col("centroid")) * 1000000).cast("long")
+        )
+    )
+    agg = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.struct("u", "doc_id")).alias("rep"),
+        F.sum("u").alias("su"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        F.col("rep.doc_id").alias("rep_doc_id"),
+        F.round(
+            F.col("su").cast("double") / (F.col("n_members").cast("double") * 1000000.0),
+            6,
+        ).alias("avg_sqdist"),
+    )
