@@ -61,6 +61,7 @@ HEADLINE = [
     "corpus_prep_pipeline",
     "doc_lm_surprisal",
     "dataset_pack_sequences",
+    "ann_ivf_lloyd_topk",
 ]
 
 

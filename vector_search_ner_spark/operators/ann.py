@@ -186,12 +186,17 @@ def lloyd_build(
                 F.array_sort(F.collect_list(F.struct("d", "val"))), lambda s: s["val"]
             ).alias("__new")
         )
+        # persist each round's centroids (n_clusters tiny rows): the
+        # next round references them from BOTH the assignment and the
+        # empty-cluster coalesce, so without a cache boundary the
+        # update chain re-evaluates 2^iter times
         centroids = (
             centroids.join(newc, "cluster_id", "left")
             .select(
                 "cluster_id",
                 F.coalesce(F.col("__new"), F.col("centroid")).alias("centroid"),
             )
+            .persist()
         )
     final = assign(centroids).select(
         F.col("doc_id").alias(id_col), F.col("__raw").alias(vec_col), "cluster_id"
