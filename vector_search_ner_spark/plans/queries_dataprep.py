@@ -390,3 +390,81 @@ def pysink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# -- tokenizer induction: one BPE counting round ------------------------------
+
+_BPE_TOP = 20
+
+
+@query(
+    "bpe_top_merges",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM toks WHERE length(w) >= 2)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP}
+""",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One counting round of BPE tokenizer training: the most frequent
+    adjacent symbol pairs across all token instances — the statistic
+    the first merge rule is chosen from (Sennrich et al., "Neural
+    Machine Translation of Rare Words with Subword Units", ACL 2016).
+    Iterating = re-count after applying the merge; each round is this
+    same explode + map-side-combining hash agg, so the scale shape is
+    one slim shuffle per merge. Global top-20 plans as
+    TakeOrderedAndProject (per-partition heap), never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    # substring with a DYNAMIC start position is expr()-only — the
+    # Column API's substr() requires foldable arguments
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+# -- governance: k-anonymity audit -------------------------------------------
+
+_K_ANON = 8
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(*) < {_K_ANON}
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance gate for dataset release: every
+    quasi-identifier combination (nation x market segment) whose group
+    is smaller than k={_K_ANON} — rows a k-anonymity policy says must
+    be generalized or suppressed before the table ships (companion to
+    `customer_pii_scrub`, which handles the direct identifiers). One
+    map-side-combining hash agg + a post-aggregation filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < _K_ANON)
+    )
