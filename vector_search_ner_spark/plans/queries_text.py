@@ -736,3 +736,207 @@ def customer_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("double").alias("acctbal_band"),
         "c_mktsegment",
     ).orderBy("c_custkey")
+
+
+# -- BM25 keyword ranking -----------------------------------------------------
+
+_BM25_QUERIES = [(0, "spark"), (0, "join"), (1, "hash"), (1, "table"), (2, "window"), (2, "sort")]
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOPK = 10
+
+
+def _duck_bm25() -> str:
+    terms = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {terms}),
+toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT t.doc_id, t.token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t SEMI JOIN qterms q ON t.token = q.term
+  GROUP BY t.doc_id, t.token
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT q.query_id, f.doc_id,
+         CAST(FLOOR(
+           ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(f.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(f.tf AS DOUBLE)
+              + {_BM25_K1} * (1.0 - {_BM25_B}
+                 + {_BM25_B} * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+           * 1000000) AS BIGINT) AS u
+  FROM tf f
+  JOIN qterms q ON q.term = f.term
+  JOIN dfreq d ON d.term = f.term
+  JOIN dl l ON l.doc_id = f.doc_id
+  CROSS JOIN stats s
+), scored AS (
+  SELECT query_id, doc_id, SUM(u) AS su FROM contrib GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+       ROUND(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
+       CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {_BM25_TOPK}
+"""
+
+
+@query("bm25_topk", oracle=_duck_bm25())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking (Robertson/Sparck Jones probabilistic
+    model, k1={k1}, b={b}) — the standard lexical ranker beside the
+    engine's vector k-NN (the hybrid-retrieval keyword leg the
+    reference approximates with contains-filters). Per-term
+    contributions quantize to integer microunits BEFORE the per-doc
+    sum, so accumulation is exact and order-independent; each
+    contribution is one deterministic chain of IEEE ops (ln + fixed
+    literals), identical in both engines.
+
+    Scale shape: the token explode feeds doc-length and term-frequency
+    aggregations (both map-side combining); the query-term table and
+    the corpus stats (N, avgdl) broadcast; the only data-sized
+    shuffles key on doc_id/term. Top-k per query is a
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    ).persist()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), toks.token == F.col("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfterm = (F.col("tf").cast("double") * (k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + k1 * (1.0 - b + b * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("u", F.floor(idf * tfterm * 1000000).cast("long"))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("u").alias("su"))
+    w = Window.partitionBy("query_id").orderBy(F.col("su").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("su").cast("double") / 1000000.0, 6).alias("score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+_RRF_C = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_TOPK = 10
+
+
+def _duck_rrf() -> str:
+    from vector_search_ner_spark.functions.vector import duck_cosine
+
+    cos = duck_cosine("q.embedding", "d.embedding")
+    return f"""
+WITH kw AS ({_duck_bm25()}),
+vec AS (
+  SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, d.vec_id) AS rn
+    FROM embeddings d CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+  ) WHERE rn <= {_RRF_TOPK}
+),
+fused AS (
+  SELECT COALESCE(k.query_id, v.query_id) AS query_id,
+         COALESCE(k.doc_id, v.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / CAST({_RRF_C} + k.rank AS DOUBLE), 0.0)
+           + COALESCE(CAST(1.0 AS DOUBLE) / CAST({_RRF_C} + v.rank AS DOUBLE), 0.0) AS rrf
+  FROM kw k FULL OUTER JOIN vec v
+    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {_RRF_TOPK}
+"""
+
+
+@query("hybrid_rrf_fusion", oracle=_duck_rrf())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two retrieval legs (Cormack/
+    Clarke/Buettcher, SIGIR 2009): BM25 keyword top-k and exact-cosine
+    vector top-k merge by sum of 1/(60+rank) — the standard
+    score-free hybrid, beside the reference's 0.7/0.3 weighted-score
+    fusion (staged_retrieval_v1_hybrid). Determinism: each leg's rank
+    is an integer, each reciprocal is one IEEE division, and the two
+    legs add in EXPLICIT order via a full outer join + coalesce (never
+    an unordered SUM over doubles). Both legs are K-sized per query
+    before the join, so the fusion is negligible at any scale."""
+    from pyspark.sql import Window
+
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+
+    kw = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("k_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("embedding"))
+    w_v = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "doc_id")
+    vec = (
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        .crossJoin(F.broadcast(q))
+        .withColumn("__cos", cos)
+        .withColumn("v_rank", F.row_number().over(w_v))
+        .where(F.col("v_rank") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "v_rank")
+    )
+    fused = kw.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_C + F.col("k_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("v_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
