@@ -62,6 +62,7 @@ HEADLINE = [
     "doc_lm_surprisal",
     "dataset_pack_sequences",
     "ann_ivf_lloyd_topk",
+    "bm25_topk",
 ]
 
 
