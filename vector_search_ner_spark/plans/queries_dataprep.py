@@ -468,3 +468,148 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .where(F.col("group_size") < _K_ANON)
     )
+
+
+# -- bigram LM with unigram backoff ------------------------------------------
+
+_BACKOFF_BITS = 4  # penalty bits charged when falling back to the unigram
+
+
+@query(
+    "doc_bigram_surprisal",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, i,
+         {duck_stable_long_hash("toks[i]")} AS th,
+         CASE WHEN i > 1 THEN {duck_stable_long_hash("toks[i-1]")} END AS ph
+  FROM (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks,
+           unnest(generate_series(1, len(string_split(trim(text), ' ')))) AS i
+    FROM documents
+  )
+), uni AS (
+  SELECT th, COUNT(*) AS cnt FROM toks GROUP BY th
+), tot AS (
+  SELECT COUNT(*) AS total FROM toks
+), big AS (
+  SELECT ph, th, COUNT(*) AS cnt FROM toks WHERE ph IS NOT NULL GROUP BY ph, th
+), scored AS (
+  SELECT t.doc_id,
+         CASE
+           WHEN t.ph IS NULL OR b.cnt IS NULL THEN
+             (length(bin(tot.total)) - 1) - (length(bin(u.cnt)) - 1)
+             + CASE WHEN t.ph IS NULL THEN 0 ELSE {_BACKOFF_BITS} END
+           ELSE (length(bin(p.cnt)) - 1) - (length(bin(b.cnt)) - 1)
+         END AS bits
+  FROM toks t
+  JOIN uni u ON u.th = t.th
+  LEFT JOIN uni p ON p.th = t.ph
+  LEFT JOIN big b ON b.ph = t.ph AND b.th = t.th
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       ROUND(SUM(bits) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_bits
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram upgrade of `doc_lm_surprisal` (a Katz-style backoff,
+    quantized): each token's surprisal is floor-log2 of its bigram
+    conditional — bits = log2(count(prev)) - log2(count(prev, w)) —
+    falling back to the unigram surprisal PLUS a fixed penalty when
+    the bigram is unseen; a document's first token always scores
+    unigram (no penalty). Everything stays integer bits, so the
+    aggregation is exact and order-independent.
+
+    Scale shape: ONE positional explode feeds the unigram LM, the
+    bigram LM, and the scoring joins (persisted, three slim long
+    columns); both LM builds are map-side-combining hash aggs; the
+    scoring joins key on 60-bit token hashes. The bigram relation is
+    the big one — at 100 TB it shards on (prev, w) while the unigram
+    side broadcasts when the vocab fits."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.transform(F.split(F.trim(F.col("text")), " "), stable_long_hash)
+    toks = (
+        docs.select("doc_id", F.posexplode(th).alias("i0", "th"))
+        .select(
+            "doc_id",
+            "th",
+            F.lag("th").over(
+                Window.partitionBy("doc_id").orderBy("i0")
+            ).alias("ph"),
+        )
+        .persist()
+    )
+    uni = toks.groupBy("th").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    big = (
+        toks.where(F.col("ph").isNotNull())
+        .groupBy("ph", "th")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    uni_w = uni.select(F.col("th"), F.col("cnt").alias("ucnt"))
+    uni_p = uni.select(F.col("th").alias("ph"), F.col("cnt").alias("pcnt"))
+    j = (
+        toks.join(uni_w, "th")
+        .join(uni_p, "ph", "left")
+        .join(big, ["ph", "th"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    uni_bits = _floor_log2(F.col("total")) - _floor_log2(F.col("ucnt"))
+    bits = F.when(
+        F.col("ph").isNull(), uni_bits
+    ).when(
+        F.col("bcnt").isNull(), uni_bits + _BACKOFF_BITS
+    ).otherwise(_floor_log2(F.col("pcnt")) - _floor_log2(F.col("bcnt")))
+    per_doc = j.select("doc_id", bits.alias("bits")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").cast("long").alias("total_bits"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "total_bits",
+        F.round(
+            F.col("total_bits") / F.col("n_tokens").cast("double"), 4
+        ).alias("avg_bits"),
+    )
+
+
+# -- per-source score calibration --------------------------------------------
+
+
+@query(
+    "quality_score_calibrate",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pctl
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(pctl, 6) AS source_pctl,
+       pctl >= 0.25 AS keep
+FROM scored
+""",
+)
+def quality_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score calibration before global thresholding: raw
+    quality signals are not comparable across crawl sources (one
+    source's median is another's tail), so each doc gets its EXACT
+    within-source percentile and the keep-gate applies to percentiles,
+    not raw values — every source keeps its own top 75% instead of a
+    raw cutoff silently dropping whole sources. percent_rank is
+    (rank-1)/(n-1): integers and one division, deterministic with the
+    (score, doc_id) total order. One shuffle on source; at 100 TB you
+    sub-bucket heavy sources by score range and offset ranks, exactly
+    like dataset_pack_sequences' bucket prefix sums."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("source_pctl"),
+        (F.percent_rank().over(w) >= 0.25).alias("keep"),
+    )
