@@ -925,3 +925,75 @@ def test_lloyd_kmeans_reduces_inertia(spark, sf_dir):
     i0, i2 = inertia(c0), inertia(c2)
     assert i2 <= i0, (i0, i2)
     assert c2.count() == 16
+
+
+def test_bm25_matches_python_reference(spark):
+    """Property check: the distributed BM25 ranker equals a from-
+    scratch Python implementation (same microunit flooring, same
+    tie-breaks) on randomized corpora — pinning tf/df/dl/avgdl wiring
+    and the OR-semantics candidate set, not just the fixture values."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from vector_search_ner_spark.plans.queries_text import (
+        _BM25_B,
+        _BM25_K1,
+        bm25_rank,
+    )
+
+    VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+    QTERMS = [(0, "aa"), (0, "bb"), (1, "cc")]
+
+    def py_bm25(texts):
+        toks = {i: t.strip().split(" ") for i, t in enumerate(texts)}
+        dl = {i: len(ts) for i, ts in toks.items()}
+        n = len(texts)
+        avgdl = float(sum(dl.values())) / float(n)
+        terms = {t for _, t in QTERMS}
+        tf = {(i, t): ts.count(t) for i, ts in toks.items() for t in terms if t in ts}
+        df = {t: sum(1 for (i2, t2) in tf if t2 == t) for t in terms}
+        scores = {}
+        for (q, t) in QTERMS:
+            for i in toks:
+                if (i, t) not in tf:
+                    continue
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                f = float(tf[(i, t)])
+                tfterm = (f * (_BM25_K1 + 1.0)) / (
+                    f + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl[i] / avgdl))
+                )
+                scores[(q, i)] = scores.get((q, i), 0) + math.floor(
+                    idf * tfterm * 1000000
+                )
+        out = {}
+        for q in {q for q, _ in QTERMS}:
+            ranked = sorted(
+                ((s, i) for (q2, i), s in scores.items() if q2 == q),
+                key=lambda p: (-p[0], p[1]),
+            )[:10]
+            for r, (s, i) in enumerate(ranked, 1):
+                out[(q, i)] = (round(s / 1000000.0, 6), r)
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    def run(doc_token_lists):
+        texts = [" ".join(ts) for ts in doc_token_lists]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        qterms = spark.createDataFrame(QTERMS, "query_id int, term string")
+        got = {
+            (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+            for r in bm25_rank(docs, qterms).collect()
+        }
+        assert got == py_bm25(texts)
+
+    run()

@@ -791,16 +791,21 @@ FROM (
 """
 
 
-@query("bm25_topk", oracle=_duck_bm25())
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_rank(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    topk: int = _BM25_TOPK,
+) -> DataFrame:
     """BM25 keyword ranking (Robertson/Sparck Jones probabilistic
-    model, k1={k1}, b={b}) — the standard lexical ranker beside the
-    engine's vector k-NN (the hybrid-retrieval keyword leg the
-    reference approximates with contains-filters). Per-term
-    contributions quantize to integer microunits BEFORE the per-doc
-    sum, so accumulation is exact and order-independent; each
-    contribution is one deterministic chain of IEEE ops (ln + fixed
-    literals), identical in both engines.
+    model) over any (doc_id, text) frame and (query_id, term) batch —
+    the standard lexical ranker beside the engine's vector k-NN (the
+    hybrid-retrieval keyword leg the reference approximates with
+    contains-filters). Per-term contributions quantize to integer
+    microunits BEFORE the per-doc sum, so accumulation is exact and
+    order-independent; each contribution is one deterministic chain of
+    IEEE ops (ln + fixed literals), identical in both engines.
 
     Scale shape: the token explode feeds doc-length and term-frequency
     aggregations (both map-side combining); the query-term table and
@@ -809,8 +814,6 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
     ).persist()
@@ -825,7 +828,6 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    k1, b = _BM25_K1, _BM25_B
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
         / (F.col("df").cast("double") + 0.5)
@@ -846,7 +848,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("su").desc(), "doc_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _BM25_TOPK)
+        .where(F.col("rn") <= topk)
         .select(
             "query_id",
             "doc_id",
@@ -854,6 +856,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+@query("bm25_topk", oracle=_duck_bm25())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bm25_rank` over the documents corpus with the fixed query-term
+    batch (see the operator docstring for the model and scale shape);
+    the Python reference twin is property-tested on random corpora in
+    tests/test_semantics.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_rank(docs, qterms)
 
 
 _RRF_C = 60  # the standard reciprocal-rank-fusion damping constant
