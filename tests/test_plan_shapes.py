@@ -360,3 +360,13 @@ def test_lm_surprisal_partial_aggs(spark):
     assert "partial_count" in p, p
     assert "partial_sum" in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_bm25_broadcasts_and_group_limits(spark):
+    """BM25 must broadcast the query-term batch, the per-term document
+    frequencies, and the 1-row corpus stats (the only data-sized
+    shuffles key on doc_id/term), and plan the per-query top-k as
+    WindowGroupLimit."""
+    p = _plan(spark, "bm25_topk")
+    assert "WindowGroupLimit" in p, p
+    assert p.count("BroadcastExchange") >= 3, p
