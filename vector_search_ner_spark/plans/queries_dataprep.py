@@ -613,3 +613,110 @@ def quality_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("source_pctl"),
         (F.percent_rank().over(w) >= 0.25).alias("keep"),
     )
+
+
+# -- dataset drift monitoring (PSI) ------------------------------------------
+
+_PSI_SPLIT = "1998-01-01"
+_PSI_BUCKET_W = 50_000
+_PSI_N_BUCKETS = 10
+
+
+@query(
+    "drift_psi_orders",
+    oracle=f"""
+WITH tagged AS (
+  SELECT LEAST({_PSI_N_BUCKETS - 1},
+               CAST(FLOOR(o_totalprice / {_PSI_BUCKET_W}) AS INTEGER)) AS bucket,
+         o_orderdate < DATE '{_PSI_SPLIT}' AS is_ref
+  FROM orders
+), counts AS (
+  SELECT b.bucket,
+         COALESCE(r.n, 0) AS n_ref,
+         COALESCE(c.n, 0) AS n_cur
+  FROM (SELECT unnest(generate_series(0, {_PSI_N_BUCKETS - 1})) AS bucket) b
+  LEFT JOIN (SELECT bucket, COUNT(*) AS n FROM tagged WHERE is_ref GROUP BY bucket) r
+    ON r.bucket = b.bucket
+  LEFT JOIN (SELECT bucket, COUNT(*) AS n FROM tagged WHERE NOT is_ref GROUP BY bucket) c
+    ON c.bucket = b.bucket
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts
+), contribs AS (
+  SELECT k.bucket, k.n_ref, k.n_cur,
+         CAST(FLOOR(
+           ((CAST(k.n_ref + 1 AS DOUBLE) / CAST(t.tr + {_PSI_N_BUCKETS} AS DOUBLE))
+            - (CAST(k.n_cur + 1 AS DOUBLE) / CAST(t.tc + {_PSI_N_BUCKETS} AS DOUBLE)))
+           * ln((CAST(k.n_ref + 1 AS DOUBLE) / CAST(t.tr + {_PSI_N_BUCKETS} AS DOUBLE))
+                / (CAST(k.n_cur + 1 AS DOUBLE) / CAST(t.tc + {_PSI_N_BUCKETS} AS DOUBLE)))
+           * 1000000) AS BIGINT) AS u
+  FROM counts k CROSS JOIN tot t
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(CAST(u AS DOUBLE) / 1000000.0, 6) AS psi_contrib
+FROM contribs
+UNION ALL
+SELECT -1, CAST(SUM(n_ref) AS BIGINT), CAST(SUM(n_cur) AS BIGINT),
+       ROUND(CAST(SUM(u) AS DOUBLE) / 1000000.0, 6)
+FROM contribs
+""",
+)
+def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor between two dataset
+    snapshots (the retraining trigger every production feature
+    pipeline runs): bucket o_totalprice into fixed bands, compare the
+    reference period (< {split}) against the current one, and emit
+    each bucket's PSI contribution plus the TOTAL row (bucket = -1;
+    PSI > 0.25 is the conventional act threshold). Laplace add-one
+    smoothing keeps empty buckets finite AND deterministic — every
+    contribution is one IEEE chain (two divisions, ln, multiply)
+    floored to integer microunits, so the total is an exact integer
+    sum. Scale shape: one map-side-combining count per side over fixed
+    bucket arithmetic; the 10-row count frames and totals broadcast;
+    nothing data-sized shuffles at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.least(
+            F.lit(_PSI_N_BUCKETS - 1),
+            F.floor(F.col("o_totalprice") / _PSI_BUCKET_W).cast("int"),
+        ).alias("bucket"),
+        (F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),
+    )
+    counts = (
+        spark.range(_PSI_N_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+        .join(
+            tagged.groupBy("bucket").agg(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+                F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + _PSI_N_BUCKETS).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + _PSI_N_BUCKETS).cast("double")
+    contribs = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("u", F.floor((p - q) * F.log(p / q) * 1000000).cast("long"))
+        .select("bucket", "n_ref", "n_cur", "u")
+    )
+    per_bucket = contribs.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("u").cast("double") / 1000000.0, 6).alias("psi_contrib"),
+    )
+    total = contribs.agg(
+        F.lit(-1).alias("bucket"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum("u").cast("double") / 1000000.0, 6).alias("psi_contrib"),
+    )
+    return per_bucket.unionByName(total)

@@ -1,9 +1,12 @@
 """Index-build pipeline, embedding UDF, ANN scale paths, multimodal
 plumbing, and the parquet sink (SURVEY §2.1, §2.10, §3-E3).
 
-Non-SQL-expressible pieces (KMeans, pandas-UDF embedder, mapInPandas
-decode) are rows-only by design; everything around them that CAN be
-oracle-checked is (sink roundtrip counts, chunk/id plumbing).
+Non-SQL-expressible pieces (MLlib KMeans init, pandas-UDF embedder,
+mapInPandas decode) are rows-only by design; everything around them
+that CAN be oracle-checked is (sink roundtrip counts, chunk/id
+plumbing) — and the natively-implemented Lloyd's KMeans
+(ann.lloyd_build) gives learned-centroid IVF and semantic clustering
+FULL unrolled-CTE oracles.
 """
 
 from __future__ import annotations
