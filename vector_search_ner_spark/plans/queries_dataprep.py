@@ -720,3 +720,89 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("u").cast("double") / 1000000.0, 6).alias("psi_contrib"),
     )
     return per_bucket.unionByName(total)
+
+
+# -- exact correlation profiling ---------------------------------------------
+
+_CORR_PAIRS = [("qty", "price"), ("qty", "disc"), ("price", "disc")]
+
+
+# the moment-based form needs one agg row then three output rows; DuckDB
+# expresses it cleanly with a single-row CTE + LATERAL VALUES over its columns
+def _duck_corr_sql() -> str:
+    m = {
+        "n": "CAST(COUNT(*) AS DOUBLE)",
+    }
+    for v in ("qty", "price", "disc"):
+        m[f"s_{v}"] = f"CAST(SUM(CAST({v} AS DECIMAL(38,0))) AS DOUBLE)"
+    for a, b in [("qty", "qty"), ("price", "price"), ("disc", "disc")] + list(_CORR_PAIRS):
+        m[f"s_{a}_{b}"] = (
+            f"CAST(SUM(CAST({a} AS DECIMAL(38,0)) * CAST({b} AS DECIMAL(38,0))) AS DOUBLE)"
+        )
+    cols = ",\n         ".join(f"{e} AS {k}" for k, e in m.items())
+    rows = ",\n  ".join(
+        f"('{a}', '{b}', ROUND((n * s_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * s_{a}_{a} - s_{a} * s_{a}) * (n * s_{b}_{b} - s_{b} * s_{b})), 6))"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc
+  FROM lineitem
+), m AS (
+  SELECT {cols} FROM cents
+)
+SELECT v.* FROM m, LATERAL (VALUES
+  {rows}
+) v(var_a, var_b, corr)
+"""
+
+
+@query("profile_correlations", oracle=_duck_corr_sql())
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation profiling (the feature-redundancy /
+    leakage screen run before training): measures quantize to integer
+    cents, ALL five moments accumulate as DECIMAL(38,0) — exact,
+    order-independent, overflow-free at any corpus size (a raw int64
+    sum of cents-products overflows around 10^18) — and only the final
+    closed-form combination runs in doubles (identical IEEE chain both
+    engines, round 6). One pass, one aggregation row, no shuffle of
+    anything data-sized; built-in corr() is NOT used because its
+    streaming covariance accumulates doubles in partition order —
+    nondeterministic across retries and engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc"),
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for v in ("qty", "price", "disc"):
+        aggs.append(F.sum(F.col(v).cast("decimal(38,0)")).cast("double").alias(f"s_{v}"))
+    for a, b in [("qty", "qty"), ("price", "price"), ("disc", "disc")] + _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)") * F.col(b).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}_{b}")
+        )
+    m = cents.agg(*aggs)
+    stack_args = []
+    for a, b in _CORR_PAIRS:
+        corr = F.round(
+            (F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+            / F.sqrt(
+                (F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            ),
+            6,
+        )
+        stack_args.append(
+            F.struct(
+                F.lit(a).alias("var_a"), F.lit(b).alias("var_b"), corr.alias("corr")
+            )
+        )
+    return m.select(F.explode(F.array(*stack_args)).alias("r")).select(
+        "r.var_a", "r.var_b", "r.corr"
+    )
