@@ -531,3 +531,53 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _duck_cluster_split() -> str:
+    nib = (
+        "strpos('0123456789abcdef', "
+        "substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 32, 1)) - 1"
+    )
+    return (
+        _duck_lsh_cluster_ctes()
+        + f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN {nib} < 12 THEN 'train'
+            WHEN {nib} < 14 THEN 'val'
+            ELSE 'test' END AS split
+FROM labels
+"""
+    )
+
+
+@query("dataset_split_leakage_safe", oracle=_duck_cluster_split())
+def dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the split key is the
+    near-dup CLUSTER id, not the document id, so every member of a
+    duplicate clique lands in the same split — a doc-level hash split
+    (`dataset_split_assign`) puts near-copies of eval documents into
+    the training set, the classic contamination channel that
+    `contamination_check` detects after the fact and this prevents by
+    construction. Same content-hash nibble assignment (12/14/16
+    thresholds), salted so the cluster split is independent of the
+    doc-level one; clusters come from the O(n·bands) star-edge
+    labeler. The split column is retry/repartition-stable like every
+    hash split here."""
+    from vector_search_ner_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(nd.lsh_star_edges(docs)).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long"),
+    )
+    nib = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))), 32, 1
+        ),
+    ) - 1
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(nib < 12, "train").when(nib < 14, "val").otherwise("test").alias("split"),
+    )
