@@ -997,3 +997,22 @@ def test_bm25_matches_python_reference(spark):
         assert got == py_bm25(texts)
 
     run()
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark, sf_dir):
+    """No near-dup cluster may span train/val/test — the invariant the
+    cluster-keyed split exists for (a doc-level split leaks near-copies
+    of eval docs into train)."""
+    from vector_search_ner_spark.registry import collect
+
+    queries, _ = collect()
+    rows = queries["dataset_split_leakage_safe"](spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and it actually exercises multi-member clusters
+    sizes = {}
+    for r in rows:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    assert max(sizes.values()) > 1

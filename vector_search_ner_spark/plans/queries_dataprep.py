@@ -14,7 +14,17 @@
   * `pysource_synthetic_docs` / `pysink_jsonl_roundtrip` — the custom
                                connector surface (Python DataSource
                                API reader with pushdown + partitioned
-                               planning; transactional manifest sink).
+                               planning; transactional manifest sink);
+  * `doc_bigram_surprisal`   — Katz-style bigram backoff LM filter;
+  * `quality_score_calibrate`— per-source exact percentile
+                               normalization before global thresholds;
+  * `bpe_top_merges`         — one BPE tokenizer-training count round;
+  * `k_anonymity_audit`      — quasi-identifier release gate;
+  * `drift_psi_orders`       — PSI drift monitor between snapshots;
+  * `profile_correlations`   — exact Pearson screen from decimal
+                               moments (no streaming covariance).
+  (The leakage-safe cluster-keyed split lives with the dedup family
+  in queries_dedup.py — it rides the LSH cluster labeler.)
 
 All fully DuckDB-oracle-checked; arithmetic is integer or
 single-division double, so both engines agree bit-for-bit.
