@@ -74,10 +74,14 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint()
     )
+    # init = min(self, direct neighbors): the same aggregation the
+    # plain distinct() would cost, but it bakes the first propagation
+    # round into the starting labels — shallow dup graphs (cliques,
+    # bucket stars) then converge one driver round earlier
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__nmin"))
+        .select("node", F.least(F.col("node"), F.col("__nmin")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
