@@ -815,7 +815,7 @@ def test_pack_sequences_partitions_token_stream(spark, sf_dir):
 def test_pysource_filter_pushdown_prunes_range(spark):
     """The custom Python DataSource must fold id-range predicates into
     the generated range (fully handled — nothing yielded back), split
-    the残 range into the requested partitions, and yield non-id
+    the narrowed range into the requested partitions, and yield non-id
     filters back to Spark for post-scan evaluation."""
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
 
@@ -882,12 +882,25 @@ def test_pysink_commit_protocol(spark, tmp_path):
     m3 = w.write(iter([R(a=9)]))
     w.abort([m3])
     assert not os.path.exists(m3.tmp_path)
-    # overwrite: second commit replaces the old parts
+    # append: new parts get FRESH numbers (never clobber committed
+    # files) and the manifest merges old + new
+    wa = JsonlManifestWriter(out, overwrite=False)
+    ma = wa.write(iter([R(a=5)]))
+    wa.commit([ma])
+    names = sorted(os.listdir(out))
+    assert names == [
+        "_MANIFEST.json", "part-00000.jsonl", "part-00001.jsonl", "part-00002.jsonl",
+    ], names
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["total_rows"] == 4
+    assert [p["rows"] for p in man["parts"]] == [2, 1, 1]
+    # overwrite: new part published under a fresh name, manifest
+    # swapped, THEN old unreferenced parts removed
     w2 = JsonlManifestWriter(out, overwrite=True)
     mo = w2.write(iter([R(a=7)]))
     w2.commit([mo])
     names = sorted(os.listdir(out))
-    assert names == ["_MANIFEST.json", "part-00000.jsonl"], names
+    assert names == ["_MANIFEST.json", "part-00003.jsonl"], names
     assert json.load(open(os.path.join(out, "_MANIFEST.json")))["total_rows"] == 1
 
 

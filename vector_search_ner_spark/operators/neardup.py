@@ -136,9 +136,13 @@ def gram_hashes60(th: Column, k: int = SHINGLE_K) -> Column:
     ONE whole-text shingle: the same fold over the full token array.
     This is the CANDIDATE/VERIFY representation: pair joins and
     exact-Jaccard intersects run over 8-byte longs, and 60 bits keeps
-    collisions negligible at corpus scale. Both engines derive
-    identical values (`duck_gram_hashes60`), so oracles stay
-    bit-for-bit."""
+    collisions negligible at corpus scale. Both engines derive the
+    identical SET of values (`duck_gram_hashes60`) — but NOT the same
+    array order: DuckDB's list_distinct does not preserve
+    first-occurrence order while Spark's array_distinct does, so any
+    consumer must stay order-insensitive (explode, array_min/
+    list_min, intersects — everything here is); never emit or fold
+    the array order-dependently in an oracle."""
     n = F.size(th)
     lane = lambda sub: _lane_fold(sub, GRAM_M1, GRAM_P1) * _LANE_SHIFT + _lane_fold(
         sub, GRAM_M2, GRAM_P2
@@ -219,10 +223,10 @@ def duck_band_key(band: int) -> str:
 
 
 def token_hashes(text: Column) -> Column:
-    from vector_search_ner_spark.functions.text import stable_long_hash
-
-    toks = F.split(F.trim(text), " ")
-    return F.transform(toks, stable_long_hash)
+    """Alias of `token_hashes60` — ONE tokenization + token-hash
+    contract shared by the simhash and gram-hash paths (a divergence
+    here would silently desynchronize the two dedup families)."""
+    return token_hashes60(text)
 
 
 def simhash_from_hashes(hashes: Column) -> Column:

@@ -159,7 +159,7 @@ FROM o
 def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining: concatenate the corpus in
     a deterministic shuffled order (content-hash of doc_id) and cut it
-    into fixed {budget}-token training sequences; emit each document's
+    into fixed-budget (_PACK_BUDGET-token) training sequences; emit each document's
     global token offset and the sequence range it lands in (documents
     may straddle a boundary — the concat-and-cut packing used with
     block-diagonal attention masks).
@@ -366,7 +366,6 @@ def pysink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate from the source table, so the sink+readback
     round-trip is value-checked end to end, and a row-count
     cross-check against the manifest guards the commit metadata."""
-    import json
     import os
 
     from vector_search_ner_spark.sources.pydatasource import register_sink
@@ -384,10 +383,14 @@ def pysink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .save()
     )
-    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
-        manifest = json.load(f)
+    from vector_search_ner_spark.sources.pydatasource import read_manifest
+
+    manifest = read_manifest(out_dir)
+    # the manifest is the committed-files source of truth — read ITS
+    # file list, never a directory glob (globs see orphans from a
+    # crashed commit; the manifest by construction never does)
     back = spark.read.schema("doc_id long, lang string, n_chars long").json(
-        os.path.join(out_dir, "part-*.jsonl")
+        [os.path.join(out_dir, p["file"]) for p in manifest["parts"]]
     )
     n_back = back.count()
     if n_back != manifest["total_rows"]:
@@ -468,7 +471,7 @@ HAVING COUNT(*) < {_K_ANON}
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy-governance gate for dataset release: every
     quasi-identifier combination (nation x market segment) whose group
-    is smaller than k={_K_ANON} — rows a k-anonymity policy says must
+    is smaller than the configured k (_K_ANON) — rows a k-anonymity policy says must
     be generalized or suppressed before the table ships (companion to
     `customer_pii_scrub`, which handles the direct identifiers). One
     map-side-combining hash agg + a post-aggregation filter."""
@@ -676,7 +679,7 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift monitor between two dataset
     snapshots (the retraining trigger every production feature
     pipeline runs): bucket o_totalprice into fixed bands, compare the
-    reference period (< {split}) against the current one, and emit
+    reference period (before _PSI_SPLIT) against the current one, and emit
     each bucket's PSI contribution plus the TOTAL row (bucket = -1;
     PSI > 0.25 is the conventional act threshold). Laplace add-one
     smoothing keeps empty buckets finite AND deterministic — every

@@ -126,16 +126,33 @@ def register(spark) -> None:
 # ---------------------------------------------------------------------------
 
 
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def read_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        return json.load(f)
+
+
 class JsonlManifestWriter(DataSourceWriter):
     """Task/driver split of the DSv2 commit protocol, in Python: each
     task streams its rows to a TEMP file and returns (temp path, row
-    count) as its commit message; only the DRIVER's commit() publishes
-    — temps are renamed to ordered part files and a _MANIFEST.json
-    records per-part row counts, so readers (and retries) never observe
-    a half-written table. abort() removes the temps. This is the same
-    two-phase shape every exactly-once Spark sink uses; at cluster
-    scale the rename is an object-store move and the manifest is the
-    committed-files source of truth."""
+    count) as its commit message; only the DRIVER's commit() publishes.
+    The MANIFEST is the committed-files source of truth — readers must
+    list files from it, never glob the directory — and the commit
+    order makes the manifest swap the atomic point: new parts land
+    under fresh names that never collide with committed ones (part
+    numbering continues after the existing maximum, so append cannot
+    clobber), the manifest (new parts only on overwrite; old + new on
+    append) is written to a temp and os.replace'd into place, and only
+    THEN does overwrite delete the now-unreferenced old parts. A crash
+    before the swap leaves the old manifest fully intact; a crash
+    after it leaves at worst orphan files no manifest references.
+    abort() removes the temps. At cluster scale the renames are
+    object-store moves."""
 
     def __init__(self, path: str, overwrite: bool) -> None:
         self.path = path
@@ -158,22 +175,41 @@ class JsonlManifestWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json
         import os
+        import re
 
-        if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.endswith(".jsonl") and not name.startswith("_tmp-"):
-                    os.remove(os.path.join(self.path, name))
-        manifest = []
-        idx = 0
+        existing = [
+            name
+            for name in os.listdir(self.path)
+            if re.fullmatch(r"part-\d{5}\.jsonl", name)
+        ]
+        idx = 1 + max(
+            (int(name[5:10]) for name in existing), default=-1
+        )
+        old_parts = []
+        if not self.overwrite and os.path.exists(
+            os.path.join(self.path, MANIFEST_NAME)
+        ):
+            old_parts = read_manifest(self.path)["parts"]
+        new_parts = []
         for m in messages:
             if m is None:
                 continue
             final = os.path.join(self.path, f"part-{idx:05d}.jsonl")
             os.replace(m.tmp_path, final)
-            manifest.append({"file": os.path.basename(final), "rows": m.n_rows})
+            new_parts.append({"file": os.path.basename(final), "rows": m.n_rows})
             idx += 1
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
-            json.dump({"parts": manifest, "total_rows": sum(p["rows"] for p in manifest)}, f)
+        parts = old_parts + new_parts
+        tmp_manifest = os.path.join(self.path, f"{MANIFEST_NAME}.tmp")
+        with open(tmp_manifest, "w") as f:
+            json.dump(
+                {"parts": parts, "total_rows": sum(p["rows"] for p in parts)}, f
+            )
+        os.replace(tmp_manifest, os.path.join(self.path, MANIFEST_NAME))
+        if self.overwrite:
+            referenced = {p["file"] for p in parts}
+            for name in existing:
+                if name not in referenced:
+                    os.remove(os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
         import os
