@@ -819,3 +819,86 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.explode(F.array(*stack_args)).alias("r")).select(
         "r.var_a", "r.var_b", "r.corr"
     )
+
+
+@query(
+    "stream_ingest_pysink",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY lang
+""",
+)
+def stream_ingest_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion THROUGH the custom manifest sink: the
+    corpus arrives as 4 micro-batches (one file per trigger) and
+    foreachBatch commits each one via the jsonl_manifest two-phase
+    protocol in APPEND mode — every batch publishes fresh part numbers
+    and merges the manifest, so a reader between batches always sees a
+    consistent prefix (the Kafka→lakehouse landing pattern with the
+    connector's own commit log instead of parquet's). The readback
+    aggregates ONLY the manifest-listed files and must equal the batch
+    aggregate straight off the source — lossless, exactly-once."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.sources.pydatasource import (
+        read_manifest,
+        register_sink,
+    )
+
+    register_sink(spark)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(base, "pysink_stream_src")
+    out = os.path.join(base, "pysink_stream_out")
+    ckpt = os.path.join(base, "pysink_stream_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    batch = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    batch.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def land(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.write.format("jsonl_manifest")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    manifest = read_manifest(out)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        [os.path.join(out, p["file"]) for p in manifest["parts"]]
+    )
+    if back.count() != manifest["total_rows"]:
+        raise AssertionError("manifest/readback row-count mismatch")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
