@@ -221,14 +221,53 @@ def ann_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_similarity_join(emb, threshold=1.1)
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, md5(text) || md5(reverse(text)) AS ph
+  FROM documents WHERE doc_id < 100
+), b AS (
+  SELECT doc_id, ph,
+         list_transform(generate_series(1, 32),
+                        i -> CAST(('0x' || substring(ph, 2*i - 1, 2)) AS INTEGER)) AS bs
+  FROM base
+), f AS (
+  SELECT doc_id, [
+    CAST(CAST(32.0 AS REAL) AS DOUBLE),
+    CAST(CAST(CAST(list_sum(bs) AS DOUBLE) % 997 AS REAL) AS DOUBLE),
+    CAST(CAST(CAST(list_sum(bs) AS DOUBLE) / 32.0 AS REAL) AS DOUBLE),
+    CAST(CAST(list_min(bs) AS REAL) AS DOUBLE),
+    CAST(CAST(list_max(bs) AS REAL) AS DOUBLE),
+    CAST(CAST(bs[1] AS REAL) AS DOUBLE),
+    CAST(CAST(bs[32] AS REAL) AS DOUBLE),
+    CAST(CAST(CAST('0x' || substring(md5(ph), 1, 8) AS BIGINT) % 1000 AS REAL) AS DOUBLE)
+  ] AS feats
+  FROM b
+)
+SELECT doc_id, 'image/png' AS mime, CAST(32 AS INTEGER) AS n_bytes,
+       feats[1] AS f0, feats[2] AS f1, feats[3] AS f2, feats[4] AS f3,
+       feats[5] AS f4, feats[6] AS f5, feats[7] AS f6, feats[8] AS f7
+FROM f
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column multimodal plumbing: synthesize payload+metadata,
     extract features via Arrow mapInPandas (decode stubbed —
-    deterministic byte statistics; see operators/multimodal.py)."""
+    deterministic byte statistics; see operators/multimodal.py). The
+    array<float> feature vector is projected to typed scalar columns so
+    the WHOLE Python decode path gets a FULL value oracle (the SQL
+    re-derives every statistic from the payload hex independently) —
+    closes the last rows-only query without a bounded check."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     with_bin = mm.attach_fake_binary(docs)
-    return mm.decode_image_features(with_bin)
+    feats = mm.decode_image_features(with_bin)
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        *[F.col("features")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
 
 
 @query(

@@ -122,3 +122,92 @@ def postings_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "posting_no", F.coalesce(F.col("line"), F.lit("요건없음")).alias("req_line")
     )
+
+
+_KR_JOBS = ["백엔드 개발자", "데이터 엔지니어", "프론트엔드 개발자", "머신러닝 엔지니어"]
+_KR_REGIONS = ["서울특별시 강남구", "경기도 성남시", "부산광역시", "서울시 송파구", "대전광역시"]
+_KR_DRIFT_KEYS = ["근무지역", "지역", "근무지"]
+
+
+@query(
+    "postings_korean_drift_search",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN '백엔드 개발자' WHEN 1 THEN '데이터 엔지니어'
+                         WHEN 2 THEN '프론트엔드 개발자' ELSE '머신러닝 엔지니어' END
+           || ' 채용 - ' || source AS title,
+         CASE doc_id % 5 WHEN 0 THEN '서울특별시 강남구' WHEN 1 THEN '경기도 성남시'
+                         WHEN 2 THEN '부산광역시' WHEN 3 THEN '서울시 송파구'
+                         ELSE '대전광역시' END AS region,
+         CASE WHEN doc_id % 3 != 0 THEN '월급 300만원' ELSE '정보없음' END AS salary
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id AS posting_no, title, region, salary,
+       CAST(CASE WHEN title LIKE '%개발자%' THEN 0 ELSE 1 END AS INTEGER) AS match_level,
+       substring(title, 1, 10) AS snippet,
+       CAST(length(title) AS INTEGER) AS n_title_chars,
+       CAST(len(string_split(title, ' ')) AS INTEGER) AS n_tokens
+FROM k
+WHERE region LIKE '%서울%'
+""",
+)
+def postings_korean_drift_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 contains-lattice exercised on REAL multi-byte Korean text
+    with the reference's region-key drift (main.py:266 coalesces
+    근무지역/지역; main_remind.py:438 adds 근무지): each posting carries
+    its region under ONE of three drifted map keys depending on the
+    row, and the search coalesces element_at over the key triple —
+    the .get(k1) or .get(k2) discipline as a native map lookup, not a
+    Python loop. On top: a two-level relaxation lattice (level 0 =
+    region 서울 AND title 개발자; level 1 = region only), Korean
+    substring/length/whitespace-token arithmetic — all character-based
+    semantics that an ASCII fixture can never falsify, value-checked
+    against DuckDB's independent UTF-8 implementation.
+
+    At 100 TB: map element_at + coalesce + contains are all native
+    codegen expressions that reach the scan as filters; no UDF, no
+    shuffle before the filter."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    job = _case_mod(F.col("doc_id"), 4, _KR_JOBS)
+    region_val = _case_mod(F.col("doc_id"), 5, _KR_REGIONS)
+    drift_key = _case_mod(F.col("doc_id"), 3, _KR_DRIFT_KEYS)
+    title = F.concat(job, F.lit(" 채용 - "), F.col("source"))
+    postings = docs.select(
+        F.col("doc_id").alias("posting_no"),
+        title.alias("title"),
+        # the drifted nested-metadata map: one region key of three, per row
+        F.create_map(drift_key, region_val).alias("meta"),
+        F.when(F.col("doc_id") % 3 != 0, F.lit("월급 300만원"))
+        .otherwise(F.lit("정보없음"))
+        .alias("salary"),
+    )
+    region = F.coalesce(
+        *[F.element_at("meta", F.lit(k)) for k in _KR_DRIFT_KEYS]
+    )
+    return (
+        postings.withColumn("region", region)
+        .where(F.col("region").contains("서울"))
+        .select(
+            "posting_no",
+            "title",
+            "region",
+            "salary",
+            F.when(F.col("title").contains("개발자"), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("match_level"),
+            F.substring("title", 1, 10).alias("snippet"),
+            F.length("title").cast("int").alias("n_title_chars"),
+            F.size(F.split("title", " ")).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def _case_mod(col: F.Column, mod: int, values: list[str]) -> F.Column:
+    """CASE col % mod WHEN i THEN values[i] — deterministic Korean
+    fixture synthesis shared by query and (re-derived) oracle."""
+    expr = F.when(col % mod == 0, F.lit(values[0]))
+    for i in range(1, len(values) - 1):
+        expr = expr.when(col % mod == i, F.lit(values[i]))
+    return expr.otherwise(F.lit(values[-1]))
