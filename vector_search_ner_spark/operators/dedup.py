@@ -109,3 +109,95 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 40,
+    rounds_out: list[int] | None = None,
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the deep-graph SCALE formulation of
+    `connected_components`: min-label propagation needs diameter
+    rounds, star contraction needs O(log diameter) on chains/paths
+    (each round at least halves every node's hop distance to its
+    component minimum). Per round: two hash aggregations + two
+    equi-joins, all on the slim (u, v) edge relation; `localCheckpoint`
+    cuts lineage exactly like the label loop. Returns (node,
+    cluster_id = component-min node id); `rounds_out`, when given,
+    receives the number of driver-gated rounds actually run (for the
+    convergence property tests).
+
+      large-star(u): every neighbor v > u re-attaches to
+                     m = min(Γ(u) ∪ {u})
+      small-star(u): over min-canonical edges (u > v), every v ∈
+                     Γ(u) ∪ {u} re-attaches to m = min(Γ(u) ∪ {u})
+
+    Both steps preserve connectivity (proof in the paper); the fixed
+    point is a forest of depth-1 stars rooted at each component's
+    minimum. Convergence is detected by an (edge-count, xxhash64-sum)
+    edge-set signature going stationary — one tiny aggregate per round
+    instead of a set-difference join."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig: tuple | None = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: symmetric neighborhoods, neighbors ABOVE u attach
+        # to the neighborhood minimum (min over Γ(u) ∪ {u})
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: canonical u > v edges; u AND all its (smaller)
+        # neighbors attach to the minimum neighbor
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        attach = large.select("u", "v").unionByName(
+            smins.select("u", F.col("u").alias("v"))
+        )
+        e_next = (
+            attach.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # per-edge hash reduced mod a prime before summing: keeps the
+        # signature sum within int64 under ANSI mode out to ~9e9 edges
+        sig_row = e_next.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v") % 1_000_000_007).alias("s"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["s"])
+        e = e_next
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    roots = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return nodes.join(roots, nodes.node == roots.u, "left").select(
+        "node", F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id")
+    )

@@ -1,8 +1,14 @@
 """Near-duplicate detection family for training-data pipelines:
 
   * exact dedup          — content-fingerprint groupBy
+  * MinHash + LSH        — `minhash_lsh_dedup`, the PUBLIC entrypoint:
+                           DEFAULT emits CLUSTERS (star edges +
+                           connected components, O(n·bands) rows even
+                           on an n-doc full-duplicate clique); PAIRS
+                           (bucket join + exact Jaccard verify) are an
+                           explicit opt-in because pair output is
+                           inherently O(n²) on dup cliques
   * n-gram Jaccard       — shingle-join exact pairwise similarity
-  * MinHash + LSH        — banded signature bucketing, then exact verify
   * SimHash              — bitwise fingerprint + byte-band pair search
   * embedding cosine     — sign-LSH bucket prefilter + exact cosine
 
@@ -392,14 +398,58 @@ def jaccard_pairs(
     )
 
 
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    *,
+    emit: str = "clusters",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """THE public MinHash-LSH dedup entrypoint. `emit` picks the
+    output contract:
+
+      * "clusters" (DEFAULT) — (doc_id, cluster_id) labels via star
+        edges + connected components. Output is O(n) rows and the
+        labeler moves O(n · N_BANDS) edges even when the corpus holds
+        an n-document full-duplicate clique — the only shape that
+        survives 100 TB where one boilerplate page is ingested a
+        million times (builder probe: the pairs path went 5.6s → 56s
+        on 8× full-dup replication; this path stays linear). The
+        reference dedups before rerank (main.py:173-181) — it needs
+        the keep-one-per-group semantics clusters give, never the
+        pair list. `threshold` is unused here: cluster granularity is
+        band co-membership (the candidate level).
+      * "pairs" — EXPLICIT OPT-IN for audit/debug workloads that need
+        the pairwise (doc_a, doc_b, jaccard >= threshold) evidence.
+        Output is inherently quadratic in dup-clique size; route
+        large-clique corpora to the default instead.
+    """
+    if emit == "clusters":
+        from vector_search_ner_spark.operators.dedup import connected_components
+
+        labels = connected_components(lsh_star_edges(docs, text_col, id_col))
+        return labels.select(
+            F.col("node").cast("long").alias(id_col),
+            F.col("cluster_id").cast("long"),
+        )
+    if emit == "pairs":
+        return minhash_lsh_pairs(docs, threshold, text_col, id_col)
+    raise ValueError(f"emit must be 'clusters' or 'pairs', got {emit!r}")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs: map-only signatures -> banded bucket
-    join (candidates) -> exact Jaccard verify on the candidates only.
+    """MinHash+LSH near-dup PAIRS — the explicit opt-in path behind
+    `minhash_lsh_dedup(emit="pairs")`; prefer the cluster default for
+    corpus dedup (pair output is O(n²) on an n-doc dup clique even
+    though candidate generation is bucketed). Map-only signatures ->
+    banded bucket join (candidates) -> exact Jaccard verify on the
+    candidates only.
 
     Shuffle discipline (the 100 TB shape): the band self-join moves
     ONLY (sid, band, key) — never the shingle arrays; candidate pairs

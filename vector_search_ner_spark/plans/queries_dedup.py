@@ -108,10 +108,13 @@ WHERE ROUND(len(list_intersect(sa, sb))
 
 @query("dedup_minhash_lsh", oracle=_duck_minhash_pairs(JACCARD_T))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection: map-only 16-perm signatures,
-    4-band bucket join for candidates, exact Jaccard >= 0.5 verify."""
+    """MinHash+LSH near-dup PAIR AUDIT: map-only 16-perm signatures,
+    4-band bucket join for candidates, exact Jaccard >= 0.5 verify.
+    Pair emission is the EXPLICIT OPT-IN of `minhash_lsh_dedup`
+    (output is O(n²) on an n-doc dup clique); the default cluster
+    path is `dedup_clusters_lsh`."""
     docs = load_table(spark, sf_dir, "documents")
-    return nd.minhash_lsh_pairs(docs, JACCARD_T)
+    return nd.minhash_lsh_dedup(docs, JACCARD_T, emit="pairs")
 
 
 @query(
@@ -226,16 +229,19 @@ SELECT node AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY node
 @query("dedup_clusters_cc", oracle=_duck_cc_clusters())
 def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the MinHash
-    near-dup pair graph (iterative min-label propagation; the step
-    after pair detection in a real corpus dedup — keep min-id doc per
-    cluster). Oracle = recursive-CTE transitive closure. This is the
-    engine's iterative-algorithm surface: driver-gated loop,
-    localCheckpoint lineage cuts, one shuffle per round."""
-    from vector_search_ner_spark.operators.dedup import connected_components
+    near-dup pair graph — the SCALE formulation: alternating
+    large-star/small-star contraction (Kiveris et al., SoCC 2014),
+    O(log diameter) driver-gated rounds on chains vs the diameter
+    rounds min-label propagation needs (round-count bound pinned in
+    tests/test_semantics.py on a path graph). Oracle = recursive-CTE
+    transitive closure. This is the engine's iterative-algorithm
+    surface: driver-gated loop, localCheckpoint lineage cuts, two
+    hash aggs + two equi-joins per round."""
+    from vector_search_ner_spark.operators.dedup import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
     edges = nd.minhash_lsh_pairs(docs, JACCARD_T).select("doc_a", "doc_b")
-    return connected_components(edges).select(
+    return connected_components_star(edges).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
 
@@ -386,14 +392,9 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket co-membership, no Jaccard verify): the cluster is the
     REVIEW unit; pairwise-verified clustering stays available as
     dedup_clusters_cc. Oracle = recursive-CTE transitive closure over
-    the same star edges."""
-    from vector_search_ner_spark.operators.dedup import connected_components
-
+    the same star edges. This IS `minhash_lsh_dedup`'s default path."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = nd.lsh_star_edges(docs)
-    return connected_components(edges).select(
-        F.col("node").cast("long").alias("doc_id"), F.col("cluster_id").cast("long")
-    )
+    return nd.minhash_lsh_dedup(docs)
 
 
 def _duck_keep_best() -> str:
