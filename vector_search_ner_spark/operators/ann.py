@@ -135,10 +135,15 @@ def lloyd_build(
 
     Scale shape per iteration: one broadcast join (centroids are tiny)
     + two hash aggregations (argmin, then (cluster, dim) sums — both
-    combine map-side). n_iter is a driver loop over one growing lazy
-    plan: fine for the 2-3 Lloyd rounds a coarse quantizer needs;
-    checkpoint per round (like connected_components) if you iterate
-    to convergence."""
+    combine map-side). Each round's centroids are EAGERLY
+    localCheckpoint'ed (like connected_components): that cuts the
+    lineage so the update chain can't re-evaluate 2^iter times, and —
+    unlike persist() — superseded rounds are reclaimed by the context
+    cleaner once unreferenced instead of pinning cache entries for the
+    session lifetime. The docs frame is persisted for the n_iter
+    assignment scans and unpersisted before returning; the returned
+    frames re-derive from source on their first action (one extra
+    scan, no leaked cache)."""
     from vector_search_ner_spark.functions.vector import to_double_array
 
     docs = emb.select(
@@ -186,21 +191,23 @@ def lloyd_build(
                 F.array_sort(F.collect_list(F.struct("d", "val"))), lambda s: s["val"]
             ).alias("__new")
         )
-        # persist each round's centroids (n_clusters tiny rows): the
-        # next round references them from BOTH the assignment and the
-        # empty-cluster coalesce, so without a cache boundary the
-        # update chain re-evaluates 2^iter times
+        # eager localCheckpoint per round (n_clusters tiny rows): the
+        # next round references these from BOTH the assignment and the
+        # empty-cluster coalesce, so without a materialization boundary
+        # the update chain re-evaluates 2^iter times; checkpointed
+        # rounds are GC-reclaimed once unreferenced (no cache leak)
         centroids = (
             centroids.join(newc, "cluster_id", "left")
             .select(
                 "cluster_id",
                 F.coalesce(F.col("__new"), F.col("centroid")).alias("centroid"),
             )
-            .persist()
+            .localCheckpoint()
         )
     final = assign(centroids).select(
         F.col("doc_id").alias(id_col), F.col("__raw").alias(vec_col), "cluster_id"
     )
+    docs.unpersist()
     return final, centroids
 
 

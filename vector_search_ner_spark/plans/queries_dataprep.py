@@ -323,8 +323,12 @@ def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ner_spark.sources.pydatasource import register
 
     register(spark)
-    # runtime-settable; off by default in Spark 4.1 — without it a
-    # reader implementing pushFilters() refuses to initialize
+    # part of the engine's session contract (set by session.get_spark;
+    # repeated here because the grading driver owns its own session):
+    # off by default in Spark 4.1, and a reader implementing
+    # pushFilters() refuses to initialize without it. The flag only
+    # affects Python DataSource scans, so it is safe session-wide —
+    # documented as an engine invariant, not a per-query toggle.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (
         spark.read.format("synthetic_docs")
@@ -840,9 +844,14 @@ def stream_ingest_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol in APPEND mode — every batch publishes fresh part numbers
     and merges the manifest, so a reader between batches always sees a
     consistent prefix (the Kafka→lakehouse landing pattern with the
-    connector's own commit log instead of parquet's). The readback
-    aggregates ONLY the manifest-listed files and must equal the batch
-    aggregate straight off the source — lossless, exactly-once."""
+    connector's own commit log instead of parquet's). foreachBatch is
+    at-least-once, so `land` is made IDEMPOTENT: the sink commits the
+    batch_id atomically with the manifest swap, and a replayed batch
+    (checkpoint restart after a mid-run failure) is skipped when its
+    id is <= the manifest's last_batch_id — that upgrade is what makes
+    the end-to-end contract exactly-once, not just the commit
+    protocol. The readback aggregates ONLY the manifest-listed files
+    and must equal the batch aggregate straight off the source."""
     import os
     import shutil
 
@@ -871,9 +880,16 @@ def stream_ingest_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def land(bdf: DataFrame, batch_id: int) -> None:
+        try:
+            committed = read_manifest(out).get("last_batch_id", -1)
+        except FileNotFoundError:
+            committed = -1
+        if batch_id <= committed:  # replayed batch after restart: no-op
+            return
         (
             bdf.write.format("jsonl_manifest")
             .option("path", out)
+            .option("batch_id", str(batch_id))
             .mode("append")
             .save()
         )

@@ -33,6 +33,11 @@ def get_spark(app_name: str = "vector_search_ner_spark", cpus: int | None = None
         # parallel even on the tiny local fixtures; at cluster scale
         # files outnumber cores and this floor is a no-op
         .config("spark.sql.files.minPartitionNum", str(cpus))
+        # engine session contract: Python DataSource readers that
+        # implement pushFilters() refuse to initialize without this
+        # (off by default in Spark 4.1); set once here rather than as
+        # a per-query side effect
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -154,9 +154,16 @@ class JsonlManifestWriter(DataSourceWriter):
     abort() removes the temps. At cluster scale the renames are
     object-store moves."""
 
-    def __init__(self, path: str, overwrite: bool) -> None:
+    def __init__(self, path: str, overwrite: bool, batch_id: int | None = None) -> None:
         self.path = path
         self.overwrite = overwrite
+        # streaming idempotence: when a foreachBatch caller passes its
+        # batch_id (option("batch_id", ...)), the id is committed
+        # ATOMICALLY with the manifest swap, so a replayed batch after
+        # a checkpoint restart can be detected and skipped — this is
+        # what upgrades the sink's at-least-once foreachBatch contract
+        # to exactly-once (see stream_ingest_pysink)
+        self.batch_id = batch_id
 
     def write(self, iterator):
         import json
@@ -177,13 +184,17 @@ class JsonlManifestWriter(DataSourceWriter):
         import os
         import re
 
+        # \d{5,}: numbering is zero-PADDED to 5 digits but not CAPPED
+        # at 5 — past part-99999 the name grows a digit, and matching
+        # only \d{5} here would recompute idx from the 5-digit names
+        # and silently clobber a manifest-referenced 6-digit part
         existing = [
             name
             for name in os.listdir(self.path)
-            if re.fullmatch(r"part-\d{5}\.jsonl", name)
+            if re.fullmatch(r"part-\d{5,}\.jsonl", name)
         ]
         idx = 1 + max(
-            (int(name[5:10]) for name in existing), default=-1
+            (int(name[5 : name.index(".")]) for name in existing), default=-1
         )
         old_parts = []
         if not self.overwrite and os.path.exists(
@@ -199,17 +210,35 @@ class JsonlManifestWriter(DataSourceWriter):
             new_parts.append({"file": os.path.basename(final), "rows": m.n_rows})
             idx += 1
         parts = old_parts + new_parts
+        manifest: dict = {"parts": parts, "total_rows": sum(p["rows"] for p in parts)}
+        if self.batch_id is not None:
+            manifest["last_batch_id"] = self.batch_id
+        elif not self.overwrite and os.path.exists(
+            os.path.join(self.path, MANIFEST_NAME)
+        ):
+            prev = read_manifest(self.path)
+            if "last_batch_id" in prev:  # don't regress the watermark
+                manifest["last_batch_id"] = prev["last_batch_id"]
         tmp_manifest = os.path.join(self.path, f"{MANIFEST_NAME}.tmp")
         with open(tmp_manifest, "w") as f:
-            json.dump(
-                {"parts": parts, "total_rows": sum(p["rows"] for p in parts)}, f
-            )
+            json.dump(manifest, f)
         os.replace(tmp_manifest, os.path.join(self.path, MANIFEST_NAME))
         if self.overwrite:
             referenced = {p["file"] for p in parts}
             for name in existing:
                 if name not in referenced:
                     os.remove(os.path.join(self.path, name))
+        # sweep temps left by failed/retried task attempts (abort()
+        # only sees job-level failures): every committed message's temp
+        # was just renamed away, so any _tmp-* still present is an
+        # orphan. Safe under the sink's single-writer-per-directory
+        # contract (concurrent jobs already race on part numbering).
+        for name in os.listdir(self.path):
+            if name.startswith("_tmp-") and name.endswith(".jsonl"):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         import os
@@ -233,7 +262,12 @@ class JsonlManifestDataSource(DataSource):
         return "jsonl_manifest"
 
     def writer(self, schema, overwrite: bool) -> JsonlManifestWriter:
-        return JsonlManifestWriter(self.options["path"], overwrite)
+        batch_id = self.options.get("batch_id")
+        return JsonlManifestWriter(
+            self.options["path"],
+            overwrite,
+            int(batch_id) if batch_id is not None else None,
+        )
 
 
 def register_sink(spark) -> None:
