@@ -97,30 +97,52 @@ class HashingEmbedder:
 class SentenceTransformerEmbedder:
     """Model-backed embedder (reference used all-MiniLM-L6-v2 / KURE-v1,
     build_vectorstore.py:31-47). Optional drop-in; requires
-    sentence-transformers at runtime."""
+    sentence-transformers at runtime — OR an injected `encoder`
+    callable (list[str] -> sequence of float vectors), which lets the
+    REAL adapter path (null-fill, batch fan-out, float cast, Arrow UDF
+    shape) be unit-tested without the model libs
+    (tests/test_semantics.py)."""
 
-    def __init__(self, model_name: str = "sentence-transformers/all-MiniLM-L6-v2"):
-        try:
-            import sentence_transformers  # noqa: F401
-        except ImportError as e:  # pragma: no cover - lib not in image
-            raise NotImplementedError(
-                "sentence-transformers is not installed in this environment; "
-                "use HashingEmbedder for deterministic runs"
-            ) from e
+    def __init__(
+        self,
+        model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+        encoder=None,
+    ):
+        if encoder is None:  # pragma: no cover - lib not in image
+            try:
+                import sentence_transformers  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "sentence-transformers is not installed in this environment; "
+                    "use HashingEmbedder for deterministic runs or inject an "
+                    "encoder callable"
+                ) from e
         self.model_name = model_name
+        self.encoder = encoder
 
-    def udf(self):  # pragma: no cover - lib not in image
-        model_name = self.model_name
+    def _encode(self, texts: list[str]):
+        if self.encoder is not None:
+            return self.encoder(texts)
+        from sentence_transformers import SentenceTransformer  # pragma: no cover
+
+        model = SentenceTransformer(self.model_name)  # pragma: no cover
+        return model.encode(texts)  # pragma: no cover
+
+    def udf(self):
+        embedder = self
 
         @F.pandas_udf(T.ArrayType(T.FloatType()))
         def embed(texts: pd.Series) -> pd.Series:
-            from sentence_transformers import SentenceTransformer
-
-            model = SentenceTransformer(model_name)  # loads once per executor
-            vecs = model.encode(texts.fillna("").tolist())
+            # nulls embed as empty strings (reference fillna discipline);
+            # model/encoder loads once per executor worker, batches flow
+            # through Arrow
+            vecs = embedder._encode(texts.fillna("").tolist())
             return pd.Series([[float(x) for x in v] for v in vecs])
 
         return embed
+
+    def embed_col(self, text: Column) -> Column:
+        return self.udf()(text)
 
 
 def hashing_embed_frame(
