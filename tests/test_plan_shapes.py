@@ -370,3 +370,14 @@ def test_bm25_broadcasts_and_group_limits(spark):
     p = _plan(spark, "bm25_topk")
     assert "WindowGroupLimit" in p, p
     assert p.count("BroadcastExchange") >= 3, p
+
+
+def test_korean_drift_search_pushes_id_filter_no_shuffle(spark):
+    """The Korean drift-coalesce search must stay MAP-ONLY (no
+    Exchange anywhere — filter + map-literal projection only) with the
+    doc_id range predicate pushed into the parquet scan; the derived
+    region/contains logic runs in the same codegen stage above it."""
+    p = _plan(spark, "postings_korean_drift_search")
+    assert "Exchange" not in p, p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "doc_id" in pushed[0], p

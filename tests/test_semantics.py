@@ -46,8 +46,8 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     a = qs["multimodal_features"](spark, sf_dir).orderBy("doc_id").collect()
     b = qs["multimodal_features"](spark, sf_dir).orderBy("doc_id").collect()
     assert a == b
-    assert all(len(r.features) == 8 for r in a)
     assert all(r.n_bytes == 32 for r in a)
+    assert all(r[f"f{i}"] is not None for r in a for i in range(8))
 
 
 def test_streaming_equals_batch_tumbling(spark, sf_dir):
@@ -552,6 +552,84 @@ def test_lsh_star_edges_linear_in_clique(spark):
     }
 
 
+def test_minhash_dedup_default_path_linear_on_clique(spark):
+    """`minhash_lsh_dedup`'s DEFAULT path must stay linear on a k-doc
+    full-duplicate clique: the star-edge relation it labels over emits
+    O(k · N_BANDS) rows (not k²/2 pairs), and the output is exactly one
+    label row per doc, all in one cluster. The pairs path stays an
+    explicit opt-in and is, by contract, quadratic on the same corpus."""
+    from vector_search_ner_spark.operators import neardup as nd
+
+    k = 80
+    text = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rows = [(i, text) for i in range(k)] + [(900, "zebra quagga okapi tapir gnu ibex oryx kudu")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # default = clusters: O(k·bands) edge rows, k+1 label rows out
+    edges = nd.lsh_star_edges(docs)
+    assert edges.count() <= (k + 1) * nd.N_BANDS
+    labels = nd.minhash_lsh_dedup(docs).collect()
+    assert len(labels) == k + 1
+    by_cluster: dict = {}
+    for r in labels:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert set(map(frozenset, by_cluster.values())) == {
+        frozenset(range(k)),
+        frozenset({900}),
+    }
+
+    # explicit opt-in = pairs: quadratic output on the clique
+    pairs = nd.minhash_lsh_dedup(docs, 0.5, emit="pairs")
+    assert pairs.count() == k * (k - 1) // 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        nd.minhash_lsh_dedup(docs, emit="bogus")
+
+
+def test_star_cc_round_bound_on_path_graph(spark):
+    """Large-star/small-star CC must converge in <= ceil(log2(d)) + 1
+    driver-gated rounds on a path graph of diameter d — the deep-graph
+    speedup over min-label propagation (which needs d rounds). Labels
+    must still be the component minimum for every node."""
+    import math
+
+    from vector_search_ner_spark.operators.dedup import connected_components_star
+
+    d = 64  # path 0-1-...-64, diameter 64
+    edges = spark.range(d).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    rounds: list[int] = []
+    labels = connected_components_star(edges, rounds_out=rounds).collect()
+    assert rounds[0] <= math.ceil(math.log2(d)) + 1, rounds
+    assert len(labels) == d + 1
+    assert all(r.cluster_id == 0 for r in labels)
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """The star-contraction labeler and the min-label propagation
+    labeler must produce identical (node, cluster_id) sets on a mixed
+    graph (clique + chain + self-edge singleton)."""
+    import itertools
+
+    from vector_search_ner_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rows = (
+        [(a, b) for a, b in itertools.combinations(range(6), 2)]
+        + [(10, 11), (11, 12), (12, 13)]
+        + [(20, 20)]
+    )
+    edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    a = {(r.node, r.cluster_id) for r in connected_components_star(edges).collect()}
+    b = {(r.node, r.cluster_id) for r in connected_components(edges).collect()}
+    assert a == b
+
+
 def test_jvm_embedder_equals_udf_bitexact(spark, sf_dir):
     """The pure-expression embedder must equal the pandas-UDF embedder
     bit for bit on real fixture text (slot sums are integer-valued, so
@@ -902,6 +980,159 @@ def test_pysink_commit_protocol(spark, tmp_path):
     names = sorted(os.listdir(out))
     assert names == ["_MANIFEST.json", "part-00003.jsonl"], names
     assert json.load(open(os.path.join(out, "_MANIFEST.json")))["total_rows"] == 1
+
+
+def test_pysink_orphan_sweep_numbering_and_batch_watermark(tmp_path):
+    """Three commit-protocol hardening contracts: (a) a successful
+    commit sweeps _tmp files orphaned by failed task attempts (abort
+    only sees job-level failures); (b) part numbering parses the full
+    digit run, so appending next to a 6-digit part continues AFTER it
+    instead of recomputing from 5-digit names and clobbering;
+    (c) a batch_id commits atomically with the manifest swap and an
+    append without one preserves the watermark — the idempotence hook
+    streaming foreachBatch replay protection hangs off."""
+    import json
+    import os
+
+    from vector_search_ner_spark.sources.pydatasource import JsonlManifestWriter
+
+    class R:
+        def __init__(self, **kw):
+            self._d = kw
+
+        def asDict(self):
+            return self._d
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    # orphan from a failed attempt, plus a committed 6-digit part
+    open(os.path.join(out, "_tmp-deadbeef.jsonl"), "w").write('{"a": 0}\n')
+    open(os.path.join(out, "part-100000.jsonl"), "w").write('{"a": 1}\n')
+    json.dump(
+        {"parts": [{"file": "part-100000.jsonl", "rows": 1}], "total_rows": 1},
+        open(os.path.join(out, "_MANIFEST.json"), "w"),
+    )
+    w = JsonlManifestWriter(out, overwrite=False, batch_id=7)
+    w.commit([w.write(iter([R(a=2)]))])
+    names = sorted(os.listdir(out))
+    # fresh part numbered past 100000, orphan temp swept
+    assert names == ["_MANIFEST.json", "part-100000.jsonl", "part-100001.jsonl"], names
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["total_rows"] == 2
+    assert man["last_batch_id"] == 7
+    # an append WITHOUT a batch_id must not regress the watermark
+    w2 = JsonlManifestWriter(out, overwrite=False)
+    w2.commit([w2.write(iter([R(a=3)]))])
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["last_batch_id"] == 7
+    assert man["total_rows"] == 3
+
+
+def test_llm_extractor_adapter_shapes_with_fake_client(spark):
+    """The REAL LLMExtractor adapter path (no network — injected fake
+    client) must reproduce the reference's response hygiene: markdown
+    fences stripped before parsing (main.py:214,288,434), parse
+    failure padded to per-field defaults instead of erroring
+    (build_vectorstore.py:72-101), missing keys padded, and the Spark
+    mapInPandas wrapper must carry the behavior end to end."""
+    import json
+
+    from vector_search_ner_spark.extractors import NER_DEFAULTS, LLMExtractor
+
+    responses = {
+        "fenced": '```json\n{"직무": "개발자", "복리후생": ["4대보험"]}\n```',
+        "garbage": "NOT JSON AT ALL {{{",
+        "partial": '{"회사명": "테크корп"}',
+        "nonobject": '["a", "list", "not", "object"]',
+    }
+    ex = LLMExtractor(client=lambda text: responses[text])
+
+    fenced = json.loads(ex.extract_batch(["fenced"])[0])
+    assert fenced["직무"] == "개발자"
+    assert fenced["복리후생"] == ["4대보험"]
+    assert fenced["근무 지역"] == "정보없음"  # missing key padded
+
+    for bad in ("garbage", "nonobject"):
+        parsed = json.loads(ex.extract_batch([bad])[0])
+        assert parsed == {
+            k: v for k, v in NER_DEFAULTS.items()
+        }, parsed  # full default padding, never an exception
+
+    partial = json.loads(ex.extract_batch(["partial"])[0])
+    assert partial["회사명"] == "테크корп"
+    assert partial["복리후생"] == []
+
+    # through the Spark wrapper: mapInPandas appends ner_json per row
+    df = spark.createDataFrame(
+        [(1, "fenced"), (2, "garbage")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: json.loads(r.ner_json) for r in ex.extract(df).collect()}
+    assert rows[1]["직무"] == "개발자"
+    assert rows[2]["직무"] == "정보없음"
+
+
+def test_llm_reranker_adapter_shapes_with_fake_client(spark):
+    """The REAL LLMReranker adapter path with a faked client: valid
+    JSON list passes through; fenced list parses; garbage → all zeros
+    (main.py:291-296); short list → pad 0.0, long list → truncate so
+    scores ALWAYS align 1:1 with docs (main.py:319-321); and the
+    applyInPandas wrapper attaches aligned scores per query group."""
+    from vector_search_ner_spark.extractors import LLMReranker
+
+    def make(raw):
+        return LLMReranker(client=lambda prompt: raw)
+
+    docs = ["d0", "d1", "d2"]
+    assert make("[0.9, 0.5, 0.1]").scores("q", docs) == [0.9, 0.5, 0.1]
+    assert make("```json\n[1.0, 0.0, 0.5]\n```").scores("q", docs) == [1.0, 0.0, 0.5]
+    assert make("the model rambled instead").scores("q", docs) == [0.0, 0.0, 0.0]
+    assert make('{"not": "a list"}').scores("q", docs) == [0.0, 0.0, 0.0]
+    assert make("[0.8]").scores("q", docs) == [0.8, 0.0, 0.0]  # pad
+    assert make("[0.8, 0.7, 0.6, 0.5]").scores("q", docs) == [0.8, 0.7, 0.6]  # truncate
+
+    rr = LLMReranker(client=lambda prompt: "[0.9, 0.1]")
+    df = spark.createDataFrame(
+        [("q1", 10, "a"), ("q1", 20, "b"), ("q2", 30, "c"), ("q2", 40, "d")],
+        "query_text string, doc_id long, doc_text string",
+    )
+    got = {
+        (r.query_text, r.doc_id): r.model_score
+        for r in rr.attach_scores(df).collect()
+    }
+    assert got == {
+        ("q1", 10): 0.9,
+        ("q1", 20): 0.1,
+        ("q2", 30): 0.9,
+        ("q2", 40): 0.1,
+    }
+
+
+def test_model_embedder_adapter_with_fake_encoder(spark):
+    """The SentenceTransformerEmbedder adapter path with an injected
+    encoder (no model libs): nulls must embed as empty strings, the
+    whole batch must fan out through ONE encoder call per Arrow batch,
+    and outputs must come back as float32-column vectors aligned to
+    rows. Without an encoder AND without the libs, construction raises
+    NotImplementedError (the declared optional-dependency contract)."""
+    import pytest
+
+    from vector_search_ner_spark.embedder import SentenceTransformerEmbedder
+
+    def fake_encode(texts):
+        # length-3 vector: [len(text), 1, 0] — row-aligned and checkable
+        return [[float(len(t)), 1.0, 0.0] for t in texts]
+
+    emb = SentenceTransformerEmbedder(encoder=fake_encode)
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "hello")], "doc_id long, text string"
+    ).repartition(1)
+    got = {r.doc_id: r.v for r in df.select("doc_id", emb.embed_col(F.col("text")).alias("v")).collect()}
+    assert got[1] == [3.0, 1.0, 0.0]
+    assert got[2] == [0.0, 1.0, 0.0]  # null → "" → len 0, not an error
+    assert got[3] == [5.0, 1.0, 0.0]
+
+    with pytest.raises(NotImplementedError):
+        SentenceTransformerEmbedder()  # libs absent in this image
 
 
 def test_lloyd_kmeans_reduces_inertia(spark, sf_dir):

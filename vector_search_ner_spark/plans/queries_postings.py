@@ -166,8 +166,12 @@ def postings_korean_drift_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB's independent UTF-8 implementation.
 
     At 100 TB: map element_at + coalesce + contains are all native
-    codegen expressions that reach the scan as filters; no UDF, no
-    shuffle before the filter."""
+    codegen expressions — the whole filter+project stage is map-only
+    (no UDF, no shuffle). The doc_id predicate reaches the parquet
+    scan; the region filter is over a derived column, so it runs in
+    the same codegen stage right above it (on real data, where region
+    is a STORED column, the contains filter pushes down exactly like
+    contains_filter_docs' plan test asserts)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     job = _case_mod(F.col("doc_id"), 4, _KR_JOBS)
     region_val = _case_mod(F.col("doc_id"), 5, _KR_REGIONS)
