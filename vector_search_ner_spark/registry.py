@@ -126,6 +126,100 @@ _DRIVER_PRIORITY: list[str] = [
     "csv_source_scan",
     "udaf_median_chars",
     "scalar_fn_gallery",
+    # ---- rotation staging: positions 51+ are inert this round (the
+    # driver reads 50) but queue the REMAINING never-driver-sampled
+    # queries in priority order — next round, delete the rows above
+    # that earned a green CORRECTNESS row and this block surfaces.
+    "events_session_windows",
+    "events_pivot_types",
+    "events_first_per_user_type",
+    "asof_join_click_view",
+    "asof_cogroup_pandas",
+    "events_fill_forward",
+    "events_unpivot_metrics",
+    "events_time_rollup",
+    "events_funnel_analysis",
+    "events_retention_cohorts",
+    "events_winsorize_values",
+    "events_anomaly_zscore",
+    "events_rolling_distinct_users",
+    "events_markov_transitions",
+    "events_trailing_hour_range",
+    "events_ewma_smoothing",
+    "events_interpolate_linear",
+    "scalar_subquery_above_avg",
+    "correlated_subquery_nation_avg",
+    "salted_groupby_skew",
+    "salted_join_skew",
+    "cube_status_priority",
+    "grouping_sets_returnflag",
+    "q2_min_price_supplier",
+    "q4_late_ship_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_class_counts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_revenue_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "q20_bulk_part_suppliers",
+    "q21_sole_blame_supplier",
+    "q22_idle_wealthy_customers",
+    "quartiles_order_price",
+    "window_rank_gallery",
+    "window_frame_gallery",
+    "doc_bigram_counts",
+    "upsert_latest_wins",
+    "table_profile_orders",
+    "dq_constraint_checks",
+    "join_hint_shuffle_hash",
+    "calendar_spine_fill",
+    "map_fn_gallery",
+    "regexp_capture_ids",
+    "revenue_share_by_nation",
+    "events_value_histogram",
+    "stats_corr_exact",
+    "join_null_safe_eq",
+    "try_cast_gallery",
+    "collect_sorted_orderkeys",
+    "date_fn_gallery",
+    "math_fn_gallery",
+    "array_fn_gallery",
+    "lateral_topn_per_customer",
+    "pivot_multi_agg",
+    "variant_json_extract",
+    "agg_mode_median",
+    "sql_udf_gallery",
+    "bucketed_join_colocated",
+    "partition_pruned_scan",
+    "layout_zorder_cluster",
+    "scd2_user_state_history",
+    "rollup_incremental_merge",
+    "snapshot_diff_cdc",
+    "sample_stratified_exact",
+    "doc_lm_surprisal",
+    "dataset_pack_sequences",
+    "mixture_resample_quota",
+    "pysource_synthetic_docs",
+    "pysink_jsonl_roundtrip",
+    "bpe_top_merges",
+    "k_anonymity_audit",
+    "doc_bigram_surprisal",
+    "quality_score_calibrate",
+    "drift_psi_orders",
+    "profile_correlations",
+    # rows-only tail (weaker driver check, still worth a row)
+    "ann_ivf_topk",
+    "ann_lsh_similarity_join",
+    "sketch_distinct_quantiles",
+    "sketch_hll_union",
+    "sketch_freq_items",
 ]
 
 
