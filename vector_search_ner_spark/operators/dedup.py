@@ -65,14 +65,17 @@ def connected_components(
     shallow (dup clusters are cliques or short chains). At extreme
     scale the large-star/small-star formulation halves rounds; the
     per-round dataflow is identical."""
-    # materialize the edge list ONCE: every iteration joins against
-    # `sym`, and without the checkpoint each round would re-derive the
+    # materialize the edge list ONCE — and BEFORE the symmetrizing
+    # union, whose two branches would otherwise each evaluate the
     # whole upstream subtree (for LSH edges: tokenize + md5 + 16
-    # minhash permutations per round)
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint()
+    # minhash permutations, twice). Every iteration joins against
+    # `sym`; deriving it from the checkpointed relation makes each
+    # round a cheap re-read instead of a re-derivation.
+    edges0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
+    sym = edges0.unionByName(
+        edges0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     # init = min(self, direct neighbors): the same aggregation the
     # plain distinct() would cost, but it bakes the first propagation
@@ -141,16 +144,24 @@ def connected_components_star(
     minimum. Convergence is detected by an (edge-count, xxhash64-sum)
     edge-set signature going stationary — one tiny aggregate per round
     instead of a set-difference join."""
+    # materialize the input edge relation ONCE: both the node set and
+    # the canonical edge set derive from it, and without this boundary
+    # each would re-evaluate the full upstream pipeline (for LSH pair
+    # graphs: tokenize + md5 + 16 permutations + bucket join + verify)
+    edges0 = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint()
+    # nodes has exactly ONE consumer (the final label join) and derives
+    # from the checkpointed relation — no boundary needed
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges0.select(F.col("s").alias("node"))
+        .unionByName(edges0.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
+        edges0.select(
+            F.greatest("s", "d").alias("u"),
+            F.least("s", "d").alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
