@@ -381,3 +381,36 @@ def test_korean_drift_search_pushes_id_filter_no_shuffle(spark):
     assert "Exchange" not in p, p
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert pushed and "doc_id" in pushed[0], p
+
+
+def test_registry_wide_no_cartesian_product(spark, sf_dir):
+    """EVERY registered query's physical plan must be free of
+    non-broadcast CartesianProduct nodes — the one join shape that is
+    always wrong at 100 TB (broadcast nested-loop joins over tiny
+    sides are fine and deliberate in the knn/range family). Runs over
+    the whole registry so each NEW query inherits the guard the day
+    it lands. Skips: streaming queries and persisted-store/sink
+    round-trips, whose construction executes side-effecting work —
+    their plans are pinned by their dedicated tests instead."""
+    from vector_search_ner_spark.registry import collect as _collect
+
+    queries, _ = _collect()
+    skip_prefixes = ("stream_",)
+    skip = {
+        "sink_parquet_roundtrip",
+        "sink_orc_roundtrip",
+        "pysink_jsonl_roundtrip",
+        "vecstore_open_scan",
+        "vecstore_incremental_upsert",
+    }
+    offenders = []
+    for name, fn in queries.items():
+        if name.startswith(skip_prefixes) or name in skip:
+            continue
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        if "CartesianProduct" in buf.getvalue():
+            offenders.append(name)
+    assert not offenders, offenders
