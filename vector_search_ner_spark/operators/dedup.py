@@ -167,7 +167,20 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    prev_sig: tuple | None = None
+    def _sig(df: DataFrame) -> tuple:
+        # per-edge hash reduced mod a prime before summing: keeps the
+        # signature sum within int64 under ANSI mode out to ~9e9 edges
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v") % 1_000_000_007).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    # seed with the INITIAL edge set's signature: a graph that is
+    # already a star forest (e.g. 2-cliques from pair dedup) then
+    # certifies convergence after ONE round instead of needing a
+    # confirmation round
+    prev_sig: tuple | None = _sig(e)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -195,13 +208,7 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        # per-edge hash reduced mod a prime before summing: keeps the
-        # signature sum within int64 under ANSI mode out to ~9e9 edges
-        sig_row = e_next.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v") % 1_000_000_007).alias("s"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["s"])
+        sig = _sig(e_next)
         e = e_next
         if sig == prev_sig:
             break
