@@ -1135,6 +1135,49 @@ def test_model_embedder_adapter_with_fake_encoder(spark):
         SentenceTransformerEmbedder()  # libs absent in this image
 
 
+def test_pysink_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a checkpoint restart the
+    same batch can be delivered again. Landing a batch through the
+    manifest sink with its batch_id and then REPLAYING it (same id)
+    must not duplicate rows — the watermark skip is what upgrades the
+    pipeline to exactly-once. A LATER batch id must still append."""
+    import json
+    import os
+
+    from vector_search_ner_spark.sources.pydatasource import (
+        read_manifest,
+        register_sink,
+    )
+
+    register_sink(spark)
+    out = str(tmp_path / "replay_sink")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+
+    def land(bdf, batch_id):
+        try:
+            committed = read_manifest(out).get("last_batch_id", -1)
+        except FileNotFoundError:
+            committed = -1
+        if batch_id <= committed:
+            return
+        bdf.write.format("jsonl_manifest").option("path", out).option(
+            "batch_id", str(batch_id)
+        ).mode("append").save()
+
+    land(df, 0)
+    assert read_manifest(out)["total_rows"] == 10
+    land(df, 0)  # replay after simulated restart: must no-op
+    assert read_manifest(out)["total_rows"] == 10
+    land(df, 1)  # a genuinely new batch still appends
+    man = read_manifest(out)
+    assert man["total_rows"] == 20 and man["last_batch_id"] == 1
+    # readback through the manifest sees each row exactly once per batch
+    files = [os.path.join(out, p["file"]) for p in man["parts"]]
+    rows = [json.loads(line) for f in files for line in open(f)]
+    assert len(rows) == 20
+    assert sorted(r["id"] for r in rows) == sorted(list(range(10)) * 2)
+
+
 def test_lloyd_kmeans_reduces_inertia(spark, sf_dir):
     """Lloyd iterations must not worsen the quantization objective:
     total squared distance to the nearest centroid after 2 learned
