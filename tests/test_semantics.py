@@ -1135,6 +1135,46 @@ def test_model_embedder_adapter_with_fake_encoder(spark):
         SentenceTransformerEmbedder()  # libs absent in this image
 
 
+def test_llm_adapter_hygiene_total_on_arbitrary_output():
+    """Hypothesis fuzz over the adapter hygiene (pure Python, no
+    Spark): WHATEVER bytes the model returns, parse_response yields a
+    dict with exactly the NER schema's fields (strings everywhere,
+    list for 복리후생) and reranker scores align 1:1 with the doc
+    list — the reference's never-propagate-a-model-error contract."""
+    from hypothesis import given, settings, strategies as st
+
+    from vector_search_ner_spark.extractors import (
+        NER_DEFAULTS,
+        LLMExtractor,
+        LLMReranker,
+    )
+
+    ex = LLMExtractor(client=lambda t: t)  # echo client: text IS the raw output
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=200))
+    def run_extract(raw):
+        out = ex.parse_response(raw)
+        assert set(out) == set(NER_DEFAULTS)
+        for k, v in out.items():
+            if k == "복리후생":
+                assert isinstance(v, list) and all(isinstance(x, str) for x in v)
+            else:
+                assert isinstance(v, str)
+
+    run_extract()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=200), st.integers(0, 7))
+    def run_rerank(raw, n_docs):
+        rr = LLMReranker(client=lambda prompt: raw)
+        s = rr.scores("q", [f"d{i}" for i in range(n_docs)])
+        assert len(s) == n_docs
+        assert all(isinstance(x, float) for x in s)
+
+    run_rerank()
+
+
 def test_pysink_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: after a checkpoint restart the
     same batch can be delivered again. Landing a batch through the
