@@ -400,6 +400,22 @@ def test_operators_handle_empty_inputs(spark):
     assert dedup_first_wins(empty_docs, ["doc_id"], "arrival").count() == 0
     assert chunk_text(empty_docs).count() == 0
 
+    # both components labelers on an empty edge set: zero labels,
+    # correct schema, loop terminates immediately
+    from vector_search_ner_spark.operators import neardup as nd
+    from vector_search_ner_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    empty_edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    for fn in (connected_components, connected_components_star):
+        out = fn(empty_edges)
+        assert out.count() == 0
+        assert set(out.columns) == {"node", "cluster_id"}
+    # the public dedup entrypoint on an empty corpus: zero label rows
+    assert nd.minhash_lsh_dedup(empty_docs.select("doc_id", "text")).count() == 0
+
 
 def test_hll_union_error_bounds(spark, sf_dir):
     """hll_sketch_agg per day + hll_union_agg rollup must land within
