@@ -65,6 +65,7 @@ HEADLINE = [
     "bm25_topk",
     "dedup_clusters_cc",
     "postings_korean_drift_search",
+    "repeated_span_audit",
 ]
 
 

@@ -205,6 +205,78 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd.cosine_neardup_pairs(emb, COSINE_T)
 
 
+_SPAN_K = 8
+
+
+def _duck_repeated_spans() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {nd.duck_gram_hashes60("th", _SPAN_K)} AS hs FROM t
+), ex AS (
+  SELECT doc_id, unnest(hs) AS s FROM sh
+), dfc AS (
+  SELECT s FROM ex GROUP BY s HAVING COUNT(*) >= 2
+), shared AS (
+  SELECT e.doc_id, COUNT(*) AS n_shared
+  FROM ex e JOIN dfc d ON e.s = d.s GROUP BY e.doc_id
+)
+SELECT sh.doc_id,
+       CAST(len(sh.hs) AS INTEGER) AS n_spans,
+       CAST(COALESCE(shared.n_shared, 0) AS INTEGER) AS n_shared,
+       ROUND(COALESCE(shared.n_shared, 0) / CAST(len(sh.hs) AS DOUBLE), 4)
+         AS shared_frac
+FROM sh LEFT JOIN shared ON sh.doc_id = shared.doc_id
+"""
+
+
+@query("repeated_span_audit", oracle=_duck_repeated_spans())
+def repeated_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document REPEATED-SPAN audit — the ExactSubstr signal
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): document-level dedup misses the boilerplate
+    case where a 50-token span (header, license block, template) is
+    repeated across MILLIONS of otherwise-distinct pages. Per doc:
+    its distinct word-8-gram span count, how many of those spans occur
+    in at least one OTHER place in the corpus (document frequency >= 2
+    over distinct per-doc spans), and the shared fraction — the
+    span-level contamination score a pretraining filter thresholds on.
+
+    Scale shape: span hashes are the map-only two-lane 60-bit
+    Rabin-Karp grams (no span strings ever materialize); the corpus
+    crosses the wire twice, both as slim (hash, doc) longs — one hash
+    agg keyed by span (map-side combining count), one semi join back +
+    per-doc agg. No pairwise joins at all, so a span shared by a
+    million docs costs one count row, not 10^12 pairs — this is the
+    audit that scales where pair emission cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), nd.token_hashes60(F.col("text")).alias("__th")
+    ).select("doc_id", nd.gram_hashes60(F.col("__th"), _SPAN_K).alias("hs")).persist()
+    ex = sh.select("doc_id", F.explode("hs").alias("s"))
+    shared_spans = (
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= 2)
+    )
+    n_shared = (
+        ex.join(shared_spans.select("s"), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        sh.select("doc_id", F.size("hs").alias("n_spans"))
+        .join(n_shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("int"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("int").alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_spans").cast("double"), 4
+            ).alias("shared_frac"),
+        )
+    )
+
+
 def _duck_cc_clusters() -> str:
     """Transitive-closure oracle: cluster = min reachable node over the
     undirected minhash near-dup graph (recursive CTE)."""

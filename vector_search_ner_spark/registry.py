@@ -214,6 +214,7 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_score_calibrate",
     "drift_psi_orders",
     "profile_correlations",
+    "repeated_span_audit",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
