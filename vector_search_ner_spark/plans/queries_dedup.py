@@ -277,6 +277,103 @@ def repeated_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_span_positions() -> str:
+    from vector_search_ner_spark.operators.neardup import (
+        GRAM_M1,
+        GRAM_M2,
+        GRAM_P1,
+        GRAM_P2,
+        _LANE_SHIFT,
+        _gram_pows,
+    )
+
+    pow1 = _gram_pows(GRAM_M1, GRAM_P1, _SPAN_K)
+    pow2 = _gram_pows(GRAM_M2, GRAM_P2, _SPAN_K)
+
+    def closed(pows: list[int], p: int) -> str:
+        terms = " + ".join(
+            f"((th[i + {j}] % {p}) * {pows[j]}) % {p}" for j in range(_SPAN_K)
+        )
+        return f"(({terms}) % {p})"
+
+    gram = f"{closed(pow1, GRAM_P1)} * {_LANE_SHIFT} + {closed(pow2, GRAM_P2)}"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {nd.duck_token_hashes60()} AS th FROM documents
+), w AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(th) - {_SPAN_K - 1}),
+                        i -> {gram}) AS ws
+  FROM t WHERE len(th) >= {_SPAN_K}
+), ex AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[i] AS s
+  FROM w, LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+), dfc AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM ex) GROUP BY s
+  HAVING COUNT(*) >= 2
+)
+SELECT e.doc_id, e.pos
+FROM ex e JOIN dfc d ON e.s = d.s
+"""
+
+
+@query("repeated_span_positions", oracle=_duck_span_positions())
+def repeated_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of the repeated-span audit: the per-document
+    CUT LIST — every 1-based token position starting a word-8-gram
+    span that also occurs in at least one OTHER document (cross-doc
+    document frequency >= 2 over distinct per-doc spans). This is the
+    mask an ExactSubstr-style span dedup actually applies before
+    training (keep one occurrence corpus-wide, cut the rest; the
+    keep-one policy is a trivial rank over this output). Positions
+    force ORDER-PRESERVING gram hashing — the positional two-lane
+    Rabin-Karp fold, not the distinct set the audit uses — and the
+    oracle re-derives every (doc, pos, hash) closed-form, so the
+    position arithmetic is value-checked, not just the span sets.
+    Scale shape: same as the audit — slim (hash, doc, pos) longs, one
+    map-side-combining distinct-df agg, one equi join; nothing
+    pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vector_search_ner_spark.operators.neardup import (
+        GRAM_M1,
+        GRAM_M2,
+        GRAM_P1,
+        GRAM_P2,
+        _LANE_SHIFT,
+    )
+
+    def lane(sub, m, p):
+        return F.aggregate(
+            sub, F.lit(0).cast("long"), lambda acc, h: (acc * m + (h % p)) % p
+        )
+
+    d = docs.select(
+        "doc_id", nd.token_hashes60(F.col("text")).alias("th")
+    ).where(F.size("th") >= _SPAN_K)
+    gram = lambda i: (
+        lane(F.slice(F.col("th"), i, _SPAN_K), GRAM_M1, GRAM_P1) * _LANE_SHIFT
+        + lane(F.slice(F.col("th"), i, _SPAN_K), GRAM_M2, GRAM_P2)
+    )
+    w = d.withColumn(
+        "ws",
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - (_SPAN_K - 1)), lambda i: gram(i)
+        ),
+    ).persist()
+    ex = w.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "s")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "s")
+    dfc = (
+        ex.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("s")
+    )
+    return ex.join(dfc, "s").select("doc_id", "pos")
+
+
 def _duck_cc_clusters() -> str:
     """Transitive-closure oracle: cluster = min reachable node over the
     undirected minhash near-dup graph (recursive CTE)."""

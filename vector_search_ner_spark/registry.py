@@ -215,6 +215,7 @@ _DRIVER_PRIORITY: list[str] = [
     "drift_psi_orders",
     "profile_correlations",
     "repeated_span_audit",
+    "repeated_span_positions",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
