@@ -134,6 +134,36 @@ def resize_and_sample_frames(
     return with_binary.mapInPandas(op, schema=RESIZE_SAMPLE_SCHEMA)
 
 
+PHASH_SCHEMA = "sid long, fp long"
+
+
+def perceptual_dhash(with_binary: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint over the opaque
+    binary payload via Arrow mapInPandas — the image-dedup primitive:
+    bit i of the fingerprint is [byte_i > byte_{i+1}] over the first
+    32 payload bytes (31 bits), which for a real image is the
+    row-major brightness gradient of the downscaled thumbnail (the
+    actual decode+resize is the stubbed step, exactly as in
+    decode_image_features; the byte-gradient stand-in keeps the whole
+    fingerprint closed-form derivable in SQL for the oracle). Returns
+    (sid, fp) — feed `neardup.hamming_band_pairs` for banded near-dup
+    search. Map-only; payload bytes never leave the executor."""
+
+    def op(batches):
+        for pdf in batches:
+            fps = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p)[:32], dtype=np.uint8).astype(np.int64)
+                fp = 0
+                for i in range(len(b) - 1):
+                    if b[i] > b[i + 1]:
+                        fp |= 1 << i
+                fps.append(fp)
+            yield pd.DataFrame({"sid": pdf[id_col], "fp": fps})
+
+    return with_binary.mapInPandas(op, schema=PHASH_SCHEMA)
+
+
 AUDIO_FRAMES_SCHEMA = "doc_id long, frame_idx int, energy long, peak int"
 
 

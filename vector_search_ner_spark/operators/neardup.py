@@ -545,20 +545,18 @@ def lsh_star_edges(
     )
 
 
-def simhash_pairs(
-    docs: DataFrame,
+def hamming_band_pairs(
+    fps: DataFrame,
     max_hamming: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    n_band_bytes: int = SIMHASH_BAND_BYTES,
 ) -> DataFrame:
-    """SimHash near-dup pairs: byte-band candidate join (a pair within
-    hamming distance <= 6 over 32 bits must share at least one of 4
-    bytes by pigeonhole when distance < 4... candidates are a superset
-    for distance <= max_hamming only if max_hamming < 4; larger radii
-    trade recall, as declared) -> exact hamming verify."""
-    fps = docs.select(
-        F.col(id_col).alias("sid"), token_hashes(F.col(text_col)).alias("__th")
-    ).select("sid", simhash_from_hashes(F.col("__th")).alias("fp"))
+    """Banded hamming-distance pair search over ANY integer
+    fingerprint relation (sid, fp): byte-band candidate join (a pair
+    within hamming distance < n_bands must share at least one byte
+    band by pigeonhole — full recall for max_hamming < n_band_bytes;
+    larger radii trade recall, as declared) -> exact popcount verify.
+    Shared by text SimHash and binary perceptual-hash dedup; the
+    shuffle carries only (sid, fp, band, key) slim rows."""
     bands = fps.select(
         "sid",
         "fp",
@@ -569,7 +567,7 @@ def simhash_pairs(
                         F.lit(k).alias("band"),
                         F.shiftright(F.col("fp"), 8 * k).bitwiseAND(F.lit(255)).alias("key"),
                     )
-                    for k in range(SIMHASH_BAND_BYTES)
+                    for k in range(n_band_bytes)
                 ]
             )
         ).alias("bk"),
@@ -597,6 +595,20 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: map-only 32-bit fingerprints, then the
+    shared banded hamming join (`hamming_band_pairs`)."""
+    fps = docs.select(
+        F.col(id_col).alias("sid"), token_hashes(F.col(text_col)).alias("__th")
+    ).select("sid", simhash_from_hashes(F.col("__th")).alias("fp"))
+    return hamming_band_pairs(fps, max_hamming)
 
 
 def cosine_neardup_pairs(

@@ -21,6 +21,7 @@ from vector_search_ner_spark.extractors import RuleBasedExtractor
 from vector_search_ner_spark.functions.text import clean_text, stable_id
 from vector_search_ner_spark.operators import ann
 from vector_search_ner_spark.operators import multimodal as mm
+from vector_search_ner_spark.operators import neardup as nd
 from vector_search_ner_spark.operators.chunker import chunk_text
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.sources.catalog import load_table
@@ -268,6 +269,69 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.col("features")[i].cast("double").alias(f"f{i}") for i in range(8)],
     )
+
+
+def _duck_phash_pairs() -> str:
+    fp_terms = " + ".join(
+        f"(CASE WHEN bs[{i}] > bs[{i + 1}] THEN CAST({1 << (i - 1)} AS BIGINT) ELSE 0 END)"
+        for i in range(1, 32)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, md5(text) || md5(reverse(text)) AS ph FROM documents
+), all_rows AS (
+  SELECT doc_id AS sid, ph FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS sid, substring(ph, 1, 62) || '00' AS ph FROM base
+), b AS (
+  SELECT sid,
+         list_transform(generate_series(1, 32),
+                        i -> CAST(('0x' || substring(ph, 2*i - 1, 2)) AS INTEGER)) AS bs
+  FROM all_rows
+), f AS (
+  SELECT sid, ({fp_terms}) AS fp FROM b
+), bands AS (
+  SELECT sid, fp, t.band AS band, (fp >> (8 * t.band)) & 255 AS key
+  FROM f, (SELECT unnest(generate_series(0, 3)) AS band) t
+), cand AS (
+  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b, a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.sid < b.sid
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
+@query("multimodal_phash_pairs", oracle=_duck_phash_pairs())
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup dedup over opaque binary payloads — the
+    multimodal member of the dedup family: perceptual dHash
+    fingerprints extracted executor-side from the payload bytes
+    (Arrow mapInPandas, operators/multimodal.py — the real-image
+    decode+thumbnail is the stubbed step), then the SAME banded
+    hamming join text SimHash uses (`neardup.hamming_band_pairs`).
+    The corpus is augmented with a one-byte-perturbed copy of every
+    payload (offset ids), so the query exercises BOTH exact-payload
+    matches (hamming 0) and near-matches (the perturbed last byte
+    flips at most one gradient bit) — and the oracle re-derives every
+    fingerprint closed-form from the payload hex, value-checking the
+    Python decode path end to end.
+
+    At 100 TB: fingerprints are map-only 8-byte longs; the only
+    shuffle keys on (band, key) slim rows — a million identical
+    thumbnails form one bucket per band, never a cross-join of
+    payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = mm.attach_fake_binary(docs).select("doc_id", "payload")
+    perturbed = with_bin.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("payload"), 1, 31), F.unhex(F.lit("00"))
+        ).alias("payload"),
+    )
+    fps = mm.perceptual_dhash(with_bin.unionByName(perturbed))
+    return nd.hamming_band_pairs(fps, max_hamming=3)
 
 
 @query(

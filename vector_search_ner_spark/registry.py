@@ -216,6 +216,7 @@ _DRIVER_PRIORITY: list[str] = [
     "profile_correlations",
     "repeated_span_audit",
     "repeated_span_positions",
+    "multimodal_phash_pairs",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
