@@ -289,3 +289,154 @@ def embedding_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         op, schema="vec_id long, n_positive long, argmax_idx int"
     ).orderBy("vec_id")
+
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_N = 5
+
+
+def _duck_mmr() -> str:
+    """Unrolled MMR oracle: candidate pool CTE, then MMR_N selection
+    steps, each an anti-join against everything selected so far, a
+    MAX pairwise-cosine aggregation, and a window argmax — the exact
+    dataflow of the Spark plan, so every double matches bit-for-bit."""
+    cos_qd = duck_cosine("q.qv", "d.embedding")
+    cos_rs = duck_cosine("r.dv", "s.dv")
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), pool AS (
+  SELECT query_id, doc_id, rel, dv FROM (
+    SELECT q.query_id, d.vec_id AS doc_id, {cos_qd} AS rel, d.embedding AS dv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qd} DESC, d.vec_id) AS rn
+    FROM embeddings d CROSS JOIN q
+  ) WHERE rn <= {MMR_POOL}
+), s1 AS (
+  SELECT query_id, doc_id, rel, dv, 1 AS mmr_rank, rel AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)"""
+    ]
+    for t in range(2, MMR_N + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT query_id, doc_id, dv FROM s{u}" for u in range(1, t)
+        )
+        parts.append(f""", sel{t} AS (
+  {prev_union}
+), r{t} AS (
+  SELECT p.* FROM pool p
+  ANTI JOIN sel{t} s ON p.query_id = s.query_id AND p.doc_id = s.doc_id
+), m{t} AS (
+  SELECT r.query_id, r.doc_id, MAX({cos_rs}) AS max_sim
+  FROM r{t} r JOIN sel{t} s ON r.query_id = s.query_id
+  GROUP BY r.query_id, r.doc_id
+), s{t} AS (
+  SELECT query_id, doc_id, rel, dv, {t} AS mmr_rank, score AS mmr_score FROM (
+    SELECT r.query_id, r.doc_id, r.rel, r.dv,
+           {MMR_LAMBDA} * r.rel - {1.0 - MMR_LAMBDA} * m.max_sim AS score,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY {MMR_LAMBDA} * r.rel
+                                       - {1.0 - MMR_LAMBDA} * m.max_sim DESC,
+                                       r.doc_id) AS rn
+    FROM r{t} r JOIN m{t} m ON r.query_id = m.query_id AND r.doc_id = m.doc_id
+  ) WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(1, MMR_N + 1))
+    parts.append(f"""
+SELECT query_id, doc_id,
+       CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       ROUND(mmr_score, 4) AS mmr_score
+FROM ({union})
+""")
+    return "".join(parts)
+
+
+@query("mmr_diversified_topk", oracle=_duck_mmr())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-5 (Carbonell &
+    Goldstein, SIGIR 1998) — the rerank the reference's plain
+    similarity top-5 (main.py:455) lacks: after the exact cosine
+    top-20 candidate pool, each of 5 selection steps picks
+    argmax λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s), λ=0.7,
+    doc_id tie-break — relevance traded against redundancy, the
+    standard fix when near-duplicate chunks crowd out coverage.
+
+    Set-at-a-time like the relaxation lattice: the driver unrolls
+    MMR_N=5 steps into ONE lazy plan — per step an anti-join of the
+    pool against the selected set (both ≤ pool-size rows per query),
+    one pairwise-cosine MAX aggregation, one per-query window argmax
+    over ≤ 20 rows. Selected-set frames persist (each feeds three
+    later consumers). At 100 TB the pool stage is the only data-sized
+    work (the same broadcast + WindowGroupLimit plan as knn_topk);
+    every MMR step runs on K-sized frames per query — driver rounds
+    never touch the corpus. The oracle unrolls the identical steps in
+    SQL; doubles match bit-for-bit."""
+    from pyspark.sql import Window
+
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    pool = (
+        knn_join(_query_batch(spark, sf_dir), emb, k=MMR_POOL, metric="cosine")
+        .select("query_id", "doc_id", F.col("score").alias("rel"))
+        .join(emb.select("doc_id", F.col("embedding").alias("dv")), "doc_id")
+        .persist()
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+    steps = [
+        pool.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id", "doc_id", "rel", "dv",
+            F.lit(1).alias("mmr_rank"), F.col("rel").alias("mmr_score"),
+        )
+        .persist()
+    ]
+    for t in range(2, MMR_N + 1):
+        sel = steps[0].select("query_id", "doc_id", "dv")
+        for s in steps[1:]:
+            sel = sel.unionByName(s.select("query_id", "doc_id", "dv"))
+        remaining = pool.join(
+            sel.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+        )
+        sims = (
+            remaining.join(
+                sel.select("query_id", F.col("dv").alias("sv")), "query_id"
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.max(cosine_similarity(F.col("dv"), F.col("sv"))).alias("max_sim"))
+        )
+        score = (
+            F.lit(MMR_LAMBDA) * F.col("rel")
+            - F.lit(1.0 - MMR_LAMBDA) * F.col("max_sim")
+        )
+        w_sc = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), "doc_id"
+        )
+        steps.append(
+            remaining.join(sims, ["query_id", "doc_id"])
+            .withColumn("score", score)
+            .withColumn("rn", F.row_number().over(w_sc))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id", "doc_id", "rel", "dv",
+                F.lit(t).alias("mmr_rank"), F.col("score").alias("mmr_score"),
+            )
+            .persist()
+        )
+    out = steps[0].select("query_id", "doc_id", "mmr_rank", "mmr_score")
+    for s in steps[1:]:
+        out = out.unionByName(s.select("query_id", "doc_id", "mmr_rank", "mmr_score"))
+    return out.select(
+        "query_id", "doc_id",
+        F.col("mmr_rank").cast("int"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    )

@@ -217,6 +217,7 @@ _DRIVER_PRIORITY: list[str] = [
     "repeated_span_audit",
     "repeated_span_positions",
     "multimodal_phash_pairs",
+    "mmr_diversified_topk",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
