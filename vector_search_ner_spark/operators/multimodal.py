@@ -164,6 +164,38 @@ def perceptual_dhash(with_binary: DataFrame, id_col: str = "doc_id") -> DataFram
     return with_binary.mapInPandas(op, schema=PHASH_SCHEMA)
 
 
+AUDIO_FP_FRAME = 4  # samples per energy frame (hop 1)
+
+
+def audio_energy_fingerprint(with_binary: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Chromaprint-style audio fingerprint over the opaque payload via
+    Arrow mapInPandas: frame energies (sum of squared samples over
+    length-4 windows, hop 1) reduced to the SIGN OF THE ENERGY
+    GRADIENT — bit i of the fingerprint is [E_i > E_{i+1}]. Real audio
+    would decode PCM first (the stubbed step, exactly as in
+    audio_frame_energy); the integer energy arithmetic keeps the whole
+    fingerprint closed-form derivable in SQL. Returns (sid, fp) for
+    `neardup.hamming_band_pairs`. Map-only."""
+
+    def op(batches):
+        for pdf in batches:
+            fps = []
+            for p in pdf["payload"]:
+                s = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                e = [
+                    int((s[i : i + AUDIO_FP_FRAME] ** 2).sum())
+                    for i in range(len(s) - AUDIO_FP_FRAME + 1)
+                ]
+                fp = 0
+                for i in range(len(e) - 1):
+                    if e[i] > e[i + 1]:
+                        fp |= 1 << i
+                fps.append(fp)
+            yield pd.DataFrame({"sid": pdf[id_col], "fp": fps})
+
+    return with_binary.mapInPandas(op, schema=PHASH_SCHEMA)
+
+
 AUDIO_FRAMES_SCHEMA = "doc_id long, frame_idx int, energy long, peak int"
 
 

@@ -334,6 +334,68 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd.hamming_band_pairs(fps, max_hamming=3)
 
 
+def _duck_audio_fp_pairs() -> str:
+    n_bytes, flen = 32, mm.AUDIO_FP_FRAME
+    n_frames = n_bytes - flen + 1  # 29 energies -> 28 gradient bits
+
+    def e(i: int) -> str:  # 1-based energy of frame i over bs
+        return "(" + " + ".join(f"bs[{i + j}] * bs[{i + j}]" for j in range(flen)) + ")"
+
+    fp_terms = " + ".join(
+        f"(CASE WHEN {e(i)} > {e(i + 1)} THEN CAST({1 << (i - 1)} AS BIGINT) ELSE 0 END)"
+        for i in range(1, n_frames)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, md5(text) || md5(reverse(text)) AS ph FROM documents
+), all_rows AS (
+  SELECT doc_id AS sid, ph FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS sid, substring(ph, 1, 62) || '00' AS ph FROM base
+), b AS (
+  SELECT sid,
+         list_transform(generate_series(1, {n_bytes}),
+                        i -> CAST(('0x' || substring(ph, 2*i - 1, 2)) AS INTEGER)) AS bs
+  FROM all_rows
+), f AS (
+  SELECT sid, ({fp_terms}) AS fp FROM b
+), bands AS (
+  SELECT sid, fp, t.band AS band, (fp >> (8 * t.band)) & 255 AS key
+  FROM f, (SELECT unnest(generate_series(0, 3)) AS band) t
+), cand AS (
+  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b, a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.sid < b.sid
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
+@query("multimodal_audio_dedup", oracle=_duck_audio_fp_pairs())
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup dedup — completes the modality triple (text
+    SimHash, image dHash, audio energy-gradient fingerprint), all
+    through ONE shared banded hamming join: frame energies (len-4
+    windows, hop 1) over the payload samples reduce to a 28-bit
+    gradient-sign fingerprint executor-side (Arrow mapInPandas; the
+    PCM decode is the stubbed step), pairs within hamming <= 3 via
+    `neardup.hamming_band_pairs`. Same perturbed-copy construction as
+    the image query so exact and near matches are both exercised; the
+    oracle re-derives every integer energy and fingerprint bit
+    closed-form from the payload hex."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = mm.attach_fake_binary(docs).select("doc_id", "payload")
+    perturbed = with_bin.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("payload"), 1, 31), F.unhex(F.lit("00"))
+        ).alias("payload"),
+    )
+    fps = mm.audio_energy_fingerprint(with_bin.unionByName(perturbed))
+    return nd.hamming_band_pairs(fps, max_hamming=3)
+
+
 @query(
     "multimodal_resize_frames",
     oracle="""

@@ -218,6 +218,7 @@ _DRIVER_PRIORITY: list[str] = [
     "repeated_span_positions",
     "multimodal_phash_pairs",
     "mmr_diversified_topk",
+    "multimodal_audio_dedup",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
