@@ -491,6 +491,77 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_recall_report() -> str:
+    from vector_search_ner_spark.functions.vector import duck_l2
+
+    return f"""
+WITH ivf AS (
+  SELECT query_id, doc_id FROM ({_duck_ivf_fixed()}) t
+), exact AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {duck_l2("q.embedding", "d.embedding")}, d.vec_id) AS rn
+    FROM embeddings d
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
+  ) WHERE rn <= {_IVF_K}
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS INTEGER) AS n_exact,
+       CAST(SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_hit,
+       ROUND(SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+FROM exact e
+LEFT JOIN ivf i ON e.query_id = i.query_id AND e.doc_id = i.doc_id
+GROUP BY e.query_id
+"""
+
+
+@query("ann_recall_report", oracle=_duck_recall_report())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-evaluation job you run BEFORE trusting an ANN config
+    at scale: per query, recall@{_IVF_K} of the IVF-pruned search
+    (fixed quantizer, nprobe={_IVF_NPROBE}) against the exact L2
+    ground truth. Both sides are deterministic plans, so — unlike the
+    recall-floor property tests around MLlib internals — this eval is
+    itself a FULL-oracle query: the ground truth, the approximate
+    result, and the per-query recall all re-derive in SQL. At 100 TB
+    you run exactly this with a sampled query set to pick
+    nprobe/n_cent; the exact leg is the only corpus-sized scan and it
+    is the same broadcast + WindowGroupLimit plan as knn_topk."""
+    from vector_search_ner_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact = knn_join(queries, docs, k=_IVF_K, metric="l2").select(
+        "query_id", "doc_id"
+    )
+    assigned, centroids = ann.ivf_fixed_build(emb, _IVF_N_CENT)
+    assigned = assigned.select(
+        F.col("vec_id").alias("doc_id"), "embedding", "cluster_id"
+    )
+    approx = ann.ivf_topk(
+        queries, assigned, centroids, k=_IVF_K, nprobe=_IVF_NPROBE
+    ).select("query_id", F.col("doc_id").alias("adoc"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.doc_id == approx.adoc),
+        "left",
+    ).select(exact.query_id, F.col("adoc").isNotNull().alias("hit"))
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_exact"),
+        F.sum(F.col("hit").cast("int")).cast("int").alias("n_hit"),
+        F.round(
+            F.sum(F.col("hit").cast("int")) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("recall"),
+    )
+
+
 @query(
     "multimodal_feature_rows",
     oracle="""

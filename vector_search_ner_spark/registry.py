@@ -219,6 +219,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_phash_pairs",
     "mmr_diversified_topk",
     "multimodal_audio_dedup",
+    "ann_recall_report",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
