@@ -158,3 +158,42 @@ def _knn_serving_oracle() -> str:
 @query("stream_knn_serving", oracle=_knn_serving_oracle())
 def stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_knn_serving(spark, sf_dir)
+
+
+# streaming flag == the batch band self-join: a doc is flagged iff it
+# shares a MinHash band bucket with a DIFFERENT doc (full oracle)
+def _neardup_flag_oracle() -> str:
+    from vector_search_ner_spark.operators import neardup as nd
+
+    sig_cols = ",\n       ".join(
+        f"{nd.duck_minhash_sig(j, 'hs')} AS mh{j}" for j in range(nd.N_PERM)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT sid, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
+        for bi in range(nd.N_BANDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
+), sigs AS (
+  SELECT sid, {sig_cols} FROM sh
+), bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.sid AS doc_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.sid != b.sid
+"""
+
+
+@query("stream_neardup_flag", oracle=_neardup_flag_oracle())
+def stream_neardup_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup flagging at ingest: arriving docs compute
+    MinHash band keys map-only and a stateless stream-static semi join
+    against the corpus band table flags the ones sharing a bucket with
+    any OTHER doc — dedup before the data lands, the streaming half of
+    `dedup_clusters_lsh`. Full oracle: the flag set equals the batch
+    band self-join exactly."""
+    return se.stream_neardup_ingest(spark, sf_dir)

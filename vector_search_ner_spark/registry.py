@@ -220,6 +220,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mmr_diversified_topk",
     "multimodal_audio_dedup",
     "ann_recall_report",
+    "stream_neardup_flag",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",

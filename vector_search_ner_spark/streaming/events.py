@@ -354,3 +354,62 @@ def stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(sink)
+
+
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP FLAGGING AT INGEST — the dedup×streaming crossover a
+    training-data pipeline actually runs: documents arrive as a
+    stream, each computes its MinHash band keys with the SAME map-only
+    expressions as the batch dedup family (operators/neardup.py), and
+    a stateless stream-static LEFT SEMI join against the corpus's
+    precomputed band table flags every arriving doc that shares a
+    band bucket with a DIFFERENT existing doc — the catch-it-before-
+    it-lands version of `dedup_clusters_lsh`. The static band table is
+    re-read per micro-batch (the slowly-changing-index pattern);
+    dropDuplicates collapses the per-band matches to one row per doc
+    (bounded here by the one-shot run; a continuous job would put a
+    watermark on an arrival-ts column exactly like
+    stream_dedup_within_watermark does)."""
+    from vector_search_ner_spark.operators import neardup as nd
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def band_table(df: DataFrame, id_col: str) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias("sid"), nd.token_hashes60(F.col("text")).alias("__th")
+        ).select("sid", nd.gram_hashes60(F.col("__th")).alias("hs"))
+        sigs = sh.withColumn(
+            "hashes", F.transform(F.col("hs"), lambda h: h % nd.MINHASH_P)
+        ).select("sid", *nd.minhash_signature_cols(F.col("hashes")))
+        return sigs.select(
+            "sid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            nd.band_key("mh", bi).alias("key"),
+                        )
+                        for bi in range(nd.N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    static_bands = band_table(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).withColumnRenamed("sid", "other_sid")
+    stream_bands = band_table(stream, "doc_id")
+    flagged = stream_bands.join(
+        F.broadcast(static_bands),
+        (stream_bands.band == static_bands.band)
+        & (stream_bands.key == static_bands.key)
+        & (stream_bands.sid != static_bands.other_sid),
+        "left_semi",
+    ).select(F.col("sid").alias("doc_id")).dropDuplicates(["doc_id"])
+    return _run_to_memory(flagged, "append")
