@@ -414,3 +414,23 @@ def test_registry_wide_no_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in buf.getvalue():
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_mmr_pool_stage_broadcasts_and_group_limits(spark):
+    """MMR's only corpus-sized work is the candidate-pool stage, which
+    must keep knn_topk's plan: broadcast query batch +
+    WindowGroupLimit partial top-k. The 5 selection steps run on
+    K-sized frames (InMemoryTableScan of the persisted pool)."""
+    p = _plan(spark, "mmr_diversified_topk")
+    assert "BroadcastExchange" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "InMemoryTableScan" in p, p
+
+
+def test_repeated_span_audit_partial_aggregates(spark):
+    """The span document-frequency count must partial-aggregate
+    map-side before its shuffle (the no-pairwise-blowup property:
+    a million-way shared span reduces on the mappers)."""
+    p = _plan(spark, "repeated_span_audit")
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p, p

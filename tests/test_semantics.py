@@ -1151,6 +1151,37 @@ def test_model_embedder_adapter_with_fake_encoder(spark):
         SentenceTransformerEmbedder()  # libs absent in this image
 
 
+def test_repeated_span_flags_boilerplate_clique(spark):
+    """Span-audit semantics on a constructed corpus: k docs sharing
+    one long boilerplate text must each be flagged with shared_frac
+    1.0; a unique doc flags 0; and the positions cut list covers every
+    span position of every clique member (the keep-one policy then
+    drops all but one occurrence)."""
+    from vector_search_ner_spark.operators import neardup as nd
+    from vector_search_ner_spark.plans.queries_dedup import _SPAN_K
+
+    k = 6
+    boiler = " ".join(f"w{i}" for i in range(20))  # 20 tokens, 13 spans
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [(i, boiler) for i in range(k)] + [(99, uniq)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = docs.select(
+        "doc_id", nd.token_hashes60(F.col("text")).alias("__th")
+    ).select("doc_id", nd.gram_hashes60(F.col("__th"), _SPAN_K).alias("hs"))
+    ex = sh.select("doc_id", F.explode("hs").alias("s"))
+    dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= 2)
+    n_shared = (
+        ex.join(dfc.select("s"), "s", "left_semi").groupBy("doc_id").count()
+    )
+    got = {
+        r.doc_id: r["count"] for r in n_shared.collect()
+    }
+    n_spans = 20 - _SPAN_K + 1
+    assert got == {i: n_spans for i in range(k)}  # every clique member fully flagged
+    # 99 absent: zero shared spans
+
+
 def test_llm_adapter_hygiene_total_on_arbitrary_output():
     """Hypothesis fuzz over the adapter hygiene (pure Python, no
     Spark): WHATEVER bytes the model returns, parse_response yields a
