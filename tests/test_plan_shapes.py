@@ -416,15 +416,19 @@ def test_registry_wide_no_cartesian_product(spark, sf_dir):
     assert not offenders, offenders
 
 
-def test_mmr_pool_stage_broadcasts_and_group_limits(spark):
-    """MMR's only corpus-sized work is the candidate-pool stage, which
-    must keep knn_topk's plan: broadcast query batch +
-    WindowGroupLimit partial top-k. The 5 selection steps run on
-    K-sized frames (InMemoryTableScan of the persisted pool)."""
+def test_mmr_plan_is_linear_in_steps(spark):
+    """MMR's step frames must be lineage-CUT (eager localCheckpoint):
+    every step references all prior steps from three places, so
+    without the cuts the logical plan grows exponentially in steps —
+    at 5 steps the plan STRING alone OOMs a 1 GB driver. The returned
+    plan must therefore be a small union over checkpointed leaves
+    (ExistingRDD scans), not a nested re-derivation. The pool stage's
+    broadcast + WindowGroupLimit shape is asserted via knn_topk
+    (test_knn_partial_topk_before_shuffle) — it runs during the eager
+    step materialization here."""
     p = _plan(spark, "mmr_diversified_topk")
-    assert "BroadcastExchange" in p, p
-    assert "WindowGroupLimit" in p, p
-    assert "InMemoryTableScan" in p, p
+    assert "ExistingRDD" in p, p
+    assert len(p) < 20_000, f"plan string blew up: {len(p)} chars"
 
 
 def test_repeated_span_audit_partial_aggregates(spark):

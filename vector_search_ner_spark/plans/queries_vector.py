@@ -367,16 +367,21 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tie-break — relevance traded against redundancy, the
     standard fix when near-duplicate chunks crowd out coverage.
 
-    Set-at-a-time like the relaxation lattice: the driver unrolls
-    MMR_N=5 steps into ONE lazy plan — per step an anti-join of the
-    pool against the selected set (both ≤ pool-size rows per query),
-    one pairwise-cosine MAX aggregation, one per-query window argmax
-    over ≤ 20 rows. Selected-set frames persist (each feeds three
-    later consumers). At 100 TB the pool stage is the only data-sized
-    work (the same broadcast + WindowGroupLimit plan as knn_topk);
-    every MMR step runs on K-sized frames per query — driver rounds
-    never touch the corpus. The oracle unrolls the identical steps in
-    SQL; doubles match bit-for-bit."""
+    Set-at-a-time like the relaxation lattice: per step an anti-join
+    of the pool against the selected set (both ≤ pool-size rows per
+    query), one pairwise-cosine MAX aggregation, one per-query window
+    argmax over ≤ 20 rows. Each step's selected frame (N_QUERIES
+    rows) is eagerly localCheckpoint'ed: every step references ALL
+    prior steps from three places (anti-join, pair join, final
+    union), so without the lineage cut the logical plan tree grows
+    EXPONENTIALLY in steps — at 5 steps the plan STRING alone OOMs a
+    1 GB driver (found by the low-memory determinism probe; the same
+    lesson as the lattice/CC loops, enforced here). With the cuts the
+    plan is linear in steps. At 100 TB the pool stage is the only
+    data-sized work (the same broadcast + WindowGroupLimit plan as
+    knn_topk); every MMR step runs on K-sized frames per query. The
+    oracle unrolls the identical steps in SQL; doubles match
+    bit-for-bit."""
     from pyspark.sql import Window
 
     from vector_search_ner_spark.functions.vector import cosine_similarity
@@ -398,7 +403,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "doc_id", "rel", "dv",
             F.lit(1).alias("mmr_rank"), F.col("rel").alias("mmr_score"),
         )
-        .persist()
+        .localCheckpoint()
     ]
     for t in range(2, MMR_N + 1):
         sel = steps[0].select("query_id", "doc_id", "dv")
@@ -430,7 +435,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", "doc_id", "rel", "dv",
                 F.lit(t).alias("mmr_rank"), F.col("score").alias("mmr_score"),
             )
-            .persist()
+            .localCheckpoint()
         )
     out = steps[0].select("query_id", "doc_id", "mmr_rank", "mmr_score")
     for s in steps[1:]:
