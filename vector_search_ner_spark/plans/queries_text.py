@@ -738,6 +738,89 @@ def customer_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+# regex class-only patterns: identical semantics in Java regex (Spark)
+# and RE2-ish DuckDB — no lookaround, no \b, no lazy quantifiers
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+"
+_PHONE_RE = "[+][0-9]+-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.org'
+                      ELSE '' END AS text
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+  FROM injected
+)
+SELECT doc_id,
+       CAST((length(clean) - length(replace(clean, '[EMAIL]', '')))
+            / length('[EMAIL]') AS INTEGER) AS n_emails,
+       CAST((length(clean) - length(replace(clean, '[PHONE]', '')))
+            / length('[PHONE]') AS INTEGER) AS n_phones,
+       CAST(length(clean) AS INTEGER) AS clean_len,
+       substring(md5(clean), 1, 16) AS clean_fp
+FROM scrubbed
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-column PII scrub — the pretraining redaction pass
+    (`customer_pii_scrub` handles structured columns; this handles
+    free text, where PII hides mid-sentence): emails and phone numbers
+    replaced with [EMAIL]/[PHONE] placeholder tokens via
+    regexp_replace. The fixture text is synthetic, so deterministic
+    PII is INJECTED first (per-doc email + phone, a second email on
+    every third doc) — the scrubber is then verified by placeholder
+    counts, scrubbed length, and an md5 fingerprint of the full
+    scrubbed text, all re-derived by the oracle. The regexes use only
+    character classes (no lookaround/anchors) so Java and RE2
+    semantics agree — pinned by the value check itself.
+
+    At 100 TB: pure map-only codegen projection, zero shuffle — the
+    cheapest pass in the pipeline, which is why it runs on everything."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" cc admin"), F.col("doc_id").cast("string"), F.lit("@corp.org")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    scrubbed = injected.select("doc_id", clean.alias("clean"))
+    n_of = lambda tok: (
+        (F.length("clean") - F.length(F.replace(F.col("clean"), F.lit(tok), F.lit(""))))
+        / len(tok)
+    ).cast("int")
+    return scrubbed.select(
+        "doc_id",
+        n_of("[EMAIL]").alias("n_emails"),
+        n_of("[PHONE]").alias("n_phones"),
+        F.length("clean").cast("int").alias("clean_len"),
+        F.substring(F.md5("clean"), 1, 16).alias("clean_fp"),
+    )
+
+
 # -- BM25 keyword ranking -----------------------------------------------------
 
 _BM25_QUERIES = [(0, "spark"), (0, "join"), (1, "hash"), (1, "table"), (2, "window"), (2, "sort")]

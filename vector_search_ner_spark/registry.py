@@ -221,6 +221,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_dedup",
     "ann_recall_report",
     "stream_neardup_flag",
+    "text_pii_scrub",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
