@@ -918,3 +918,106 @@ def stream_ingest_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "doc_augment_token_dropout",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), kept AS (
+  SELECT doc_id, toks,
+         list_filter(toks,
+           tok -> CAST('0x' || substring(md5('aug:' || tok), 1, 15) AS BIGINT)
+                  % 10 != 0) AS k
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(k) AS INTEGER) AS n_kept,
+       array_to_string(k, ' ') AS augmented,
+       substring(md5(array_to_string(k, ' ')), 1, 16) AS aug_fp
+FROM kept
+""",
+)
+def doc_augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data AUGMENTATION: token dropout with a
+    content-hash gate — every token whose salted 60-bit hash lands in
+    a fixed 10% bucket is dropped, producing a stable augmented view
+    of the corpus (the word-dropout regularization pass of a training
+    pipeline, made retry/repartition-stable the same way the hash
+    splits are: no rand(), so the augmentation a shard gets does not
+    depend on task placement). Output carries the full augmented text
+    plus an md5 fingerprint, so the oracle value-checks the entire
+    transformation, not just counts. Map-only; zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    gate = lambda tok: (
+        F.conv(F.substring(F.md5(F.concat(F.lit("aug:"), tok)), 1, 15), 16, 10)
+        .cast("long") % 10 != 0
+    )
+    kept = F.filter(toks, gate)
+    aug = F.array_join(kept, " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(kept).cast("int").alias("n_kept"),
+        aug.alias("augmented"),
+        F.substring(F.md5(aug), 1, 16).alias("aug_fp"),
+    )
+
+
+_SHARD_N = 16
+_SHARD_TARGET_BYTES = 4096
+
+
+@query(
+    "dataset_shard_manifest",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % {_SHARD_N} AS INTEGER) AS shard_id
+  FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(CEIL(SUM(n_chars) / {_SHARD_TARGET_BYTES}.0) AS INTEGER) AS n_files
+FROM assigned
+GROUP BY shard_id
+""",
+)
+def dataset_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-SHARD planning — the write-sizing audit run before a
+    100 TB materialization: docs assign to {_SHARD_N} shards by a
+    salted content hash (retry-stable, independent of the split and
+    augmentation hashes), and the manifest reports per-shard doc/byte
+    totals, id range, and the file count a {_SHARD_TARGET_BYTES}-byte
+    target implies — exactly the numbers that decide repartition()
+    factors and maxRecordsPerFile before the real write. One map-side-
+    combining hash aggregation; at scale this replaces the
+    write-then-inspect-then-rewrite cycle with one cheap pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long") % _SHARD_N
+    ).cast("int")
+    return (
+        docs.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.ceil(F.sum("n_chars") / float(_SHARD_TARGET_BYTES)).cast("int").alias("n_files"),
+        )
+    )

@@ -222,6 +222,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_recall_report",
     "stream_neardup_flag",
     "text_pii_scrub",
+    "doc_augment_token_dropout",
+    "dataset_shard_manifest",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
