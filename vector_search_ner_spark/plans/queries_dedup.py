@@ -374,6 +374,124 @@ def repeated_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(dfc, "s").select("doc_id", "pos")
 
 
+_EVAL_N = 500  # ground-truth sample bound: all-pairs exact Jaccard on <=500 docs is ~125k slim intersects — affordable for an EVAL, never for production dedup
+
+
+def _duck_lsh_eval() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th
+  FROM documents WHERE doc_id < {_EVAL_N}
+), sh AS (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
+), truth AS (
+  SELECT a.sid AS doc_a, b.sid AS doc_b
+  FROM sh a JOIN sh b ON a.sid < b.sid
+  WHERE ROUND(len(list_intersect(a.hs, b.hs))
+        / CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE), 4)
+        >= {JACCARD_T}
+), sigs AS (
+  SELECT sid, {", ".join(f"{nd.duck_minhash_sig(j, 'hs')} AS mh{j}" for j in range(nd.N_PERM))}
+  FROM sh
+), bands AS (
+{" UNION ALL ".join(f"SELECT sid, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs" for bi in range(nd.N_BANDS))}
+), cand AS (
+  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.sid < b.sid
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST((SELECT COUNT(*) FROM truth x JOIN cand c
+        ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b) AS BIGINT) AS n_found,
+  ROUND((SELECT COUNT(*) FROM truth x JOIN cand c
+         ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b)
+        / GREATEST(1.0, CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)), 4) AS recall,
+  ROUND((SELECT COUNT(*) FROM truth x JOIN cand c
+         ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b)
+        / GREATEST(1.0, CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)), 4) AS precision
+"""
+
+
+@query("dedup_lsh_eval_report", oracle=_duck_lsh_eval())
+def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding QUALITY report — the eval you run before trusting
+    band/perm parameters on a new corpus: on a bounded ground-truth
+    sample ({_EVAL_N} docs — all-pairs exact Jaccard is affordable
+    there and ONLY there), compare the MinHash band candidates against
+    the true Jaccard >= {JACCARD_T} pair set and report candidate
+    recall and precision. Like `ann_recall_report`, the eval itself is
+    deterministic end to end, so it carries a FULL oracle rather than
+    a recall-floor property test. The sample's pairwise join keeps the
+    small side broadcast (no corpus cross-join — the registry-wide
+    plan guard enforces that); production banding stays bucketed."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _EVAL_N)
+    sh = docs.select(
+        F.col("doc_id").alias("sid"), nd.token_hashes60(F.col("text")).alias("__th")
+    ).select("sid", nd.gram_hashes60(F.col("__th")).alias("hs")).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    common = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    jac = F.round(
+        common / (F.size("a.hs") + F.size("b.hs") - common), 4
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
+        .where(jac >= JACCARD_T)
+        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
+        .persist()
+    )
+    # the eval grades RAW band candidates (pre-verify): the public
+    # pairs path already Jaccard-verifies, which would make precision
+    # trivially 1.0 — so the band join is rebuilt here unverified
+    sigs = sh.withColumn(
+        "hashes", F.transform(F.col("hs"), lambda h: h % nd.MINHASH_P)
+    ).select("sid", *nd.minhash_signature_cols(F.col("hashes")))
+    bands = sigs.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), nd.band_key("mh", bi).alias("key"))
+                    for bi in range(nd.N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ba, bb = bands.alias("x"), bands.alias("y")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.sid") < F.col("y.sid")),
+        )
+        .select(F.col("x.sid").alias("doc_a"), F.col("y.sid").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .persist()
+    )
+    found = truth.join(cand, ["doc_a", "doc_b"], "inner")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("v"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("v"))
+    n_found = found.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        n_truth.select(F.col("v").alias("n_truth"))
+        .crossJoin(n_cand.select(F.col("v").alias("n_candidates")))
+        .crossJoin(n_found.select(F.col("v").alias("n_found")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_found",
+            F.round(
+                F.col("n_found") / F.greatest(F.lit(1.0), F.col("n_truth").cast("double")), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_found") / F.greatest(F.lit(1.0), F.col("n_candidates").cast("double")), 4
+            ).alias("precision"),
+        )
+    )
+
+
 def _duck_cc_clusters() -> str:
     """Transitive-closure oracle: cluster = min reachable node over the
     undirected minhash near-dup graph (recursive CTE)."""

@@ -224,6 +224,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_pii_scrub",
     "doc_augment_token_dropout",
     "dataset_shard_manifest",
+    "dedup_lsh_eval_report",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
