@@ -67,69 +67,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # identical check (rows + schema + order-insensitive values vs DuckDB
 # at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # last driver row red (r2 loader regression, fixed in r3) — re-green
-    "events_tumbling_window",
-    "events_sliding_window",
-    # flagship + staged retrieval variants (never sampled)
-    "chat_pipeline_e2e",
-    "staged_retrieval_v1_hybrid",
-    "staged_retrieval_topk_scale",
-    "user_ner_parse",
-    # all streaming queries (never sampled)
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_counts",
-    "stream_dedup_within_watermark",
-    "stream_static_join_counts",
-    "stream_stream_interval_join",
-    "stream_user_running_stats",
-    "stream_knn_serving",
-    "stream_ingest_foreachbatch",
-    "stream_ingest_pysink",
-    # ANN / IVF / PQ family (never sampled)
-    "ann_ivf_fixed_topk",
-    "ann_ivf_lloyd_topk",
-    "ann_ivf_persisted_pruned",
-    "pq_encode_codes",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "ann_pq_adc_refined",
-    "ann_ivf_pq_refined",
-    # vector store lifecycle (never sampled)
-    "vecstore_open_scan",
-    "vecstore_incremental_upsert",
-    "embed_documents_hashing",
-    "embed_documents_jvm",
-    "index_build_pipeline",
-    # dedup / corpus prep composites (never sampled)
-    "dedup_keep_best",
-    "corpus_prep_pipeline",
-    "dataset_split_leakage_safe",
-    "corpus_semantic_clusters",
-    # postings / NER-filter family (never sampled)
-    "ner_metadata_filter",
-    "metadata_quality_report",
-    "postings_nested_json_flatten",
-    "postings_explode_outer",
-    "nested_detail_requirements",
-    "schema_drift_merge",
-    "postings_korean_drift_search",
-    # multimodal plumbing (never sampled)
-    "multimodal_feature_rows",
-    "multimodal_resize_frames",
-    "multimodal_audio_frames",
-    "multimodal_features",
-    # sources / sinks / misc (never sampled)
-    "sink_parquet_roundtrip",
-    "sink_orc_roundtrip",
-    "json_source_scan",
-    "csv_source_scan",
-    "udaf_median_chars",
-    "scalar_fn_gallery",
-    # ---- rotation staging: positions 51+ are inert this round (the
-    # driver reads 50) but queue the REMAINING never-driver-sampled
-    # queries in priority order — next round, delete the rows above
-    # that earned a green CORRECTNESS row and this block surfaces.
+    # Round-5 rotation: the 50 names that headed this list in round 4
+    # are all green in CORRECTNESS_r04.json (50/50, zero err) and have
+    # been deleted, surfacing the staged never-driver-sampled block
+    # below into the driver's 50-query window. Cumulative driver-green
+    # after r4: 103/203.
+    # events analytics family (never sampled)
     "events_session_windows",
     "events_pivot_types",
     "events_first_per_user_type",
