@@ -29,6 +29,16 @@ from pyspark.sql import types as T
 DEFAULT_DIM = 64
 
 
+@lru_cache(maxsize=4)
+def _load_st_model(model_name: str):  # pragma: no cover - lib not in image
+    """Memoized per-worker model load: each executor's Python worker
+    constructs the SentenceTransformer ONCE per model name; subsequent
+    Arrow batches reuse it (loading per batch would dominate runtime)."""
+    from sentence_transformers import SentenceTransformer
+
+    return SentenceTransformer(model_name)
+
+
 @lru_cache(maxsize=65536)
 def _token_slot_sign(token: str, dim: int) -> tuple[int, float]:
     h = int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)
@@ -123,10 +133,7 @@ class SentenceTransformerEmbedder:
     def _encode(self, texts: list[str]):
         if self.encoder is not None:
             return self.encoder(texts)
-        from sentence_transformers import SentenceTransformer  # pragma: no cover
-
-        model = SentenceTransformer(self.model_name)  # pragma: no cover
-        return model.encode(texts)  # pragma: no cover
+        return _load_st_model(self.model_name).encode(texts)  # pragma: no cover
 
     def udf(self):
         embedder = self

@@ -188,6 +188,10 @@ class LLMReranker:
         raw = self.client(f"score {len(docs)} docs for: {query}")
         try:
             parsed = json.loads(strip_markdown_fences_py(raw))
+            # the reference returns {"scores": [...]} (main.py:291-296);
+            # accept that dict shape AND a bare JSON array
+            if isinstance(parsed, dict):
+                parsed = parsed.get("scores")
             vals = [float(x) for x in parsed] if isinstance(parsed, list) else None
         except (ValueError, TypeError):
             vals = None

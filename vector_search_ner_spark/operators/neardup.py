@@ -549,17 +549,38 @@ def hamming_band_pairs(
     fps: DataFrame,
     max_hamming: int,
     n_band_bytes: int = SIMHASH_BAND_BYTES,
+    fp_bits: int | None = None,
 ) -> DataFrame:
-    """Banded hamming-distance pair search over ANY integer
-    fingerprint relation (sid, fp): byte-band candidate join (a pair
-    within hamming distance < n_bands must share at least one byte
-    band by pigeonhole — full recall for max_hamming < n_band_bytes;
-    larger radii trade recall, as declared) -> exact popcount verify.
-    Shared by text SimHash and binary perceptual-hash dedup; the
-    shuffle carries only (sid, fp, band, key) slim rows."""
+    """Banded hamming-distance pair search over an integer fingerprint
+    relation (sid, fp): byte-band candidate join (a pair within
+    hamming distance < n_bands must share at least one byte band by
+    pigeonhole — full recall for max_hamming < n_band_bytes; larger
+    radii trade recall, as declared) -> exact popcount verify. Shared
+    by text SimHash and binary perceptual-hash dedup; the shuffle
+    carries only (sid, fp, band, key) slim rows.
+
+    The pigeonhole guarantee holds ONLY if every fp fits in
+    8*n_band_bytes bits — bits above the banded range never reach a
+    band key, so a wider fingerprint would silently lose recall. Pass
+    `fp_bits` to derive the band count from the fingerprint width; a
+    cheap per-row assert_true guard fails the job loudly if a
+    fingerprint overflows the banded range."""
+    if fp_bits is not None:
+        n_band_bytes = (fp_bits + 7) // 8
+    if n_band_bytes >= 8:  # 64-bit long: every fp fits, no guard needed
+        guarded_fp = F.col("fp")
+    else:
+        guarded_fp = F.when(
+            F.assert_true(
+                F.shiftrightunsigned(F.col("fp"), 8 * n_band_bytes) == 0,
+                f"fingerprint exceeds the banded {8 * n_band_bytes}-bit range; "
+                "pass fp_bits= to widen the band set",
+            ).isNull(),
+            F.col("fp"),
+        )
     bands = fps.select(
         "sid",
-        "fp",
+        guarded_fp.alias("fp"),
         F.explode(
             F.array(
                 *[

@@ -253,7 +253,7 @@ def repeated_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         F.col("doc_id"), nd.token_hashes60(F.col("text")).alias("__th")
-    ).select("doc_id", nd.gram_hashes60(F.col("__th"), _SPAN_K).alias("hs")).persist()
+    ).select("doc_id", nd.gram_hashes60(F.col("__th"), _SPAN_K).alias("hs")).localCheckpoint()
     ex = sh.select("doc_id", F.explode("hs").alias("s"))
     shared_spans = (
         ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= 2)
@@ -359,7 +359,7 @@ def repeated_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.sequence(F.lit(1), F.size("th") - (_SPAN_K - 1)), lambda i: gram(i)
         ),
-    ).persist()
+    ).localCheckpoint()
     ex = w.select(
         "doc_id", F.posexplode("ws").alias("pos0", "s")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "s")
@@ -429,7 +429,7 @@ def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _EVAL_N)
     sh = docs.select(
         F.col("doc_id").alias("sid"), nd.token_hashes60(F.col("text")).alias("__th")
-    ).select("sid", nd.gram_hashes60(F.col("__th")).alias("hs")).persist()
+    ).select("sid", nd.gram_hashes60(F.col("__th")).alias("hs")).localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     common = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
     jac = F.round(
@@ -439,7 +439,7 @@ def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
         .where(jac >= JACCARD_T)
         .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
-        .persist()
+        .localCheckpoint()
     )
     # the eval grades RAW band candidates (pre-verify): the public
     # pairs path already Jaccard-verifies, which would make precision
@@ -468,7 +468,7 @@ def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.sid").alias("doc_a"), F.col("y.sid").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .persist()
+        .localCheckpoint()
     )
     found = truth.join(cand, ["doc_a", "doc_b"], "inner")
     n_truth = truth.agg(F.count(F.lit(1)).alias("v"))

@@ -393,7 +393,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_join(_query_batch(spark, sf_dir), emb, k=MMR_POOL, metric="cosine")
         .select("query_id", "doc_id", F.col("score").alias("rel"))
         .join(emb.select("doc_id", F.col("embedding").alias("dv")), "doc_id")
-        .persist()
+        .localCheckpoint()
     )
     w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
     steps = [
