@@ -103,6 +103,80 @@ def test_lsh_join_superset_sanity(spark, sf_dir):
     assert all(r.l2 <= 1.1 for r in rows)
 
 
+def test_lsh_join_recall_vs_exact(spark):
+    """Quantitative accuracy bound for the rows-only MLlib LSH join:
+    on a bounded 400-vector sample (where the exact pair set within
+    L2<=1.1 is affordable via a broadcast self-join), the
+    approxSimilarityJoin must recover >=80% of the true pairs with the
+    registered parameters (measured 0.94; floor leaves seed/partition
+    headroom). Same ground-truth construction as
+    `dedup_lsh_eval_report` uses for MinHash banding."""
+    from vector_search_ner_spark.functions.vector import to_double_array
+    from vector_search_ner_spark.operators import ann
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    sample = load_table(spark, sf, "embeddings").where(F.col("vec_id") < 400)
+    s = sample.select(
+        F.col("vec_id").alias("sid"), to_double_array("embedding").alias("dv")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("a.dv"), F.col("b.dv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    exact = (
+        a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
+        .where(l2 <= 1.1)
+        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
+    )
+    epairs = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    lpairs = {
+        (r.doc_a, r.doc_b)
+        for r in ann.lsh_similarity_join(sample, threshold=1.1).collect()
+    }
+    assert epairs, "sample produced no ground-truth pairs"
+    recall = len(epairs & lpairs) / len(epairs)
+    assert recall >= 0.8, f"LSH join recall vs exact too low: {recall}"
+    # approxSimilarityJoin post-filters on true distance, so every
+    # emitted pair must be in the exact threshold relation
+    assert lpairs <= epairs
+
+
+def test_mllib_ivf_agrees_with_lloyd_twin(spark, sf_dir):
+    """Spark-vs-Spark bound for the rows-only MLlib-KMeans IVF
+    (`ann_ivf_topk`): with identical k/nprobe/queries, its top-k result
+    set must overlap the fully-oracled Lloyd twin's by >=60% (measured
+    0.74 — the two quantizers differ only in centroid refinement), so
+    the MLlib path's accuracy is bounded by a value-checked reference,
+    not just schema-checked."""
+    from vector_search_ner_spark.operators import ann
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    mk_assigned, mk_cent = ann.ivf_build(docs, 16)
+    mllib = ann.ivf_topk(queries, mk_assigned, mk_cent, k=10, nprobe=4)
+    ll_assigned, ll_cent = ann.lloyd_build(emb, 16)
+    lloyd = ann.ivf_topk(
+        queries,
+        ll_assigned.select(F.col("vec_id").alias("doc_id"), "embedding", "cluster_id"),
+        ll_cent,
+        k=10,
+        nprobe=4,
+    )
+    mset = {(r.query_id, r.doc_id) for r in mllib.collect()}
+    lset = {(r.query_id, r.doc_id) for r in lloyd.collect()}
+    agreement = len(mset & lset) / len(mset)
+    assert agreement >= 0.6, f"MLlib IVF diverges from Lloyd twin: {agreement}"
+
+
 def test_sketch_error_bounds(spark):
     """approx_count_distinct (rsd=2%) and percentile_approx must land
     within tight bounds of the exact answers."""
@@ -1103,6 +1177,10 @@ def test_llm_reranker_adapter_shapes_with_fake_client(spark):
     assert make("```json\n[1.0, 0.0, 0.5]\n```").scores("q", docs) == [1.0, 0.0, 0.5]
     assert make("the model rambled instead").scores("q", docs) == [0.0, 0.0, 0.0]
     assert make('{"not": "a list"}').scores("q", docs) == [0.0, 0.0, 0.0]
+    # the reference's actual response shape is {"scores": [...]}
+    # (main.py:291-296) — must parse, not zero out
+    assert make('{"scores": [0.9, 0.5, 0.1]}').scores("q", docs) == [0.9, 0.5, 0.1]
+    assert make('```json\n{"scores": [0.4, 0.2]}\n```').scores("q", docs) == [0.4, 0.2, 0.0]
     assert make("[0.8]").scores("q", docs) == [0.8, 0.0, 0.0]  # pad
     assert make("[0.8, 0.7, 0.6, 0.5]").scores("q", docs) == [0.8, 0.7, 0.6]  # truncate
 
@@ -1390,3 +1468,30 @@ def test_leakage_safe_split_is_cluster_atomic(spark, sf_dir):
     for r in rows:
         sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
     assert max(sizes.values()) > 1
+
+
+def test_hamming_band_pairs_width_guard(spark):
+    """The pigeonhole full-recall guarantee only covers fingerprints
+    that fit in the banded 8*n_band_bytes bits; wider fingerprints
+    must FAIL LOUDLY (runtime assert) instead of silently losing
+    recall, and passing fp_bits= must widen the band set so the same
+    data succeeds."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from vector_search_ner_spark.operators.neardup import hamming_band_pairs
+
+    fits = spark.createDataFrame(
+        [(1, 0x0F0F0F0F), (2, 0x0F0F0F0E)], "sid long, fp long"
+    )
+    rows = hamming_band_pairs(fits, max_hamming=2).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in rows} == {(1, 2, 1)}
+
+    wide = spark.createDataFrame(
+        [(1, 1 << 40), (2, (1 << 40) + 1)], "sid long, fp long"
+    )
+    with pytest.raises(Py4JJavaError):
+        hamming_band_pairs(wide, max_hamming=2).collect()
+    # widening the banded range via fp_bits restores correctness
+    rows = hamming_band_pairs(wide, max_hamming=2, fp_bits=41).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in rows} == {(1, 2, 1)}
