@@ -72,6 +72,7 @@ HEADLINE = [
     # convention (processAllAvailable harness overhead dominates);
     # they are fully oracle-checked in the registry
     "text_pii_scrub",
+    "hybrid_rrf_ivf_fusion",
 ]
 
 

@@ -197,3 +197,18 @@ def stream_neardup_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_clusters_lsh`. Full oracle: the flag set equals the batch
     band self-join exactly."""
     return se.stream_neardup_ingest(spark, sf_dir)
+
+
+def _pii_scrub_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_text import PII_SCRUB_ORACLE
+
+    return PII_SCRUB_ORACLE
+
+
+@query("stream_pii_scrub", oracle=_pii_scrub_oracle())
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub-at-ingest: the batch `text_pii_scrub` expressions applied
+    per micro-batch as documents land (stateless map-only stream —
+    ingest throughput = scan rate). Shares the batch oracle verbatim:
+    streaming == batch, bit-for-bit."""
+    return se.stream_pii_scrub(spark, sf_dir)

@@ -744,9 +744,7 @@ _EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+"
 _PHONE_RE = "[+][0-9]+-[0-9]{3}-[0-9]{4}"
 
 
-@query(
-    "text_pii_scrub",
-    oracle=f"""
+PII_SCRUB_ORACLE = f"""
 WITH injected AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -770,8 +768,10 @@ SELECT doc_id,
        CAST(length(clean) AS INTEGER) AS clean_len,
        substring(md5(clean), 1, 16) AS clean_fp
 FROM scrubbed
-""",
-)
+"""
+
+
+@query("text_pii_scrub", oracle=PII_SCRUB_ORACLE)
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEXT-column PII scrub — the pretraining redaction pass
     (`customer_pii_scrub` handles structured columns; this handles
@@ -787,7 +787,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: pure map-only codegen projection, zero shuffle — the
     cheapest pass in the pipeline, which is why it runs on everything."""
-    docs = load_table(spark, sf_dir, "documents")
+    return pii_scrub_frame(load_table(spark, sf_dir, "documents"))
+
+
+def pii_scrub_frame(docs: DataFrame) -> DataFrame:
+    """The scrub itself, frame-in/frame-out so the streaming twin
+    (`stream_pii_scrub`) applies the IDENTICAL map-only expressions
+    at ingest — batch and stream cannot drift."""
     injected = docs.select(
         "doc_id",
         F.concat(
@@ -1025,6 +1031,112 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(1.0 / (_RRF_C + F.col("v_rank")), F.lit(0.0))
         ).alias("rrf"),
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+# the IVF-pruned hybrid probes this many of 16 fixed centroids — the
+# same quantizer geometry as `ann_ivf_fixed_topk` (queries_mlops)
+_RRF_IVF_N_CENT = 16
+_RRF_IVF_NPROBE = 4
+
+
+def _duck_rrf_ivf() -> str:
+    from vector_search_ner_spark.functions.vector import duck_l2
+
+    return f"""
+WITH kw AS ({_duck_bm25()}),
+cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {_RRF_IVF_N_CENT}
+), docs AS (
+  SELECT vec_id AS doc_id, embedding AS v FROM embeddings
+), assigned AS (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT d.doc_id, d.v, c.cluster_id, row_number() OVER (
+      PARTITION BY d.doc_id ORDER BY {duck_l2("d.v", "c.centroid")}, c.cluster_id) AS rn
+    FROM docs d CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+), probes AS (
+  SELECT query_id, qv, cluster_id FROM (
+    SELECT q.query_id, q.qv, c.cluster_id, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {duck_l2("q.qv", "c.centroid")}, c.cluster_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {_RRF_IVF_NPROBE}
+), vec AS (
+  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT p.query_id, a.doc_id, row_number() OVER (
+      PARTITION BY p.query_id ORDER BY {duck_l2("p.qv", "a.v")}, a.doc_id) AS rank
+    FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+  ) WHERE rank <= {_RRF_TOPK}
+),
+fused AS (
+  SELECT COALESCE(k.query_id, v.query_id) AS query_id,
+         COALESCE(k.doc_id, v.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / CAST({_RRF_C} + k.rank AS DOUBLE), 0.0)
+           + COALESCE(CAST(1.0 AS DOUBLE) / CAST({_RRF_C} + v.rank AS DOUBLE), 0.0) AS rrf
+  FROM kw k FULL OUTER JOIN vec v
+    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {_RRF_TOPK}
+"""
+
+
+@query("hybrid_rrf_ivf_fusion", oracle=_duck_rrf_ivf())
+def hybrid_rrf_ivf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid where the vector leg is the IVF-PRUNED search, not
+    the exact scan — the production shape at 100 TB: BM25 keyword
+    top-k fuses with an ANN leg that probes 4 of 16 fixed centroids
+    and runs exact L2 only inside the probed partitions
+    (`ann_ivf_fixed_topk`'s quantizer — at scale the doc table is
+    written partitioned by cluster_id and each query touches nprobe
+    partitions via partition pruning, so the vector leg never scans
+    the corpus). Closes the loop between the retrieval family
+    (`hybrid_rrf_fusion`, exact leg) and the index family
+    (queries_pq/queries_mlops): same integer-rank RRF determinism,
+    full oracle end to end including the quantizer."""
+    from vector_search_ner_spark.operators import ann
+
+    kw = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("k_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_fixed_build(emb, _RRF_IVF_N_CENT)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned = assigned.select(
+        F.col("vec_id").alias("doc_id"), "embedding", "cluster_id"
+    )
+    vec = ann.ivf_topk(
+        queries, assigned, centroids, k=_RRF_TOPK, nprobe=_RRF_IVF_NPROBE
+    ).select("query_id", "doc_id", F.col("rank").cast("int").alias("v_rank"))
+    fused = kw.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_C + F.col("k_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("v_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
     return (
         fused.withColumn("rn", F.row_number().over(w))

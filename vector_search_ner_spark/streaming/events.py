@@ -413,3 +413,23 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).select(F.col("sid").alias("doc_id")).dropDuplicates(["doc_id"])
     return _run_to_memory(flagged, "append")
+
+
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII SCRUB AT INGEST — the redaction pass run where the data
+    lands, not after (once raw text hits the lake it must already be
+    scrubbed): documents arrive as a stream and the IDENTICAL map-only
+    scrub expressions as the batch `text_pii_scrub`
+    (plans.queries_text.pii_scrub_frame) project each micro-batch —
+    stateless, no watermark, no shuffle, so ingest throughput is the
+    scan rate. Oracle = the batch scrub over the same corpus
+    (streaming == batch, bit-for-bit)."""
+    from vector_search_ner_spark.plans.queries_text import pii_scrub_frame
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _run_to_memory(pii_scrub_frame(stream), "append")
