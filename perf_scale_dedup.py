@@ -1,0 +1,133 @@
+"""Measured scaling curve for the LSH-cluster dedup leg (PERF.md).
+
+The plan-shape tests CLAIM the cluster-emitting LSH dedup scales
+near-linearly (star edges O(n*bands), no pairwise joins); this script
+MEASURES it: the same `dedup_clusters_lsh` query runs at 1x (the
+5,000-doc sf0.1 corpus) and 10x (50,000 docs), recording wall time
+(best-of-N per the noise discipline) and total shuffle read/write
+bytes from the Spark status REST API.
+
+The 10x corpus derives from sf0.1 by replication with a PER-REPLICA
+VOWEL ROTATION of the text (translate(...) with a shifted alphabet):
+every token of every replica differs from its source, so cross-replica
+Jaccard is ~0 and the duplicate STATISTICS of the corpus (dup-cluster
+sizes, shingle frequencies, boilerplate mix) are exactly 10 identical,
+mutually-invisible copies of the base corpus's — a 10x workload with
+the same dup character, not a 10x dup-clique blowup. Doc ids remap to
+replica*10_000_000 + doc_id. Derived data lands under _artifacts/
+(never in /root/testdata).
+
+Usage:  python perf_scale_dedup.py          # prints one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_RUNS = 3
+_ROT = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _shuffle_totals(ui: str) -> tuple[int, int]:
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
+    )
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_artifacts", "scale_dedup")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4049")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = "http://localhost:4049"
+
+    docs = load_table(spark, base_sf, "documents")
+    scales = {1: docs}
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.translate("text", _ROT, _ROT[i:] + _ROT[:i]).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        for i in range(10)
+    ]
+    ten = replicas[0]
+    for r in replicas[1:]:
+        ten = ten.unionByName(r)
+    scales[10] = ten
+    for mult, df in scales.items():
+        out = os.path.join(root, f"scale{mult}")
+        shutil.rmtree(out, ignore_errors=True)
+        df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    queries, _ = registry.collect()
+    leg = queries["dedup_clusters_lsh"]
+    results = {}
+    for mult in (1, 10):
+        sf_dir = os.path.join(root, f"scale{mult}")
+        best, sh = None, None
+        for _ in range(N_RUNS):
+            spark.catalog.clearCache()
+            r0, w0 = _shuffle_totals(ui)
+            t0 = time.perf_counter()
+            leg(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            r1, w1 = _shuffle_totals(ui)
+            if best is None or dt < best:
+                best, sh = dt, (r1 - r0, w1 - w0)
+        n = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        results[f"x{mult}"] = {
+            "n_docs": n,
+            "wall_sec": round(best, 3),
+            "shuffle_read_mb": round(sh[0] / 1e6, 2),
+            "shuffle_write_mb": round(sh[1] / 1e6, 2),
+            "runs": N_RUNS,
+        }
+    r1x, r10x = results["x1"], results["x10"]
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_lsh_cluster_scaling",
+                "query": "dedup_clusters_lsh",
+                "base_sf_dir": base_sf,
+                "scales": results,
+                "wall_ratio_10x_over_1x": round(r10x["wall_sec"] / r1x["wall_sec"], 2),
+                "shuffle_write_ratio_10x_over_1x": round(
+                    r10x["shuffle_write_mb"] / max(r1x["shuffle_write_mb"], 1e-9), 2
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
