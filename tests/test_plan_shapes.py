@@ -438,3 +438,17 @@ def test_repeated_span_audit_partial_aggregates(spark):
     p = _plan(spark, "repeated_span_audit")
     assert "partial_count" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_hybrid_ivf_fusion_pruned_leg_shape(spark):
+    """The IVF-pruned hybrid must keep BOTH legs' 100 TB shapes in one
+    plan: every per-query/per-doc top-k (quantizer argmin, probe
+    selection, in-partition rank, BM25 rank, fusion rank) planned as
+    WindowGroupLimit partial top-k, the small sides (centroids, query
+    batch, corpus stats) broadcast, and no cartesian product — the
+    vector leg touches only probed clusters, never the full corpus
+    per query."""
+    p = _plan(spark, "hybrid_rrf_ivf_fusion")
+    assert "WindowGroupLimit" in p, p
+    assert p.count("BroadcastExchange") >= 4, p
+    assert "CartesianProduct" not in p, p
