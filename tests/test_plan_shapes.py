@@ -452,3 +452,18 @@ def test_hybrid_ivf_fusion_pruned_leg_shape(spark):
     assert "WindowGroupLimit" in p, p
     assert p.count("BroadcastExchange") >= 4, p
     assert "CartesianProduct" not in p, p
+
+
+def test_span_cut_apply_no_corpus_window(spark):
+    """The cut-APPLY must keep the span leg's no-pairwise shape
+    (map-side partial df count, no cartesian) and the keep-one rank
+    must partition by the SPAN HASH — tiny groups — never a window
+    over the whole corpus (no empty-frame Window in the plan)."""
+    p = _plan(spark, "repeated_span_cut_apply")
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p, p
+    # every Window partitions on a key (s for keep-one); an unkeyed
+    # window would serialize the corpus through one task
+    import re
+    for m in re.finditer(r"Arguments: \[row_number\(\).*partitionBy=\[\]", p):
+        raise AssertionError(f"unpartitioned window: {m.group(0)}")

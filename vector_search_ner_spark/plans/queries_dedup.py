@@ -278,6 +278,17 @@ def repeated_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_span_positions() -> str:
+    return f"""
+WITH {_duck_span_positions_core()}
+SELECT e.doc_id, e.pos
+FROM ex e JOIN dfc d ON e.s = d.s
+"""
+
+
+def _duck_span_positions_core() -> str:
+    """The shared CTE chain (t, w, ex, dfc) re-deriving every
+    positional span hash closed-form — used by the cut-list oracle and
+    the cut-APPLY oracle."""
     from vector_search_ner_spark.operators.neardup import (
         GRAM_M1,
         GRAM_M2,
@@ -297,8 +308,7 @@ def _duck_span_positions() -> str:
         return f"(({terms}) % {p})"
 
     gram = f"{closed(pow1, GRAM_P1)} * {_LANE_SHIFT} + {closed(pow2, GRAM_P2)}"
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, {nd.duck_token_hashes60()} AS th FROM documents
 ), w AS (
   SELECT doc_id,
@@ -311,10 +321,7 @@ WITH t AS (
 ), dfc AS (
   SELECT s FROM (SELECT DISTINCT doc_id, s FROM ex) GROUP BY s
   HAVING COUNT(*) >= 2
-)
-SELECT e.doc_id, e.pos
-FROM ex e JOIN dfc d ON e.s = d.s
-"""
+)"""
 
 
 @query("repeated_span_positions", oracle=_duck_span_positions())
@@ -324,8 +331,8 @@ def repeated_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     span that also occurs in at least one OTHER document (cross-doc
     document frequency >= 2 over distinct per-doc spans). This is the
     mask an ExactSubstr-style span dedup actually applies before
-    training (keep one occurrence corpus-wide, cut the rest; the
-    keep-one policy is a trivial rank over this output). Positions
+    training (keep one occurrence corpus-wide, cut the rest —
+    `repeated_span_cut_apply` performs exactly that). Positions
     force ORDER-PRESERVING gram hashing — the positional two-lane
     Rabin-Karp fold, not the distinct set the audit uses — and the
     oracle re-derives every (doc, pos, hash) closed-form, so the
@@ -333,6 +340,13 @@ def repeated_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same as the audit — slim (hash, doc, pos) longs, one
     map-side-combining distinct-df agg, one equi join; nothing
     pairwise."""
+    return _span_position_frame(spark, sf_dir).select("doc_id", "pos")
+
+
+def _span_position_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, s) for every positional word-8-gram span whose
+    cross-document frequency >= 2 — shared by the cut-list query
+    (drops s) and the cut-APPLY query (ranks on s for keep-one)."""
     docs = load_table(spark, sf_dir, "documents")
     from vector_search_ner_spark.operators.neardup import (
         GRAM_M1,
@@ -371,7 +385,102 @@ def repeated_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 2)
         .select("s")
     )
-    return ex.join(dfc, "s").select("doc_id", "pos")
+    return ex.join(dfc, "s").select("doc_id", "pos", "s")
+
+
+def _duck_span_cut_apply() -> str:
+    positions = _duck_span_positions_core()
+    return f"""
+WITH {positions},
+spans AS (
+  SELECT e.doc_id, e.pos, e.s FROM ex e JOIN dfc d ON e.s = d.s
+), cuts AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+    FROM spans
+  ) WHERE rn >= 2
+), cut_tok AS (
+  SELECT DISTINCT doc_id, pos + j AS tidx
+  FROM cuts, LATERAL unnest(generate_series(0, {_SPAN_K - 1})) AS g(j)
+), tk AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+), toks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS tidx, tk[i] AS tok
+  FROM tk, LATERAL unnest(generate_series(1, len(tk))) AS u(i)
+), kept AS (
+  SELECT t.doc_id, t.tidx, t.tok
+  FROM toks t ANTI JOIN cut_tok c ON t.doc_id = c.doc_id AND t.tidx = c.tidx
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tidx) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CAST(len(k.tk) AS INTEGER) AS n_tokens,
+       CAST(len(k.tk) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_tokens_cut,
+       CAST(length(COALESCE(a.clean, '')) AS INTEGER) AS clean_len,
+       substring(md5(COALESCE(a.clean, '')), 1, 16) AS clean_fp
+FROM tk k LEFT JOIN agg a ON k.doc_id = a.doc_id
+"""
+
+
+@query("repeated_span_cut_apply", oracle=_duck_span_cut_apply())
+def repeated_span_cut_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup, APPLIED (Lee et al., ACL 2022 — the
+    step after the audit and the cut list): every cross-document
+    repeated word-8-gram span keeps exactly ONE occurrence corpus-wide
+    (first by (doc_id, pos) — a deterministic rank over the span
+    hash), every other occurrence's token range [pos, pos+7] is cut,
+    overlapping cuts union naturally at the token level, and each
+    document's surviving tokens reassemble IN ORDER into the scrubbed
+    text. Output per doc: original token count, tokens cut, scrubbed
+    length, and an md5 fingerprint of the full scrubbed text — the
+    oracle re-derives the span hashes, the keep-one rank, the token
+    surgery, and the reassembled string closed-form, so the whole
+    transformation is value-checked end to end.
+
+    Scale shape: the span leg is the audit's (slim long rows, one
+    map-side-combining distinct-df agg, one equi join, a rank
+    partitioned by span hash); the apply leg explodes tokens once
+    (map-only), anti-joins the cut set on (doc_id, token_idx) — both
+    sides slim — and rebuilds per-doc strings in a hash agg whose
+    groups are single documents (collect bounded by doc length, never
+    corpus-sized). Nothing pairwise, no windows over the corpus."""
+    from pyspark.sql import Window
+
+    spans = _span_position_frame(spark, sf_dir)
+    w = Window.partitionBy("s").orderBy("doc_id", "pos")
+    cuts = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") >= 2)
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + _SPAN_K - 1)).alias("tidx"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("tk"))
+    toks = tk.select(
+        "doc_id", F.posexplode("tk").alias("tidx0", "tok")
+    ).select("doc_id", (F.col("tidx0") + 1).cast("int").alias("tidx"), "tok")
+    kept = toks.join(cuts, ["doc_id", "tidx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tidx", "tok"))),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    return tk.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.size("tk").cast("int").alias("n_tokens"),
+        (F.size("tk") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("int").alias("n_tokens_cut"),
+        F.length(F.coalesce(F.col("clean"), F.lit(""))).cast("int").alias("clean_len"),
+        F.substring(F.md5(F.coalesce(F.col("clean"), F.lit(""))), 1, 16).alias("clean_fp"),
+    )
 
 
 _EVAL_N = 500  # ground-truth sample bound: all-pairs exact Jaccard on <=500 docs is ~125k slim intersects — affordable for an EVAL, never for production dedup
