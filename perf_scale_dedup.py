@@ -32,7 +32,12 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_RUNS = 3
-_ROT = "abcdefghijklmnopqrstuvwxyz"
+# rotate letters AND digits per replica: digit-only tokens would
+# otherwise survive the letter rotation unchanged and create genuine
+# cross-replica repeated spans, making the 10x corpus dup-heavier
+# than 10 copies of the base (first measured as a 15.9x shuffle curve
+# on the span leg — real repeats, not an algorithmic blowup)
+_ROT = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
 def _shuffle_totals(ui: str) -> tuple[int, int]:
@@ -89,43 +94,45 @@ def main() -> None:
         df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
     queries, _ = registry.collect()
-    leg = queries["dedup_clusters_lsh"]
-    results = {}
-    for mult in (1, 10):
-        sf_dir = os.path.join(root, f"scale{mult}")
-        best, sh = None, None
-        for _ in range(N_RUNS):
-            spark.catalog.clearCache()
-            r0, w0 = _shuffle_totals(ui)
-            t0 = time.perf_counter()
-            leg(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            r1, w1 = _shuffle_totals(ui)
-            if best is None or dt < best:
-                best, sh = dt, (r1 - r0, w1 - w0)
-        n = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-        results[f"x{mult}"] = {
-            "n_docs": n,
-            "wall_sec": round(best, 3),
-            "shuffle_read_mb": round(sh[0] / 1e6, 2),
-            "shuffle_write_mb": round(sh[1] / 1e6, 2),
-            "runs": N_RUNS,
-        }
-    r1x, r10x = results["x1"], results["x10"]
-    print(
-        json.dumps(
-            {
-                "metric": "dedup_lsh_cluster_scaling",
-                "query": "dedup_clusters_lsh",
-                "base_sf_dir": base_sf,
-                "scales": results,
-                "wall_ratio_10x_over_1x": round(r10x["wall_sec"] / r1x["wall_sec"], 2),
-                "shuffle_write_ratio_10x_over_1x": round(
-                    r10x["shuffle_write_mb"] / max(r1x["shuffle_write_mb"], 1e-9), 2
-                ),
+    legs = ["dedup_clusters_lsh", "repeated_span_cut_apply"]
+    for qname in legs:
+        leg = queries[qname]
+        results = {}
+        for mult in (1, 10):
+            sf_dir = os.path.join(root, f"scale{mult}")
+            best, sh = None, None
+            for _ in range(N_RUNS):
+                spark.catalog.clearCache()
+                r0, w0 = _shuffle_totals(ui)
+                t0 = time.perf_counter()
+                leg(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                r1, w1 = _shuffle_totals(ui)
+                if best is None or dt < best:
+                    best, sh = dt, (r1 - r0, w1 - w0)
+            n = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+            results[f"x{mult}"] = {
+                "n_docs": n,
+                "wall_sec": round(best, 3),
+                "shuffle_read_mb": round(sh[0] / 1e6, 2),
+                "shuffle_write_mb": round(sh[1] / 1e6, 2),
+                "runs": N_RUNS,
             }
+        r1x, r10x = results["x1"], results["x10"]
+        print(
+            json.dumps(
+                {
+                    "metric": "dedup_leg_scaling",
+                    "query": qname,
+                    "base_sf_dir": base_sf,
+                    "scales": results,
+                    "wall_ratio_10x_over_1x": round(r10x["wall_sec"] / r1x["wall_sec"], 2),
+                    "shuffle_write_ratio_10x_over_1x": round(
+                        r10x["shuffle_write_mb"] / max(r1x["shuffle_write_mb"], 1e-9), 2
+                    ),
+                }
+            )
         )
-    )
     spark.stop()
 
 
