@@ -73,6 +73,7 @@ HEADLINE = [
     # they are fully oracle-checked in the registry
     "text_pii_scrub",
     "hybrid_rrf_ivf_fusion",
+    "repeated_span_cut_apply",
 ]
 
 
