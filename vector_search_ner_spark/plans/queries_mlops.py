@@ -562,6 +562,152 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBE_SWEEP = (1, 2, 4, 8, 16)
+
+
+def _duck_nprobe_tuning() -> str:
+    from vector_search_ner_spark.functions.vector import duck_l2
+
+    sweep = ", ".join(f"({p})" for p in _NPROBE_SWEEP)
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {_IVF_N_CENT}
+), docs AS (
+  SELECT vec_id AS doc_id, embedding AS v FROM embeddings
+), assigned AS (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT d.doc_id, d.v, c.cluster_id, row_number() OVER (
+      PARTITION BY d.doc_id ORDER BY {duck_l2("d.v", "c.centroid")}, c.cluster_id) AS rn
+    FROM docs d CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+), ranked AS (
+  SELECT q.query_id, q.qv, c.cluster_id, row_number() OVER (
+    PARTITION BY q.query_id ORDER BY {duck_l2("q.qv", "c.centroid")}, c.cluster_id) AS crn
+  FROM q CROSS JOIN cent c
+), sweep(nprobe) AS (VALUES {sweep}),
+probes AS (
+  SELECT s.nprobe, r.query_id, r.qv, r.cluster_id
+  FROM ranked r JOIN sweep s ON r.crn <= s.nprobe
+), cand AS (
+  SELECT p.nprobe, p.query_id, a.doc_id,
+         row_number() OVER (
+           PARTITION BY p.nprobe, p.query_id
+           ORDER BY {duck_l2("p.qv", "a.v")}, a.doc_id) AS rank
+  FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+), exact AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, d.doc_id, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {duck_l2("q.qv", "d.v")}, d.doc_id) AS rn
+    FROM docs d CROSS JOIN q
+  ) WHERE rn <= {_IVF_K}
+), topk AS (
+  SELECT nprobe, query_id, doc_id FROM cand WHERE rank <= {_IVF_K}
+)
+SELECT c.nprobe,
+       CAST(COUNT(*) AS INTEGER) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM topk t JOIN exact e
+             ON t.query_id = e.query_id AND t.doc_id = e.doc_id
+             WHERE t.nprobe = c.nprobe) AS INTEGER) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM topk t JOIN exact e
+              ON t.query_id = e.query_id AND t.doc_id = e.doc_id
+              WHERE t.nprobe = c.nprobe)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 4) AS recall
+FROM cand c
+GROUP BY c.nprobe
+"""
+
+
+@query("ann_nprobe_tuning_curve", oracle=_duck_nprobe_tuning())
+def ann_nprobe_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe TUNING CURVE — the engine's analogue of HNSW's
+    ef-tuning (the reference's index hardcodes ef_construction=100;
+    here the accuracy/cost dial is nprobe): ONE plan sweeps nprobe
+    over {1, 2, 4, 8, 16}, reporting per setting the total candidate rows
+    scanned (the cost axis — fraction of corpus touched) and recall@k
+    against the exact ground truth (the accuracy axis). You read the
+    curve and pick the knee. Implementation: the per-query centroid
+    ranking computes ONCE, a tiny broadcast sweep-values join
+    replicates probes per nprobe (no unrolled per-setting branches —
+    the top-k rank just partitions by (nprobe, query)), and the exact
+    leg is the same broadcast + WindowGroupLimit plan as knn_topk.
+    Fully deterministic end to end -> full oracle, like
+    `ann_recall_report` (the single-setting version of this)."""
+    from vector_search_ner_spark.functions.vector import l2_distance, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from vector_search_ner_spark.operators.knn import knn_join
+
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact = knn_join(queries, docs, k=_IVF_K, metric="l2").select(
+        F.col("query_id").alias("eq_id"), F.col("doc_id").alias("edoc")
+    ).localCheckpoint()
+    n_exact = _IVF_K * 4
+
+    assigned, centroids = ann.ivf_fixed_build(emb, _IVF_N_CENT)
+    assigned = assigned.select(
+        F.col("vec_id").alias("doc_id"),
+        to_double_array(F.col("embedding")).alias("dv"),
+        "cluster_id",
+    )
+    from pyspark.sql import Window
+
+    qd = queries.select(
+        "query_id", to_double_array(F.col("query_vec")).alias("qv")
+    )
+    ranked = (
+        qd.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", l2_distance(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("cdist", "cluster_id")
+            ),
+        )
+        .select("query_id", "qv", "cluster_id", "crn")
+    )
+    sweep = spark.createDataFrame([(p,) for p in _NPROBE_SWEEP], "nprobe int")
+    probes = ranked.join(
+        F.broadcast(sweep), ranked.crn <= sweep.nprobe
+    ).select("nprobe", "query_id", "qv", "cluster_id")
+    w = Window.partitionBy("nprobe", "query_id").orderBy("dist", "doc_id")
+    cand = (
+        probes.join(assigned, "cluster_id")
+        .withColumn("dist", l2_distance(F.col("qv"), F.col("dv")))
+        .select("nprobe", "query_id", "doc_id", "dist")
+    )
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _IVF_K)
+        .join(
+            exact,
+            (F.col("query_id") == F.col("eq_id")) & (F.col("doc_id") == F.col("edoc")),
+            "left_semi",
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hit"))
+    )
+    return (
+        cand.groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_candidates"))
+        .join(topk, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(n_exact)), 4
+            ).alias("recall"),
+        )
+    )
+
+
 @query(
     "multimodal_feature_rows",
     oracle="""
