@@ -1495,3 +1495,58 @@ def test_hamming_band_pairs_width_guard(spark):
     # widening the banded range via fp_bits restores correctness
     rows = hamming_band_pairs(wide, max_hamming=2, fp_bits=41).collect()
     assert {(r.doc_a, r.doc_b, r.hamming) for r in rows} == {(1, 2, 1)}
+
+
+def test_bq_recall_floor(spark, sf_dir):
+    """The BQ Hamming tier is declared-approximate: pin its measured
+    accuracy as a floor so a regression in the encoding or the
+    candidate cut fails loudly. With overfetch=50 (a 10% float-scan
+    budget at sf0.01) the deterministic path measures mean recall@10 =
+    0.7125; the floor leaves headroom for fixture changes only — the
+    path itself has no randomness."""
+    from vector_search_ner_spark.plans.queries_pq import ann_bq_recall_report
+
+    rows = ann_bq_recall_report(spark, "/root/testdata/sf0.01").collect()
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert len(rows) == 8
+    assert mean_recall >= 0.6, f"BQ mean recall@10 too low: {mean_recall}"
+
+
+def test_bq_encode_matches_numpy(spark, sf_dir):
+    """Sign-pattern words agree with an independent numpy derivation
+    (bit j of word w set iff embedding[32*w + j] > 0)."""
+    import numpy as np
+
+    from vector_search_ner_spark.operators.bq import bq_encode
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").where(
+        F.col("vec_id") < 20
+    )
+    got = {r.vec_id: (r.bq_hi, r.bq_lo) for r in bq_encode(emb).collect()}
+    for r in emb.select("vec_id", "embedding").collect():
+        v = np.asarray(r.embedding)
+        lo = sum(1 << j for j in range(32) if v[j] > 0)
+        hi = sum(1 << j for j in range(32) if v[j + 32] > 0)
+        assert got[r.vec_id] == (hi, lo)
+
+
+def test_snm_recall_vs_exact_pairs(spark, sf_dir):
+    """Sorted-neighborhood candidates vs the exact all-pairs n-gram
+    Jaccard ground truth (`jaccard_pairs` — the same verify measure,
+    so any miss is purely the window's): the 2-minimum shingle-minhash
+    sort key must place >=80% of true pairs within the window
+    (measured 1.0 on the fixture; deterministic path, floor leaves
+    fixture headroom only)."""
+    from vector_search_ner_spark.operators import neardup as nd
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    snm = {
+        (r.doc_a, r.doc_b)
+        for r in nd.sorted_neighborhood_pairs(docs, 0.5, window=8).collect()
+    }
+    exact = {(r.doc_a, r.doc_b) for r in nd.jaccard_pairs(docs, 0.5).collect()}
+    assert exact, "fixture lost its near-dup pairs"
+    recall = len(snm & exact) / len(exact)
+    assert recall >= 0.8, f"SNM window recall vs exact pairs too low: {recall}"

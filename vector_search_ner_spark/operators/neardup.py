@@ -727,3 +727,110 @@ def contamination_best_match(
         .select("bench_id", "train_id", "overlap")
         .orderBy("bench_id")
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    threshold: float,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernandez & Stolfo 1995,
+    the merge/purge method) — the SORT-based alternative to LSH
+    banding: order the corpus by a blocking key, then compare only
+    records within `window` positions of each other in the global sort
+    order. Candidate count is O(n * window) BY CONSTRUCTION — no
+    banding parameters, no hot-shingle caps, and (unlike LSH) no
+    dependence on duplicate-clique shape.
+
+    Blocking key = the two SMALLEST 60-bit word-6-gram shingle hashes
+    (a 2-minimum minhash over the SAME shingle sets the n-gram Jaccard
+    family verifies with): near-dups share most shingles, hence almost
+    surely their shingle-hash minima, so they sort adjacent even when
+    their leading characters differ (a raw text-prefix key misses any
+    edit in the first line). Verify = exact Jaccard over the full
+    shingle sets — the identical measure as `jaccard_pairs`, so the
+    two candidate generators are directly comparable on recall.
+
+    Scale shape: ONE global range sort (Spark's orderBy = range
+    partition + in-partition sort — the same machinery as
+    sort-merge-join, proven at petabyte scale); the global rank is
+    derived from per-partition offsets (one count row per partition
+    broadcast back), NOT a single-partition window. The sorted frame
+    is localCheckpoint'ed so both the offsets branch and the rank
+    branch observe one materialized partitioning — partition ids are
+    fixed by construction, and the checkpoint (not persist) keeps the
+    logical plan flat for the low-memory probe discipline. The
+    neighbor join is an equi-join on integer rank over slim rows
+    (rank, sid, shingle-hash array); Jaccard verify touches
+    only the O(n * window) candidates.
+
+    Deterministic: rank order is (h1, h2, sid) — a total order — and
+    the Jaccard is a ratio of set sizes over distinct 60-bit hashes,
+    so the DuckDB oracle reproduces it bit-for-bit.
+    Returns (doc_a, doc_b, gap, jaccard) with doc_a < doc_b.
+    """
+    from pyspark.sql import Window as W
+
+    keyed = (
+        docs.select(
+            F.col(id_col).alias("sid"), token_hashes(F.col(text_col)).alias("__th")
+        )
+        .select("sid", gram_hashes60(F.col("__th")).alias("th"))
+        .withColumn("__sorted", F.array_sort("th"))
+        .select(
+            "sid",
+            "th",
+            F.element_at("__sorted", 1).alias("h1"),
+            F.coalesce(F.element_at("__sorted", 2), F.element_at("__sorted", 1)).alias(
+                "h2"
+            ),
+        )
+    )
+    chk = (
+        keyed.orderBy("h1", "h2", "sid")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = chk.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    w_in = W.partitionBy("__pid").orderBy("h1", "h2", "sid")
+    ranked = chk.join(F.broadcast(offsets), "__pid").select(
+        "sid", "th", (F.col("__off") + F.row_number().over(w_in)).alias("rank")
+    )
+    left = (
+        ranked.select(
+            F.col("rank").alias("rank_a"),
+            F.col("sid").alias("sid_a"),
+            F.col("th").alias("th_a"),
+        )
+        .withColumn("__d", F.explode(F.sequence(F.lit(1), F.lit(window - 1))))
+        .select(
+            (F.col("rank_a") + F.col("__d")).alias("rank_b"), "rank_a", "sid_a", "th_a"
+        )
+    )
+    right = ranked.select(
+        F.col("rank").alias("rank_b"),
+        F.col("sid").alias("sid_b"),
+        F.col("th").alias("th_b"),
+    )
+    cand = left.join(right, "rank_b")
+    common = F.size(F.array_intersect("th_a", "th_b"))
+    jac = F.round(
+        common / (F.size("th_a") + F.size("th_b") - common).cast("double"), 4
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.least("sid_a", "sid_b").alias("doc_a"),
+            F.greatest("sid_a", "sid_b").alias("doc_b"),
+            (F.col("rank_b") - F.col("rank_a")).cast("int").alias("gap"),
+            "jaccard",
+        )
+    )

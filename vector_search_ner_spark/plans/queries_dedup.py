@@ -978,3 +978,53 @@ def dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(nib < 12, "train").when(nib < 14, "val").otherwise("test").alias("split"),
     )
+
+
+_SNM_WINDOW = 8
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
+), k2 AS (
+  SELECT sid, hs,
+         list_sort(hs)[1] AS h1,
+         COALESCE(list_sort(hs)[2], list_sort(hs)[1]) AS h2
+  FROM sh
+), r AS (
+  SELECT sid, hs, row_number() OVER (ORDER BY h1, h2, sid) AS rank
+  FROM k2
+), cand AS (
+  SELECT a.sid AS sid_a, b.sid AS sid_b,
+         CAST(b.rank - a.rank AS INTEGER) AS gap, a.hs AS ta, b.hs AS tb
+  FROM r a JOIN r b
+    ON b.rank > a.rank AND b.rank <= a.rank + {_SNM_WINDOW - 1}
+), v AS (
+  SELECT sid_a, sid_b, gap,
+         len(list_intersect(ta, tb)) AS common, len(ta) AS na, len(tb) AS nb
+  FROM cand
+)
+SELECT LEAST(sid_a, sid_b) AS doc_a, GREATEST(sid_a, sid_b) AS doc_b, gap,
+       ROUND(common / CAST(na + nb - common AS DOUBLE), 4) AS jaccard
+FROM v
+WHERE ROUND(common / CAST(na + nb - common AS DOUBLE), 4) >= {JACCARD_T}
+""",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (merge/purge): the SORT-based
+    candidate generator — one global range sort by a 2-minimum minhash
+    over the word-6-gram shingle hashes, compare only records within 8
+    sort positions, exact shingle-set Jaccard verify (the IDENTICAL
+    measure `dedup_ngram_jaccard` uses, so the two candidate
+    generators are directly comparable on recall —
+    tests/test_semantics.py::test_snm_recall_vs_exact_pairs pins the
+    floor). O(n*window) candidates by construction, independent of
+    duplicate-clique shape and of banding parameters; the fourth
+    candidate-generation strategy next to LSH / SimHash / n-gram
+    (operators/neardup.py:sorted_neighborhood_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return nd.sorted_neighborhood_pairs(docs, JACCARD_T, window=_SNM_WINDOW)

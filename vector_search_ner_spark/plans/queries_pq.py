@@ -7,7 +7,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_search_ner_spark.operators import pq
+from vector_search_ner_spark.functions.vector import duck_cosine
+from vector_search_ner_spark.operators import bq, pq
+from vector_search_ner_spark.operators.knn import knn_join
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.sources.catalog import load_table
 
@@ -130,3 +132,142 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "doc_id")
     cand = pq.pq_adc_topk_pairs(queries, pairs, codes, cb, _TOPK * _OVERFETCH)
     return pq.exact_refine_topk(cand, queries, emb, _TOPK)
+
+
+# ------------------------------------------------------- binary quantization
+
+_BQ_K = 10
+_BQ_OVERFETCH = 50
+
+
+@query(
+    "embedding_bq_signs",
+    oracle=f"""
+WITH {bq.duck_bq_codes_cte()}
+SELECT doc_id AS vec_id, bq_hi, bq_lo,
+       CAST(bit_count(bq_hi) + bit_count(bq_lo) AS INTEGER) AS nbits
+FROM codes
+""",
+)
+def embedding_bq_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization encode: each 64-dim vector -> its 64-bit
+    sign pattern as two 32-bit words (256x smaller than float32; the
+    storage tier below int8 and PQ). Map-only, pure integer fold —
+    no shuffle, bit-reproducible. See operators/bq.py for why sign
+    bits preserve cosine order on the L2-normalized embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = bq.bq_encode(emb)
+    return codes.select(
+        "vec_id",
+        "bq_hi",
+        "bq_lo",
+        (F.bit_count(F.col("bq_hi")) + F.bit_count(F.col("bq_lo")))
+        .cast("int")
+        .alias("nbits"),
+    )
+
+
+@query(
+    "ann_bq_hamming_topk",
+    oracle=bq.duck_bq_topk_sql(_N_QUERIES, _BQ_K, _BQ_OVERFETCH),
+)
+def ann_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ search: XOR+popcount Hamming over the 16 B/row code table
+    (query codes broadcast, corpus never shuffles for candidates),
+    WindowGroupLimit cut to `overfetch` per query, exact cosine re-rank
+    of the broadcast candidate list. At 100 TB the candidate pass scans
+    256x fewer bytes than brute-force float cosine; full vectors are
+    read only for the n_queries*overfetch candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return bq.bq_hamming_topk(queries, emb, _BQ_K, _BQ_OVERFETCH)
+
+
+@query(
+    "ann_bq_recall_report",
+    oracle=f"""
+WITH {bq.duck_bq_codes_cte()}, q AS (
+  SELECT doc_id AS query_id, bq_hi AS q_hi, bq_lo AS q_lo, embedding AS query_vec
+  FROM codes WHERE doc_id < {_N_QUERIES}
+), ham AS (
+  SELECT q.query_id, c.doc_id,
+         CAST(bit_count(xor(c.bq_hi, q.q_hi))
+            + bit_count(xor(c.bq_lo, q.q_lo)) AS INTEGER) AS hamming
+  FROM codes c CROSS JOIN q
+), cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY hamming, doc_id) AS rn
+    FROM ham
+  ) WHERE rn <= {_BQ_OVERFETCH}
+), bq_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT cand.query_id, cand.doc_id,
+           row_number() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY round({duck_cosine("q.query_vec", "d.embedding")}, 6) DESC,
+                      cand.doc_id
+           ) AS rank
+    FROM cand
+    JOIN codes d ON cand.doc_id = d.doc_id
+    JOIN q ON cand.query_id = q.query_id
+  ) WHERE rank <= {_BQ_K}
+), exact_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {duck_cosine("q.query_vec", "c.embedding")} DESC, c.doc_id
+           ) AS rank
+    FROM codes c CROSS JOIN q
+  ) WHERE rank <= {_BQ_K}
+), hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS n_hit
+  FROM exact_top e JOIN bq_top b
+    ON e.query_id = b.query_id AND e.doc_id = b.doc_id
+  GROUP BY e.query_id
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS INTEGER) AS n_exact,
+       COALESCE(ANY_VALUE(h.n_hit), 0) AS n_hit,
+       ROUND(COALESCE(ANY_VALUE(h.n_hit), 0) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+FROM exact_top e LEFT JOIN hits h ON e.query_id = h.query_id
+GROUP BY e.query_id
+""",
+)
+def ann_bq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the BQ Hamming path against exact cosine ground
+    truth, per query — the same eval discipline as `ann_recall_report`
+    applied to the bit tier, so the 256x compression's recall cost is a
+    measured number with a full oracle, not a claim. Both legs are
+    deterministic compositions already oracle-checked on their own."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bq_top = bq.bq_hamming_topk(queries, emb, _BQ_K, _BQ_OVERFETCH).select(
+        "query_id", "doc_id"
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact_top = knn_join(queries, docs, k=_BQ_K, metric="cosine").select(
+        "query_id", "doc_id"
+    )
+    hits = exact_top.join(bq_top, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit")
+    )
+    return (
+        exact_top.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )

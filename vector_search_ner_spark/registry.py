@@ -168,6 +168,12 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_augment_token_dropout",
     "dataset_shard_manifest",
     "dedup_lsh_eval_report",
+    # round-5 late additions (full oracles; behind the r5 window so the
+    # driver's current 50-query sample is unchanged)
+    "embedding_bq_signs",
+    "ann_bq_hamming_topk",
+    "ann_bq_recall_report",
+    "dedup_sorted_neighborhood",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
