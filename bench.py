@@ -74,6 +74,9 @@ HEADLINE = [
     "text_pii_scrub",
     "hybrid_rrf_ivf_fusion",
     "repeated_span_cut_apply",
+    "ann_bq_hamming_topk",
+    "dedup_sorted_neighborhood",
+    "late_interaction_maxsim",
 ]
 
 

@@ -467,3 +467,42 @@ def test_span_cut_apply_no_corpus_window(spark):
     import re
     for m in re.finditer(r"Arguments: \[row_number\(\).*partitionBy=\[\]", p):
         raise AssertionError(f"unpartitioned window: {m.group(0)}")
+
+
+def test_bq_topk_broadcasts_codes_and_group_limits(spark):
+    """BQ Hamming search must (a) broadcast the query-code batch and
+    the candidate list (the corpus code table and the full-vector
+    table never shuffle), and (b) cut candidates via the
+    WindowGroupLimit partial top-k, (c) with no CartesianProduct —
+    the 8-row query side rides a BroadcastNestedLoopJoin."""
+    p = _plan(spark, "ann_bq_hamming_topk")
+    assert "BroadcastExchange" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_snm_neighbor_join_is_equi_join_over_checkpointed_rank(spark):
+    """Sorted-neighborhood's neighbor pairing must be an EQUI-join on
+    the integer rank (never a cartesian), stay JVM-side, and read the
+    ranked relation from its checkpoint on both sides (one scan of a
+    materialized frame per side — the rank derivation, with its
+    tiny-offsets single-partition window, must not re-execute per
+    consumer)."""
+    p = _plan(spark, "dedup_sorted_neighborhood")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # both join inputs come from the checkpointed RDD, not a rebuilt
+    # window chain: the plan shows ExistingRDD scans and NO Window
+    assert "ExistingRDD" in p, p
+    assert "Window" not in p, p
+
+
+def test_maxsim_is_two_hash_aggs_over_broadcast(spark):
+    """MaxSim's reduction must plan as partial+final HASH aggregates
+    (map-side combine for both the per-q-chunk max and the per-doc
+    sum) over a broadcast of the query chunk set — the corpus chunk
+    relation must not shuffle before the first partial aggregate."""
+    p = _plan(spark, "late_interaction_maxsim")
+    assert "BroadcastExchange" in p, p
+    assert p.count("HashAggregate") >= 4, p  # 2 aggs x partial+final
+    assert "CartesianProduct" not in p, p

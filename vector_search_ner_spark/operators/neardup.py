@@ -800,8 +800,13 @@ def sorted_neighborhood_pairs(
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
     )
     w_in = W.partitionBy("__pid").orderBy("h1", "h2", "sid")
-    ranked = chk.join(F.broadcast(offsets), "__pid").select(
-        "sid", "th", (F.col("__off") + F.row_number().over(w_in)).alias("rank")
+    # the ranked relation feeds BOTH sides of the neighbor join —
+    # checkpoint before deriving the two views, or the whole rank
+    # derivation (two windows + a join) re-executes per side
+    ranked = (
+        chk.join(F.broadcast(offsets), "__pid")
+        .select("sid", "th", (F.col("__off") + F.row_number().over(w_in)).alias("rank"))
+        .localCheckpoint(eager=True)
     )
     left = (
         ranked.select(

@@ -445,3 +445,97 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr_rank").cast("int"),
         F.round("mmr_score", 4).alias("mmr_score"),
     )
+
+
+_LI_SIZE, _LI_OVERLAP = 120, 30
+_LI_NQ, _LI_K = 4, 5
+
+
+def _li_oracle() -> str:
+    from vector_search_ner_spark.operators.chunker import duck_chunk_sql
+    from vector_search_ner_spark.plans.queries_mlops import _duck_embed_cte
+
+    return f"""
+WITH src AS ({duck_chunk_sql(_LI_SIZE, _LI_OVERLAP)}),
+{_duck_embed_cte("src", "doc_id, chunk_index", "chunk")},
+q AS (
+  SELECT doc_id AS query_id, chunk_index AS qci, emb AS qv
+  FROM e_vec WHERE doc_id < {_LI_NQ}
+), m AS (
+  SELECT q.query_id, d.doc_id, q.qci,
+         MAX({duck_cosine("q.qv", "d.emb")}) AS m
+  FROM e_vec d CROSS JOIN q
+  GROUP BY q.query_id, d.doc_id, q.qci
+), s AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(round(m * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM m GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_micro, rank FROM (
+  SELECT query_id, doc_id, score_micro,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM s
+) WHERE rank <= {_LI_K}
+"""
+
+
+@query("late_interaction_maxsim", oracle=_li_oracle())
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
+    Zaharia SIGIR 2020) over multi-vector documents: each doc is its
+    chunk-embedding SET (120/30 sliding chunks, hashing embedder —
+    the same contract as the index build), and
+    score(q, d) = sum over q-chunks of max over d-chunks of cosine.
+    Single-vector search collapses a long doc to one centroid; MaxSim
+    lets each part of the query match its best-aligned part of the
+    doc — the retrieval-quality upgrade modern engines (ColBERT/PLAID)
+    buy with multi-vector indexes.
+
+    Scale shape: the query chunk set broadcasts (n_queries * ~5 rows);
+    the corpus chunk relation never shuffles for scoring — the MaxSim
+    reduction is two HASH AGGS with map-side combine (max per
+    (query, doc, q-chunk), then sum per (query, doc)), and the final
+    top-k is the WindowGroupLimit partial pattern. Exactness: max over
+    doubles is order-safe, and the per-(q-chunk) maxima are quantized
+    to integer microunits BEFORE the sum, so the cross-partition sum
+    is exact long arithmetic (the BM25/RRF discipline) — the oracle
+    re-derives chunking, embedding, and both reductions closed-form."""
+    from vector_search_ner_spark.embedder import HashingEmbedder
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+    from vector_search_ner_spark.operators.chunker import chunk_text
+    from vector_search_ner_spark.operators.knn import topk_per_query
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text(docs, size=_LI_SIZE, overlap=_LI_OVERLAP).select(
+        "doc_id", "chunk_index", "chunk"
+    )
+    demb = chunks.select(
+        "doc_id", "chunk_index", HashingEmbedder().embed_col(F.col("chunk")).alias("emb")
+    )
+    qemb = demb.where(F.col("doc_id") < _LI_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("chunk_index").alias("qci"),
+        F.col("emb").alias("qv"),
+    )
+    pairs = demb.crossJoin(F.broadcast(qemb)).select(
+        "query_id",
+        "doc_id",
+        "qci",
+        cosine_similarity(F.col("qv"), F.col("emb")).alias("sim"),
+    )
+    per_qc = pairs.groupBy("query_id", "doc_id", "qci").agg(F.max("sim").alias("m"))
+    scored = (
+        per_qc.select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("m") * 1e6).cast("long").alias("mi"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("mi").alias("score_micro"))
+    )
+    top = topk_per_query(scored, _LI_K, "query_id", "score_micro", "doc_id")
+    return top.select(
+        "query_id", "doc_id", "score_micro", F.col("rank").cast("int").alias("rank")
+    )

@@ -174,6 +174,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_bq_hamming_topk",
     "ann_bq_recall_report",
     "dedup_sorted_neighborhood",
+    "late_interaction_maxsim",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
