@@ -168,7 +168,10 @@ def main() -> None:
     if len(line) > 1900:  # belt-and-braces: never outgrow the tail again
         out["queries"] = {n: round(t, 2) for n, t in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
-    while len(line) > 1900:  # shed fastest queries until the line fits
+    # shed fastest queries until the line fits; the dict-nonempty guard
+    # keeps min() from ValueError-ing if metadata alone ever exceeds the
+    # budget — the compact summary must always print
+    while len(line) > 1900 and out["queries"]:
         fastest = min(out["queries"], key=out["queries"].get)
         del out["queries"][fastest]
         out["queries_elided"] = out.get("queries_elided", 0) + 1

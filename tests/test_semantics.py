@@ -1531,6 +1531,24 @@ def test_bq_encode_matches_numpy(spark, sf_dir):
         assert got[r.vec_id] == (hi, lo)
 
 
+def test_maxsim_bq_recall_floor(spark, sf_dir):
+    """The pruned MaxSim tier is declared-approximate: pin its measured
+    accuracy as a floor. At overfetch=60 chunk candidates per q-chunk
+    (~3.4% of the sf0.01 code table each; ~10% float-read budget after
+    the union, matching the single-vector BQ tier's budget) the
+    deterministic path measures mean recall@5 = 0.85 vs the exact
+    MaxSim ground truth; the floor leaves headroom for fixture
+    regeneration only — the path itself has no randomness."""
+    from vector_search_ner_spark.plans.queries_vector import (
+        ann_maxsim_bq_recall_report,
+    )
+
+    rows = ann_maxsim_bq_recall_report(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 4
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.6, f"pruned MaxSim mean recall@5 too low: {mean_recall}"
+
+
 def test_snm_recall_vs_exact_pairs(spark, sf_dir):
     """Sorted-neighborhood candidates vs the exact all-pairs n-gram
     Jaccard ground truth (`jaccard_pairs` — the same verify measure,
@@ -1550,3 +1568,24 @@ def test_snm_recall_vs_exact_pairs(spark, sf_dir):
     assert exact, "fixture lost its near-dup pairs"
     recall = len(snm & exact) / len(exact)
     assert recall >= 0.8, f"SNM window recall vs exact pairs too low: {recall}"
+
+
+def test_snm_short_doc_single_shingle(spark, sf_dir):
+    """A <6-token doc yields exactly ONE whole-text shingle hash; the
+    blocking key must degrade to h2 = h1 (try_element_at, NULL-safe
+    under ANSI mode) instead of raising
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT. Two identical 2-token docs must
+    also be found as an exact duplicate pair (jaccard = 1.0)."""
+    from vector_search_ner_spark.operators import neardup as nd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "hello world"),
+            (3, "a completely different and much longer document body here"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = nd.sorted_neighborhood_pairs(docs, 0.5, window=4).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].jaccard == 1.0

@@ -782,10 +782,15 @@ def sorted_neighborhood_pairs(
         .select(
             "sid",
             "th",
-            F.element_at("__sorted", 1).alias("h1"),
-            F.coalesce(F.element_at("__sorted", 2), F.element_at("__sorted", 1)).alias(
-                "h2"
-            ),
+            # try_element_at, not element_at: under ANSI mode (Spark 4
+            # default) element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+            # past the end, and a <6-token doc has exactly one whole-text
+            # shingle hash — the coalesce fallback must see NULL, not die.
+            F.try_element_at("__sorted", F.lit(1)).alias("h1"),
+            F.coalesce(
+                F.try_element_at("__sorted", F.lit(2)),
+                F.try_element_at("__sorted", F.lit(1)),
+            ).alias("h2"),
         )
     )
     chk = (

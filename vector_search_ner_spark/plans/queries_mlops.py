@@ -648,7 +648,12 @@ def ann_nprobe_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_join(queries, docs, k=_IVF_K, metric="l2").select(
         F.col("query_id").alias("eq_id"), F.col("doc_id").alias("edoc")
     ).localCheckpoint()
-    n_exact = _IVF_K * 4
+    # the recall denominator is the ACTUAL exact-top row count (the
+    # oracle's SELECT COUNT(*) FROM exact), not K * n_queries — on a
+    # corpus smaller than K the exact frame is short and the two would
+    # silently diverge. exact is already checkpointed, so this is a
+    # count over a materialized K*4-row frame, not a recompute.
+    n_exact = exact.count()
 
     assigned, centroids = ann.ivf_fixed_build(emb, _IVF_N_CENT)
     assigned = assigned.select(

@@ -67,62 +67,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # identical check (rows + schema + order-insensitive values vs DuckDB
 # at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-5 rotation: the 50 names that headed this list in round 4
-    # are all green in CORRECTNESS_r04.json (50/50, zero err) and have
-    # been deleted, surfacing the staged never-driver-sampled block
-    # below into the driver's 50-query window. Cumulative driver-green
-    # after r4: 103/203.
-    # events analytics family (never sampled)
-    "events_session_windows",
-    "events_pivot_types",
-    "events_first_per_user_type",
-    "asof_join_click_view",
-    "asof_cogroup_pandas",
-    "events_fill_forward",
-    "events_unpivot_metrics",
-    "events_time_rollup",
-    "events_funnel_analysis",
-    "events_retention_cohorts",
-    "events_winsorize_values",
-    "events_anomaly_zscore",
-    "events_rolling_distinct_users",
-    "events_markov_transitions",
-    "events_trailing_hour_range",
-    "events_ewma_smoothing",
-    "events_interpolate_linear",
-    "scalar_subquery_above_avg",
-    "correlated_subquery_nation_avg",
-    "salted_groupby_skew",
-    "salted_join_skew",
-    "cube_status_priority",
-    "grouping_sets_returnflag",
-    "q2_min_price_supplier",
-    "q4_late_ship_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class_counts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_revenue_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
-    "q20_bulk_part_suppliers",
-    "q21_sole_blame_supplier",
-    "q22_idle_wealthy_customers",
-    "quartiles_order_price",
-    "window_rank_gallery",
-    "window_frame_gallery",
-    "doc_bigram_counts",
-    "upsert_latest_wins",
-    "table_profile_orders",
-    "dq_constraint_checks",
-    "join_hint_shuffle_hash",
-    "calendar_spine_fill",
+    # Round-6 rotation: the 50 names that headed this list in round 5
+    # (events/TPC-H/windows block) are all green in CORRECTNESS_r05.json
+    # (50/50, zero err) and have been deleted. The driver's r6 window is
+    # now the final never-sampled full-oracle block: scalar/date/math/
+    # array/map galleries, lakehouse (SCD2/CDC/Z-order/stratified),
+    # dataprep (surprisal/packing/quota/PII/k-anon), multimodal dedup,
+    # MMR, and the r5 additions (BQ family, sorted-neighborhood, MaxSim).
+    # Cumulative driver-green after r5: 153/212. Positions 51-59 (the 4
+    # tail-registered r5 queries + the 5 rows-only) plus any r6 additions
+    # registered behind them are round 7's mini-rotation.
     "map_fn_gallery",
     "regexp_capture_ids",
     "revenue_share_by_nation",
@@ -175,6 +129,13 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_bq_recall_report",
     "dedup_sorted_neighborhood",
     "late_interaction_maxsim",
+    # --- r6 window boundary (the driver samples the first 50) ---
+    # round-5 tail-registered queries, listed explicitly so they enter
+    # round 7's window deterministically (all full-oracle, local-green)
+    "ann_nprobe_tuning_curve",
+    "hybrid_rrf_ivf_fusion",
+    "repeated_span_cut_apply",
+    "stream_pii_scrub",
     # rows-only tail (weaker driver check, still worth a row)
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
