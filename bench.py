@@ -77,6 +77,8 @@ HEADLINE = [
     "ann_bq_hamming_topk",
     "dedup_sorted_neighborhood",
     "late_interaction_maxsim",
+    "ann_maxsim_bq_topk",
+    "hybrid_rrf_bq_fusion",
 ]
 
 

@@ -94,7 +94,12 @@ def main() -> None:
         df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
     queries, _ = registry.collect()
-    legs = ["dedup_clusters_lsh", "repeated_span_cut_apply"]
+    # the third leg is retrieval, not dedup: the BQ-pruned MaxSim
+    # serves a FIXED query batch (replica 0 keeps doc_id 0..3) against
+    # a 10x corpus — the candidate budget is constant, so the
+    # data-proportional term is the Hamming scan over 10x chunk codes,
+    # which must grow linearly with no new shuffle terms
+    legs = ["dedup_clusters_lsh", "repeated_span_cut_apply", "ann_maxsim_bq_topk"]
     for qname in legs:
         leg = queries[qname]
         results = {}

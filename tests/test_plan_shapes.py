@@ -157,9 +157,10 @@ def test_similarity_full_scan_jvm_rank(spark):
     BatchEvalPython / RDD scan in the plan — and (b) produce ranks
     that are exactly 1..N: the correctness of the offset scheme
     requires both consumers of the sorted frame to observe the same
-    partitioning, which the persist() guarantees by construction
-    (plans/queries_vector.py). If the persisted partitioning ever
-    stops being shared, ranks go non-contiguous and this fails."""
+    partitioning, which the eager localCheckpoint guarantees by
+    construction (plans/queries_vector.py) — both branches scan one
+    materialized RDD. If the shared partitioning ever stops being
+    shared, ranks go non-contiguous and this fails."""
     queries, _ = collect()
     df = queries["similarity_full_scan"](spark, SF)
     buf = io.StringIO()
@@ -167,7 +168,7 @@ def test_similarity_full_scan_jvm_rank(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan, plan
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    assert "ExistingRDD" in plan, plan
     ranks = sorted(r["rank"] for r in df.select("rank").collect())
     assert ranks == list(range(1, len(ranks) + 1))
 
@@ -469,6 +470,18 @@ def test_span_cut_apply_no_corpus_window(spark):
         raise AssertionError(f"unpartitioned window: {m.group(0)}")
 
 
+def test_hybrid_bq_fusion_pruned_leg_shape(spark):
+    """The BQ-pruned hybrid's vector leg must keep `ann_bq_hamming_topk`'s
+    shape inside the fused plan: query codes and candidate list
+    broadcast (the corpus float table is read only for candidates,
+    never shuffled or fully scanned), every rank a WindowGroupLimit
+    partial top-k, no cartesian product."""
+    p = _plan(spark, "hybrid_rrf_bq_fusion")
+    assert "WindowGroupLimit" in p, p
+    assert p.count("BroadcastExchange") >= 3, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_bq_topk_broadcasts_codes_and_group_limits(spark):
     """BQ Hamming search must (a) broadcast the query-code batch and
     the candidate list (the corpus code table and the full-vector
@@ -495,6 +508,24 @@ def test_snm_neighbor_join_is_equi_join_over_checkpointed_rank(spark):
     # window chain: the plan shows ExistingRDD scans and NO Window
     assert "ExistingRDD" in p, p
     assert "Window" not in p, p
+
+
+def test_maxsim_bq_pruned_tier_shape(spark):
+    """The PLAID-shape pruned MaxSim must keep both halves' scale
+    shapes in one plan: Hamming candidate generation rides broadcasts
+    of the query-code batch (corpus chunk codes never shuffle), the
+    per-(query, q-chunk) candidate cut is a WindowGroupLimit partial
+    top-k, the exact re-rank joins the chunk table against BROADCAST
+    candidate/query-chunk sets, the MaxSim reduction is partial+final
+    hash aggregates, and no CartesianProduct anywhere. The chunk-embed
+    index is checkpointed (ExistingRDD) so the embed pipeline runs
+    once, not once per consumer."""
+    p = _plan(spark, "ann_maxsim_bq_topk")
+    assert p.count("BroadcastExchange") >= 3, p
+    assert "WindowGroupLimit" in p, p
+    assert p.count("HashAggregate") >= 4, p
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
 
 
 def test_maxsim_is_two_hash_aggs_over_broadcast(spark):

@@ -150,6 +150,9 @@ def lloyd_build(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("__raw"),
         to_double_array(F.col(vec_col)).alias("__dv"),
+        # bounded lifetime, not a session pin: consumed by the n_iter
+        # construction-time assignment scans, unpersisted below before
+        # return (the returned frames re-derive from source)
     ).persist()
     centroids = emb.where(F.col(id_col) < n_clusters).select(
         F.col(id_col).cast("int").alias("cluster_id"),

@@ -68,12 +68,18 @@ def _sign_word(vec: Column, offset: int) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
-def bq_encode(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, bq_hi, bq_lo): the 64-bit sign pattern of each vector as
+def bq_encode(
+    emb: DataFrame,
+    id_col: str | list[str] = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id..., bq_hi, bq_lo): the 64-bit sign pattern of each vector as
     two 32-bit words. Map-only; the output is the 256x-compressed
-    search structure."""
+    search structure. `id_col` may be a list for composite keys (e.g.
+    the multi-vector chunk table's (doc_id, chunk_index))."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     return emb.select(
-        F.col(id_col),
+        *[F.col(c) for c in ids],
         _sign_word(F.col(vec_col), WORD_BITS).alias("bq_hi"),
         _sign_word(F.col(vec_col), 0).alias("bq_lo"),
     )

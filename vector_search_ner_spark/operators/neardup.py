@@ -374,7 +374,11 @@ def jaccard_pairs(
             F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
         )
         .select("sid", gram_hashes60(F.col("__th"), k).alias("hs"))
-        .persist()
+        # eager localCheckpoint, not persist: consumed by the candidate
+        # explode AND both verify joins, and checkpoint blocks are
+        # GC-reclaimed once the frame is unreferenced (a persist here
+        # would pin corpus-sized cache for the session lifetime)
+        .localCheckpoint(eager=True)
     )
     exploded = sh.select("sid", F.explode("hs").alias("sh"))
     if df_cap is not None:
@@ -457,16 +461,18 @@ def minhash_lsh_pairs(
     just twice, once per pair side, for the exact verify. Payload
     through the hot shuffle is O(|docs| * N_BANDS) slim rows."""
     # the shingle-hash table feeds BOTH the signature branch and the
-    # verify joins; persist it (memory-and-disk, spills at scale)
-    # instead of recomputing the tokenize+md5 pass per consumer. It
-    # carries 60-bit hashes, not shingle strings — ~5x slimmer persist
-    # and long-typed intersects in the verify (gram_hashes60)
+    # verify joins; materialize it once (eager localCheckpoint — the
+    # blocks are GC-reclaimed once unreferenced, unlike a persist,
+    # which would pin corpus-sized cache for the session) instead of
+    # recomputing the tokenize+md5 pass per consumer. It carries
+    # 60-bit hashes, not shingle strings — ~5x slimmer blocks and
+    # long-typed intersects in the verify (gram_hashes60)
     sh = (
         docs.select(
             F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
         )
         .select("sid", gram_hashes60(F.col("__th")).alias("hs"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sigs = sh.withColumn(
         "hashes", F.transform(F.col("hs"), lambda h: h % MINHASH_P)
@@ -685,8 +691,10 @@ def contamination_best_match(
     the FULL shingle sets, so reported overlaps are exact; only a
     bench doc whose every common shingle is boilerplate-hot loses its
     (meaningless) match row."""
-    # persist BOTH shingle frames: each is consumed twice (explode for
-    # candidates + array for verify), and the cache boundary also stops
+    # materialize BOTH shingle frames (eager localCheckpoint — GC-
+    # reclaimed once unreferenced, no session-lifetime cache pin):
+    # each is consumed twice (explode for candidates + array for
+    # verify), and the materialization boundary also stops
     # InferFiltersFromGenerate from pushing a size(shingles)>0 filter
     # below the projection — that inlines the whole gram-hash expression
     # into the filter, where the token-hash transform re-evaluates per
@@ -696,14 +704,14 @@ def contamination_best_match(
             F.col(id_col).alias("bench_id"), token_hashes60(F.col(text_col)).alias("__th")
         )
         .select("bench_id", gram_hashes60(F.col("__th"), k).alias("b_shingles"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     tsh = (
         train.select(
             F.col(id_col).alias("train_id"), token_hashes60(F.col(text_col)).alias("__th")
         )
         .select("train_id", gram_hashes60(F.col("__th"), k).alias("t_shingles"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     b_expl = bsh.select("bench_id", F.explode("b_shingles").alias("sh"))
     t_expl = tsh.select("train_id", F.explode("t_shingles").alias("sh"))

@@ -101,7 +101,9 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(F.split(F.trim(F.col("text")), " "), stable_long_hash)
         ).alias("th"),
-    ).persist()
+        # eager localCheckpoint (not persist): three consumers, and the
+        # blocks are GC-reclaimed once unreferenced — no session pin
+    ).localCheckpoint(eager=True)
     lm = toks.groupBy("th").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.agg(F.count(F.lit(1)).alias("total"))
     bits = _floor_log2(F.col("total")) - _floor_log2(F.col("cnt"))
@@ -557,7 +559,9 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy("i0")
             ).alias("ph"),
         )
-        .persist()
+        # eager localCheckpoint (not persist): unigram, bigram, and
+        # total aggregations all read this; GC-reclaimed, no session pin
+        .localCheckpoint(eager=True)
     )
     uni = toks.groupBy("th").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.agg(F.count(F.lit(1)).alias("total"))

@@ -1085,6 +1085,17 @@ def v2_lattice_topk(spark: SparkSession, sf_dir: str, probes: DataFrame) -> Data
     # sf0.1). The frames are K-rows-per-query tiny, so this is the
     # right call at 100 TB too: you always materialize stage outputs,
     # never re-derive them per gate.
+    # DELIBERATELY persist, not localCheckpoint: (a) each frame is at
+    # most STAGE_K rows per query — the cached total is KBs, so the
+    # session-lifetime pin is negligible (and the 1 GB-driver probe
+    # passes with them resident); (b) persist retains the logical
+    # subtree, keeping every stage's WindowGroupLimit visible to plan
+    # audits (test_topk_lattice_plans_window_group_limits) — a
+    # checkpoint would erase that evidence behind an ExistingRDD; (c)
+    # the lattice is a FIXED 5-stage composition, so the repeated
+    # logical subtrees stay bounded (plan renders fine under the 1 GB
+    # probe) — unlike the unbounded unrolled MMR loop that required
+    # per-step checkpoints.
     s1 = topk(main, p1, STAGE_K).withColumn("stage", F.lit(0)).select(*cols).persist()
     s4 = (
         topk(syn_rows.where((F.col("hr") | ~in_r) & F.col("hs")), F.lit(True),

@@ -905,7 +905,10 @@ def bm25_rank(
 
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
-    ).persist()
+        # eager localCheckpoint (not persist): doc-length, corpus-stats,
+        # and term-frequency branches all read the exploded tokens;
+        # checkpoint blocks are GC-reclaimed once unreferenced
+    ).localCheckpoint(eager=True)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1096,6 +1099,107 @@ FROM (
   FROM fused
 ) WHERE rn <= {_RRF_TOPK}
 """
+
+
+# the BQ-pruned hybrid over-fetches this many Hamming candidates per
+# query before the exact re-rank — same budget as `ann_bq_hamming_topk`
+_RRF_BQ_OVERFETCH = 50
+
+
+def _duck_rrf_bq() -> str:
+    from vector_search_ner_spark.functions.vector import duck_cosine
+    from vector_search_ner_spark.operators import bq
+
+    return f"""
+WITH kw AS ({_duck_bm25()}),
+{bq.duck_bq_codes_cte()}, q AS (
+  SELECT doc_id AS query_id, bq_hi AS q_hi, bq_lo AS q_lo, embedding AS query_vec
+  FROM codes WHERE doc_id < 3
+), ham AS (
+  SELECT q.query_id, c.doc_id,
+         CAST(bit_count(xor(c.bq_hi, q.q_hi))
+            + bit_count(xor(c.bq_lo, q.q_lo)) AS INTEGER) AS hamming
+  FROM codes c CROSS JOIN q
+), cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY hamming, doc_id) AS rn
+    FROM ham
+  ) WHERE rn <= {_RRF_BQ_OVERFETCH}
+), vec AS (
+  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT cand.query_id, cand.doc_id,
+           row_number() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY round({duck_cosine("q.query_vec", "d.embedding")}, 6) DESC,
+                      cand.doc_id) AS rank
+    FROM cand
+    JOIN codes d ON cand.doc_id = d.doc_id
+    JOIN q ON cand.query_id = q.query_id
+  ) WHERE rank <= {_RRF_TOPK}
+),
+fused AS (
+  SELECT COALESCE(k.query_id, v.query_id) AS query_id,
+         COALESCE(k.doc_id, v.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / CAST({_RRF_C} + k.rank AS DOUBLE), 0.0)
+           + COALESCE(CAST(1.0 AS DOUBLE) / CAST({_RRF_C} + v.rank AS DOUBLE), 0.0) AS rrf
+  FROM kw k FULL OUTER JOIN vec v
+    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {_RRF_TOPK}
+"""
+
+
+@query("hybrid_rrf_bq_fusion", oracle=_duck_rrf_bq())
+def hybrid_rrf_bq_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid where the vector leg is the BINARY-QUANTIZED tier —
+    the cheapest serving shape in the recall ladder composed into a
+    production pipeline (mirroring `hybrid_rrf_ivf_fusion` for the IVF
+    tier): BM25 keyword top-k fuses with `bq_hamming_topk`'s
+    XOR+popcount candidate generation over the 16 B/row sign-code
+    table plus exact cosine re-rank of the over-fetched candidates.
+    At 100 TB the code table is ~256x smaller than the float corpus —
+    this hybrid's vector leg reads float vectors for the broadcast
+    candidate list ONLY, so the whole query path scans no float
+    corpus at all. Same integer-rank RRF determinism; full oracle end
+    to end including the sign encoding."""
+    from pyspark.sql import Window
+
+    from vector_search_ner_spark.operators import bq
+
+    kw = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("k_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = bq.bq_hamming_topk(
+        queries, emb, k=_RRF_TOPK, overfetch=_RRF_BQ_OVERFETCH
+    ).select("query_id", "doc_id", F.col("rank").cast("int").alias("v_rank"))
+    fused = kw.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_C + F.col("k_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("v_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
 
 
 @query("hybrid_rrf_ivf_fusion", oracle=_duck_rrf_ivf())

@@ -114,17 +114,19 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     — per-partition counts are tiny (one row per partition), their
     cumulative offsets broadcast back, and the within-partition
     row_number needs no further exchange. The sorted, __pid-stamped
-    frame is persisted so BOTH consumers (the counts branch and the
-    rank branch) observe the one materialized partitioning — partition
-    ids are fixed by construction, not by optimizer exchange reuse
-    (which is non-contractual under AQE). The persisted slice is 3
-    narrow columns, so even a 10^9-vector corpus caches in ~tens of
-    GB cluster-wide; Spark's cache manager dedupes by canonicalized
-    plan, so repeated invocations share one entry. Asserted in
-    tests/test_plan_shapes.py::test_similarity_full_scan_jvm_rank.
+    frame is eagerly localCheckpoint'ed so BOTH consumers (the counts
+    branch and the rank branch) observe the one materialized
+    partitioning — partition ids are fixed by construction, not by
+    optimizer exchange reuse (which is non-contractual under AQE) —
+    and the blocks are GC-reclaimed once the frame is unreferenced,
+    unlike a persist, which would pin the corpus-sized slice for the
+    session (the same discipline as dedup_sorted_neighborhood's
+    identical __pid-rank pattern). The checkpointed slice is 3 narrow
+    columns, so even a 10^9-vector corpus is ~tens of GB cluster-wide.
+    Asserted in tests/test_plan_shapes.py::
+    test_similarity_full_scan_jvm_rank.
     Deterministic because (distance, doc_id) is a total order."""
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
     from vector_search_ner_spark.functions.vector import l2_distance_nc, to_double_array
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -139,7 +141,7 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     counts = scored.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -538,4 +540,243 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = topk_per_query(scored, _LI_K, "query_id", "score_micro", "doc_id")
     return top.select(
         "query_id", "doc_id", "score_micro", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# pruned MaxSim: per-(query, q-chunk) Hamming candidate budget over the
+# BQ-encoded chunk codes; candidate DOCS = union over q-chunks
+_MSB_OVERFETCH = 60
+
+
+def _maxsim_bq_ctes() -> str:
+    """Shared CTE chain for the pruned-MaxSim oracles: chunk -> embed
+    -> BQ chunk codes -> per-q-chunk Hamming candidate cut -> candidate
+    doc set -> exact MaxSim over candidates only (`s` = final scores)."""
+    from vector_search_ner_spark.operators.bq import WORD_BITS, duck_bq_word
+    from vector_search_ner_spark.operators.chunker import duck_chunk_sql
+    from vector_search_ner_spark.plans.queries_mlops import _duck_embed_cte
+
+    return f"""src AS ({duck_chunk_sql(_LI_SIZE, _LI_OVERLAP)}),
+{_duck_embed_cte("src", "doc_id, chunk_index", "chunk")},
+codes AS (
+  SELECT doc_id, chunk_index,
+         {duck_bq_word("emb", WORD_BITS)} AS bq_hi,
+         {duck_bq_word("emb", 0)} AS bq_lo
+  FROM e_vec
+), q AS (
+  SELECT doc_id AS query_id, chunk_index AS qci, emb AS qv
+  FROM e_vec WHERE doc_id < {_LI_NQ}
+), qc AS (
+  SELECT doc_id AS query_id, chunk_index AS qci, bq_hi AS q_hi, bq_lo AS q_lo
+  FROM codes WHERE doc_id < {_LI_NQ}
+), ham AS (
+  SELECT qc.query_id, qc.qci, c.doc_id, c.chunk_index,
+         CAST(bit_count(xor(c.bq_hi, qc.q_hi))
+            + bit_count(xor(c.bq_lo, qc.q_lo)) AS INTEGER) AS hamming
+  FROM codes c CROSS JOIN qc
+), cand AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+    SELECT query_id, qci, doc_id, chunk_index,
+           row_number() OVER (
+             PARTITION BY query_id, qci
+             ORDER BY hamming, doc_id, chunk_index) AS rn
+    FROM ham
+  ) WHERE rn <= {_MSB_OVERFETCH}
+), m AS (
+  SELECT q.query_id, cd.doc_id, q.qci,
+         MAX({duck_cosine("q.qv", "d.emb")}) AS m
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN e_vec d ON d.doc_id = cd.doc_id
+  GROUP BY q.query_id, cd.doc_id, q.qci
+), s AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(round(m * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM m GROUP BY query_id, doc_id
+)"""
+
+
+def _maxsim_bq_oracle() -> str:
+    return f"""
+WITH {_maxsim_bq_ctes()}
+SELECT query_id, doc_id, score_micro, rank FROM (
+  SELECT query_id, doc_id, score_micro,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM s
+) WHERE rank <= {_LI_K}
+"""
+
+
+def _maxsim_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-vector index relation: (doc_id, chunk_index, emb),
+    checkpointed — it feeds the BQ code table, the query chunk set,
+    AND the exact re-rank, and the explode+hash-agg embed pipeline
+    must run once, not once per consumer (the edge-list lesson; the
+    checkpoint also keeps the logical plan flat for the low-memory
+    probe). At 100 TB this relation is the persisted index the store
+    maintains incrementally (`build_chunk_index`), not a per-query
+    derivation."""
+    from vector_search_ner_spark.embedder import HashingEmbedder
+    from vector_search_ner_spark.operators.chunker import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text(docs, size=_LI_SIZE, overlap=_LI_OVERLAP).select(
+        "doc_id", "chunk_index", "chunk"
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        HashingEmbedder().embed_col(F.col("chunk")).alias("emb"),
+    ).localCheckpoint(eager=True)
+
+
+@query("ann_maxsim_bq_topk", oracle=_maxsim_bq_oracle())
+def ann_maxsim_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNED late-interaction retrieval — the PLAID shape (Santhanam
+    et al., CIKM 2022) that makes MaxSim serve at scale, closing the
+    one gap in the recall ladder: `late_interaction_maxsim` is exact
+    and evaluates |corpus chunks| x |query chunks| cosines, the same
+    full-scan the reference's HNSW index exists to avoid. Here the
+    CHUNK embeddings are BQ-encoded (operators/bq.py — 16 B/chunk,
+    256x compression), each query chunk generates a Hamming
+    top-`overfetch` candidate CHUNK list over the code table, the
+    candidate DOC set is the union over query chunks (a doc is a
+    candidate iff ANY of its chunks sign-matches ANY query chunk),
+    and the exact micro-quantized MaxSim re-ranks candidates only.
+
+    Scale shape: candidate generation touches ONLY the code table with
+    the query codes broadcast (XOR+popcount, WindowGroupLimit partial
+    cut per (query, q-chunk)); the exact re-rank reads full chunk
+    vectors for the broadcast candidate-doc list only — the corpus
+    chunk relation is never shuffled and never fully scanned in float.
+    Accuracy is measured, not asserted: `ann_maxsim_bq_recall_report`
+    pins recall vs the exact ground truth, mirroring
+    `ann_bq_recall_report` for the single-vector tier."""
+    from pyspark.sql import Window
+
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+    from vector_search_ner_spark.operators import bq
+    from vector_search_ner_spark.operators.knn import topk_per_query
+
+    demb = _maxsim_chunk_index(spark, sf_dir)
+    codes = bq.bq_encode(demb, id_col=["doc_id", "chunk_index"], vec_col="emb")
+    qcodes = codes.where(F.col("doc_id") < _LI_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("chunk_index").alias("qci"),
+        F.col("bq_hi").alias("q_hi"),
+        F.col("bq_lo").alias("q_lo"),
+    )
+    ham = codes.crossJoin(F.broadcast(qcodes)).select(
+        "query_id",
+        "qci",
+        "doc_id",
+        "chunk_index",
+        bq.hamming64(
+            F.col("bq_hi"), F.col("bq_lo"), F.col("q_hi"), F.col("q_lo")
+        ).alias("hamming"),
+    )
+    w_c = Window.partitionBy("query_id", "qci").orderBy(
+        "hamming", "doc_id", "chunk_index"
+    )
+    cand = (
+        ham.withColumn("rn", F.row_number().over(w_c))
+        .where(F.col("rn") <= _MSB_OVERFETCH)
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    qemb = demb.where(F.col("doc_id") < _LI_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("chunk_index").alias("qci"),
+        F.col("emb").alias("qv"),
+    )
+    pairs = (
+        demb.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(qemb), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "qci",
+            cosine_similarity(F.col("qv"), F.col("emb")).alias("sim"),
+        )
+    )
+    per_qc = pairs.groupBy("query_id", "doc_id", "qci").agg(F.max("sim").alias("m"))
+    scored = (
+        per_qc.select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("m") * 1e6).cast("long").alias("mi"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("mi").alias("score_micro"))
+    )
+    top = topk_per_query(scored, _LI_K, "query_id", "score_micro", "doc_id")
+    return top.select(
+        "query_id", "doc_id", "score_micro", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _maxsim_recall_oracle() -> str:
+    return f"""
+WITH {_maxsim_bq_ctes()},
+pruned_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM s
+  ) WHERE rank <= {_LI_K}
+), em AS (
+  SELECT q.query_id, d.doc_id, q.qci,
+         MAX({duck_cosine("q.qv", "d.emb")}) AS m
+  FROM e_vec d CROSS JOIN q
+  GROUP BY q.query_id, d.doc_id, q.qci
+), es AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(round(m * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM em GROUP BY query_id, doc_id
+), exact_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM es
+  ) WHERE rank <= {_LI_K}
+)
+SELECT e.query_id,
+       CAST(COUNT(p.doc_id) AS INTEGER) AS n_hit,
+       ROUND(COUNT(p.doc_id) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+FROM exact_top e
+LEFT JOIN pruned_top p
+  ON e.query_id = p.query_id AND e.doc_id = p.doc_id
+GROUP BY e.query_id
+"""
+
+
+@query("ann_maxsim_bq_recall_report", oracle=_maxsim_recall_oracle())
+def ann_maxsim_bq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the BQ-pruned MaxSim tier against the EXACT MaxSim
+    ground truth, per query — the tuning-curve discipline every
+    approximate tier in this engine carries (`ann_bq_recall_report`,
+    `ann_recall_report`, `dedup_lsh_eval_report`): an approximate
+    operator without a measured accuracy bound is a guess, not an
+    index. Denominator = the ACTUAL exact-top row count per query
+    (never k * n_queries — short corpora would silently diverge from
+    the oracle). Both legs are deterministic, so this is fully
+    oracle-checkable end to end, chunking and quantizer included."""
+    exact = late_interaction_maxsim(spark, sf_dir).select("query_id", "doc_id")
+    pruned = ann_maxsim_bq_topk(spark, sf_dir).select(
+        "query_id", F.col("doc_id").alias("p_doc")
+    )
+    joined = exact.join(
+        pruned,
+        (exact.query_id == pruned.query_id) & (exact.doc_id == pruned.p_doc),
+        "left",
+    ).select(exact.query_id, "doc_id", "p_doc")
+    return joined.groupBy("query_id").agg(
+        F.count("p_doc").cast("int").alias("n_hit"),
+        F.round(F.count("p_doc") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "recall"
+        ),
     )
