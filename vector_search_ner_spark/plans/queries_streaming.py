@@ -160,6 +160,31 @@ def stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_knn_serving(spark, sf_dir)
 
 
+# the BQ serving loop answers the SAME queries as the batch BQ search —
+# the oracle is ann_bq_hamming_topk's, verbatim
+def _bq_serving_oracle() -> str:
+    from vector_search_ner_spark.operators import bq
+    from vector_search_ner_spark.plans.queries_pq import (
+        _BQ_K,
+        _BQ_OVERFETCH,
+        _N_QUERIES,
+    )
+
+    return bq.duck_bq_topk_sql(_N_QUERIES, _BQ_K, _BQ_OVERFETCH)
+
+
+@query("stream_bq_serving", oracle=_bq_serving_oracle())
+def stream_bq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-stream serving on the BINARY-QUANTIZED tier: each
+    micro-batch of arriving queries is answered by `bq_hamming_topk`
+    (Hamming candidates over the 16 B/row code table, exact re-rank
+    of the broadcast candidate list) against the static corpus —
+    the 256x-compression tier composed into the streaming surface,
+    beside `stream_knn_serving`'s exact twin. Shares the batch BQ
+    oracle bit-for-bit."""
+    return se.stream_bq_serving(spark, sf_dir)
+
+
 # streaming flag == the batch band self-join: a doc is flagged iff it
 # shares a MinHash band bucket with a DIFFERENT doc (full oracle)
 def _neardup_flag_oracle() -> str:

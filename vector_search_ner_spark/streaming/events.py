@@ -356,6 +356,58 @@ def stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+def stream_bq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving loop again (stream_knn_serving's harness), but the
+    per-micro-batch answer is the BINARY-QUANTIZED search instead of
+    exact k-NN — the cheapest tier of the recall ladder composed into
+    the streaming surface: XOR+popcount Hamming candidates over the
+    16 B/row code table with the micro-batch's query codes broadcast,
+    exact cosine re-rank of the broadcast candidate list. At cluster
+    scale the code table is the ~256x-smaller always-hot serving
+    structure; the float vectors are touched only for candidates, so
+    a query micro-batch costs a bit-code scan, not a corpus scan.
+    Shares `ann_bq_hamming_topk`'s full oracle bit-for-bit (same
+    query batch, same k/overfetch)."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.operators import bq
+    from vector_search_ner_spark.plans.queries_pq import (
+        _BQ_K,
+        _BQ_OVERFETCH,
+        _N_QUERIES,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(base, "bq_query_stream")
+    sink = os.path.join(base, "bq_serving_sink")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qbatch = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qbatch.repartitionByRange(2, "query_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(qbatch.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+
+    def answer(batch_queries: DataFrame, batch_id: int) -> None:
+        bq.bq_hamming_topk(batch_queries, emb, _BQ_K, _BQ_OVERFETCH).write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = stream.writeStream.foreachBatch(answer).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink)
+
+
 def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-DUP FLAGGING AT INGEST — the dedup×streaming crossover a
     training-data pipeline actually runs: documents arrive as a
