@@ -528,6 +528,20 @@ def test_maxsim_bq_pruned_tier_shape(spark):
     assert "ExistingRDD" in p, p
 
 
+def test_maxsim_overfetch_curve_shape(spark):
+    """The overfetch sweep must re-rank from CHECKPOINTED candidate /
+    ground-truth frames (the Hamming scan and the exact MaxSim each
+    run once, not once per consumer — ExistingRDD in the final plan),
+    keep the per-(setting, query) top-k as WindowGroupLimit, broadcast
+    the candidate and query-chunk sets into the re-rank join, and
+    contain no CartesianProduct."""
+    p = _plan(spark, "ann_maxsim_overfetch_curve")
+    assert "ExistingRDD" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_maxsim_is_two_hash_aggs_over_broadcast(spark):
     """MaxSim's reduction must plan as partial+final HASH aggregates
     (map-side combine for both the per-q-chunk max and the per-doc

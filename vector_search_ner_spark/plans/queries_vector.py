@@ -548,10 +548,10 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MSB_OVERFETCH = 60
 
 
-def _maxsim_bq_ctes() -> str:
-    """Shared CTE chain for the pruned-MaxSim oracles: chunk -> embed
-    -> BQ chunk codes -> per-q-chunk Hamming candidate cut -> candidate
-    doc set -> exact MaxSim over candidates only (`s` = final scores)."""
+def _maxsim_ham_ctes() -> str:
+    """Shared CTE prefix for the pruned-MaxSim oracles: chunk -> embed
+    -> BQ chunk codes -> per-(query, q-chunk) Hamming distances over
+    every corpus chunk (`ham`)."""
     from vector_search_ner_spark.operators.bq import WORD_BITS, duck_bq_word
     from vector_search_ner_spark.operators.chunker import duck_chunk_sql
     from vector_search_ner_spark.plans.queries_mlops import _duck_embed_cte
@@ -574,7 +574,15 @@ codes AS (
          CAST(bit_count(xor(c.bq_hi, qc.q_hi))
             + bit_count(xor(c.bq_lo, qc.q_lo)) AS INTEGER) AS hamming
   FROM codes c CROSS JOIN qc
-), cand AS (
+)"""
+
+
+def _maxsim_bq_ctes() -> str:
+    """Shared CTE chain for the pruned-MaxSim oracles: the `ham`
+    prefix -> per-q-chunk candidate cut at the default overfetch ->
+    candidate doc set -> exact MaxSim over candidates only (`s` =
+    final scores)."""
+    return f"""{_maxsim_ham_ctes()}, cand AS (
   SELECT DISTINCT query_id, doc_id FROM (
     SELECT query_id, qci, doc_id, chunk_index,
            row_number() OVER (
@@ -779,4 +787,194 @@ def ann_maxsim_bq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("p_doc") / F.count(F.lit(1)).cast("double"), 4).alias(
             "recall"
         ),
+    )
+
+
+# the overfetch sweep for the MaxSim tuning curve — the accuracy/cost
+# dial of the pruned tier, like nprobe for IVF and ef for HNSW
+_MSB_SWEEP = [15, 30, 60, 120]
+
+
+def _maxsim_curve_oracle() -> str:
+    sweep = ", ".join(f"({p})" for p in _MSB_SWEEP)
+    return f"""
+WITH {_maxsim_ham_ctes()}, ranked AS (
+  SELECT query_id, qci, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id, qci
+           ORDER BY hamming, doc_id, chunk_index) AS rn
+  FROM ham
+), sweep(overfetch) AS (VALUES {sweep}),
+cand AS (
+  SELECT DISTINCT s.overfetch, r.query_id, r.doc_id
+  FROM ranked r JOIN sweep s ON r.rn <= s.overfetch
+), m AS (
+  SELECT cd.overfetch, q.query_id, cd.doc_id, q.qci,
+         MAX({duck_cosine("q.qv", "d.emb")}) AS m
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN e_vec d ON d.doc_id = cd.doc_id
+  GROUP BY cd.overfetch, q.query_id, cd.doc_id, q.qci
+), s AS (
+  SELECT overfetch, query_id, doc_id,
+         CAST(SUM(CAST(round(m * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM m GROUP BY overfetch, query_id, doc_id
+), pruned_top AS (
+  SELECT overfetch, query_id, doc_id FROM (
+    SELECT overfetch, query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY overfetch, query_id
+             ORDER BY score_micro DESC, doc_id) AS rank
+    FROM s
+  ) WHERE rank <= {_LI_K}
+), em AS (
+  SELECT q.query_id, d.doc_id, q.qci,
+         MAX({duck_cosine("q.qv", "d.emb")}) AS m
+  FROM e_vec d CROSS JOIN q
+  GROUP BY q.query_id, d.doc_id, q.qci
+), es AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(round(m * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM em GROUP BY query_id, doc_id
+), exact_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM es
+  ) WHERE rank <= {_LI_K}
+)
+SELECT sw.overfetch,
+       CAST((SELECT COUNT(*) FROM cand c WHERE c.overfetch = sw.overfetch)
+            AS INTEGER) AS n_cand_docs,
+       CAST((SELECT COUNT(*) FROM pruned_top p JOIN exact_top e
+             ON p.query_id = e.query_id AND p.doc_id = e.doc_id
+             WHERE p.overfetch = sw.overfetch) AS INTEGER) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM pruned_top p JOIN exact_top e
+              ON p.query_id = e.query_id AND p.doc_id = e.doc_id
+              WHERE p.overfetch = sw.overfetch)
+             / CAST((SELECT COUNT(*) FROM exact_top) AS DOUBLE), 4) AS recall
+FROM sweep sw
+"""
+
+
+@query("ann_maxsim_overfetch_curve", oracle=_maxsim_curve_oracle())
+def ann_maxsim_overfetch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned-MaxSim TUNING CURVE — the overfetch dial measured
+    end to end, completing the discipline that every approximate tier
+    here carries (`ann_nprobe_tuning_curve` for IVF, this for the
+    multi-vector tier): ONE plan sweeps the per-q-chunk Hamming
+    candidate budget over {15, 30, 60, 120}, reporting per setting the
+    candidate-doc rows re-ranked (the cost axis — how much float work
+    the exact MaxSim pays) and recall@k vs the exact MaxSim ground
+    truth (the accuracy axis). You read the curve and pick the knee.
+    Implementation: the per-(query, q-chunk) Hamming rank computes
+    ONCE with the max budget as the LITERAL WindowGroupLimit bound,
+    a tiny broadcast sweep-values join replicates candidates per
+    setting, and the exact re-rank/ground-truth legs are the same
+    plans as `ann_maxsim_bq_topk` / `late_interaction_maxsim` keyed by
+    (overfetch, query). Deterministic end to end -> full oracle;
+    denominator = actual exact-top rows."""
+    from pyspark.sql import Window
+
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+    from vector_search_ner_spark.operators import bq
+
+    demb = _maxsim_chunk_index(spark, sf_dir)
+    codes = bq.bq_encode(demb, id_col=["doc_id", "chunk_index"], vec_col="emb")
+    qcodes = codes.where(F.col("doc_id") < _LI_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("chunk_index").alias("qci"),
+        F.col("bq_hi").alias("q_hi"),
+        F.col("bq_lo").alias("q_lo"),
+    )
+    ham = codes.crossJoin(F.broadcast(qcodes)).select(
+        "query_id",
+        "qci",
+        "doc_id",
+        "chunk_index",
+        bq.hamming64(
+            F.col("bq_hi"), F.col("bq_lo"), F.col("q_hi"), F.col("q_lo")
+        ).alias("hamming"),
+    )
+    w_c = Window.partitionBy("query_id", "qci").orderBy(
+        "hamming", "doc_id", "chunk_index"
+    )
+    max_budget = max(_MSB_SWEEP)
+    ranked = (
+        ham.withColumn("rn", F.row_number().over(w_c))
+        # literal bound first so WindowGroupLimit fires; the sweep join
+        # below applies the per-setting bound
+        .where(F.col("rn") <= max_budget)
+        .select("query_id", "qci", "doc_id", "rn")
+    )
+    sweep = spark.createDataFrame([(p,) for p in _MSB_SWEEP], "overfetch int")
+    cand = (
+        ranked.join(F.broadcast(sweep), ranked.rn <= sweep.overfetch)
+        .select("overfetch", "query_id", "doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the cost agg AND the
+        # re-rank join; the Hamming scan must not re-run per consumer
+    )
+    qemb = demb.where(F.col("doc_id") < _LI_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("chunk_index").alias("qci"),
+        F.col("emb").alias("qv"),
+    )
+    pairs = (
+        demb.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(qemb), "query_id")
+        .select(
+            "overfetch",
+            "query_id",
+            "doc_id",
+            "qci",
+            cosine_similarity(F.col("qv"), F.col("emb")).alias("sim"),
+        )
+    )
+    scored = (
+        pairs.groupBy("overfetch", "query_id", "doc_id", "qci")
+        .agg(F.max("sim").alias("m"))
+        .select(
+            "overfetch",
+            "query_id",
+            "doc_id",
+            F.round(F.col("m") * 1e6).cast("long").alias("mi"),
+        )
+        .groupBy("overfetch", "query_id", "doc_id")
+        .agg(F.sum("mi").alias("score_micro"))
+    )
+    w_t = Window.partitionBy("overfetch", "query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    pruned_top = (
+        scored.withColumn("rank", F.row_number().over(w_t))
+        .where(F.col("rank") <= _LI_K)
+        .select("overfetch", "query_id", "doc_id")
+    )
+    exact = late_interaction_maxsim(spark, sf_dir).select(
+        F.col("query_id").alias("eq_id"), F.col("doc_id").alias("edoc")
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+    hits = (
+        pruned_top.join(
+            exact,
+            (F.col("query_id") == F.col("eq_id")) & (F.col("doc_id") == F.col("edoc")),
+            "left_semi",
+        )
+        .groupBy("overfetch")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hit"))
+    )
+    return (
+        cand.groupBy("overfetch")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_cand_docs"))
+        .join(hits, "overfetch", "left")
+        .select(
+            "overfetch",
+            "n_cand_docs",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(n_exact)), 4
+            ).alias("recall"),
+        )
     )

@@ -142,6 +142,15 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_distinct_quantiles",
     "sketch_hll_union",
     "sketch_freq_items",
+    # round-6 additions (full oracles, local-green; behind the r6
+    # window so the driver's current 50-query sample is unchanged —
+    # they complete round 7's mini-rotation together with the nine
+    # names above)
+    "ann_maxsim_bq_topk",
+    "ann_maxsim_bq_recall_report",
+    "ann_maxsim_overfetch_curve",
+    "hybrid_rrf_bq_fusion",
+    "stream_bq_serving",
 ]
 
 
