@@ -21,7 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_local.json")
+    # SPARK_GRAFT_OUT=/dev/null turns this into the determinism probe
+    # (run under SPARK_GRAFT_DRIVER_MEM=1g SPARK_GRAFT_CPUS=4
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS=13, or at SPARK_GRAFT_SF_DIR=
+    # .../sf0.1) without clobbering the committed artifact
+    out_path = os.environ.get(
+        "SPARK_GRAFT_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_local.json"),
+    )
 
     import __spark_entry__ as entrymod
     from tests.oracle_harness import assert_frames_match, run_oracle

@@ -99,7 +99,16 @@ def main() -> None:
     # a 10x corpus — the candidate budget is constant, so the
     # data-proportional term is the Hamming scan over 10x chunk codes,
     # which must grow linearly with no new shuffle terms
-    legs = ["dedup_clusters_lsh", "repeated_span_cut_apply", "ann_maxsim_bq_topk"]
+    # the fourth leg measures sorted-neighborhood dedup: ONE global
+    # range sort + an O(n*window) equi-join on integer rank — shuffle
+    # bytes must grow ~linearly with the corpus (sort exchange + the
+    # K-sized pair verify), with no quadratic candidate term
+    legs = [
+        "dedup_clusters_lsh",
+        "repeated_span_cut_apply",
+        "ann_maxsim_bq_topk",
+        "dedup_sorted_neighborhood",
+    ]
     for qname in legs:
         leg = queries[qname]
         results = {}

@@ -551,3 +551,18 @@ def test_maxsim_is_two_hash_aggs_over_broadcast(spark):
     assert "BroadcastExchange" in p, p
     assert p.count("HashAggregate") >= 4, p  # 2 aggs x partial+final
     assert "CartesianProduct" not in p, p
+
+
+def test_hybrid_maxsim_fusion_pruned_leg_shape(spark):
+    """The MaxSim hybrid's vector leg must keep `ann_maxsim_bq_topk`'s
+    pruned shape inside the fused plan: chunk index read from its
+    checkpoint (ExistingRDD — the explode+embed pipeline never re-runs
+    per consumer), query codes / candidate-doc list / query-chunk set
+    broadcast (the float chunk corpus is read only for candidates),
+    every rank a WindowGroupLimit partial top-k, no cartesian
+    product."""
+    p = _plan(spark, "hybrid_rrf_maxsim_fusion")
+    assert "ExistingRDD" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert p.count("BroadcastExchange") >= 3, p
+    assert "CartesianProduct" not in p, p

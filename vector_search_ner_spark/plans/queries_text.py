@@ -1252,3 +1252,83 @@ def hybrid_rrf_ivf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+def _duck_rrf_maxsim() -> str:
+    from vector_search_ner_spark.plans.queries_vector import _LI_K, _maxsim_bq_ctes
+
+    return f"""
+WITH kw AS ({_duck_bm25()}),
+{_maxsim_bq_ctes()}, vec AS (
+  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM s WHERE query_id < 3
+  ) WHERE rank <= {_LI_K}
+),
+fused AS (
+  SELECT COALESCE(k.query_id, v.query_id) AS query_id,
+         COALESCE(k.doc_id, v.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / CAST({_RRF_C} + k.rank AS DOUBLE), 0.0)
+           + COALESCE(CAST(1.0 AS DOUBLE) / CAST({_RRF_C} + v.rank AS DOUBLE), 0.0) AS rrf
+  FROM kw k FULL OUTER JOIN vec v
+    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {_RRF_TOPK}
+"""
+
+
+@query("hybrid_rrf_maxsim_fusion", oracle=_duck_rrf_maxsim())
+def hybrid_rrf_maxsim_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid where the vector leg is the PRUNED MULTI-VECTOR tier
+    (`ann_maxsim_bq_topk`) — completing the hybrid family so every
+    retrieval tier in the recall ladder has a composed serving shape:
+    exact cosine (`hybrid_rrf_fusion`), IVF (`hybrid_rrf_ivf_fusion`),
+    single-vector BQ (`hybrid_rrf_bq_fusion`), and now late-interaction
+    MaxSim. The keyword leg is BM25 over the document corpus; the
+    vector leg BQ-encodes CHUNK embeddings (16 B/chunk), generates
+    per-query-chunk Hamming candidates over the code table (query
+    codes broadcast, WindowGroupLimit cut), and exact-MaxSim re-ranks
+    the broadcast candidate-doc union only — the float chunk corpus is
+    never fully scanned on the query path, so at 100 TB the hybrid
+    costs one bit-code scan + one corpus keyword pass. Both legs rank
+    the SAME doc_id space (documents), unlike the single-vector
+    hybrids' separate embeddings table. Same integer-rank RRF
+    determinism; full oracle end to end including chunking, sign
+    encoding, Hamming cut, and micro-quantized MaxSim."""
+    from pyspark.sql import Window
+
+    from vector_search_ner_spark.plans.queries_vector import ann_maxsim_bq_topk
+
+    kw = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("k_rank")
+    )
+    vec = (
+        ann_maxsim_bq_topk(spark, sf_dir)
+        .where(F.col("query_id") < 3)  # the 3 BM25 query ids
+        .select("query_id", "doc_id", F.col("rank").cast("int").alias("v_rank"))
+    )
+    fused = kw.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_C + F.col("k_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("v_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

@@ -150,6 +150,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_maxsim_bq_recall_report",
     "ann_maxsim_overfetch_curve",
     "hybrid_rrf_bq_fusion",
+    "hybrid_rrf_maxsim_fusion",
     "stream_bq_serving",
 ]
 
