@@ -79,6 +79,7 @@ HEADLINE = [
     "late_interaction_maxsim",
     "ann_maxsim_bq_topk",
     "hybrid_rrf_bq_fusion",
+    "hybrid_rrf_maxsim_fusion",
 ]
 
 

@@ -566,3 +566,16 @@ def test_hybrid_maxsim_fusion_pruned_leg_shape(spark):
     assert "WindowGroupLimit" in p, p
     assert p.count("BroadcastExchange") >= 3, p
     assert "CartesianProduct" not in p, p
+
+
+def test_chunk_index_upsert_is_delta_sized(spark):
+    """Chunk-index maintenance must read the BASE generation from its
+    checkpoint (ExistingRDD — never re-derive the corpus chunk/embed
+    pipeline), delete updated groups via a BROADCAST anti join of the
+    tiny id set (BroadcastHashJoin LeftAnti), and keep the delta's
+    embed stage the only Arrow UDF work in the plan — no cartesian."""
+    p = _plan(spark, "chunk_index_incremental_upsert")
+    assert "ExistingRDD" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p

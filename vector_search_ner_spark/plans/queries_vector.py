@@ -978,3 +978,86 @@ def ann_maxsim_overfetch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def _chunk_upsert_oracle() -> str:
+    from vector_search_ner_spark.operators.chunker import duck_chunk_sql
+    from vector_search_ner_spark.plans.queries_mlops import _duck_embed_cte
+
+    return f"""
+WITH upd AS (
+  SELECT doc_id, text || ' refreshed update' AS text
+  FROM documents WHERE doc_id % 50 = 0
+), nw AS (
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 5
+), merged AS (
+  SELECT doc_id, text, 'new' AS origin FROM nw
+  UNION ALL
+  SELECT doc_id, text, 'updated' AS origin FROM upd
+  UNION ALL
+  SELECT b.doc_id, b.text, 'kept' AS origin
+  FROM documents b ANTI JOIN upd u ON b.doc_id = u.doc_id
+), src AS ({duck_chunk_sql(_LI_SIZE, _LI_OVERLAP, "merged")}),
+{_duck_embed_cte("src", "doc_id, chunk_index", "chunk")}
+SELECT m.doc_id, m.origin,
+       CAST(COUNT(*) AS INTEGER) AS n_chunks,
+       CAST(SUM(CAST(round(v.emb[1] * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS c0_micro_sum
+FROM e_vec v JOIN merged m ON v.doc_id = m.doc_id
+GROUP BY m.doc_id, m.origin
+"""
+
+
+@query("chunk_index_incremental_upsert", oracle=_chunk_upsert_oracle())
+def chunk_index_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the MULTI-VECTOR chunk index — the
+    operation `_maxsim_chunk_index`'s docstring promises ("the
+    persisted index the store maintains incrementally"): a refresh
+    batch (2% modified docs + a few brand-new ids, the
+    `vecstore_incremental_upsert` fixture) is chunked and embedded
+    ALONE — O(|delta| * chunks/doc), never O(|corpus|) — and merged
+    with the persisted base generation. The merge semantic differs
+    from the single-vector store's per-row latest-wins: an updated
+    doc's text re-chunks to a DIFFERENT number of chunks, so the unit
+    of replacement is the whole per-doc chunk GROUP — a broadcast
+    anti join of the base index against the tiny updated-id set
+    (delete-the-group), then union with the delta's fresh chunk rows
+    (insert-the-group). Per-doc report: origin, chunk count, and an
+    integer-microunit checksum over the group's first embedding
+    component (exact across engines). Base chunk rows are READ from
+    the checkpointed index relation, never recomputed; full oracle
+    re-derives merge + chunking + embedding end to end."""
+    from vector_search_ner_spark.embedder import HashingEmbedder
+    from vector_search_ner_spark.operators.chunker import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    upd = docs.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" refreshed update")).alias("text"),
+        F.lit("updated").alias("origin"),
+    )
+    new = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        F.lit("new").alias("origin"),
+    )
+    delta_chunks = chunk_text(
+        upd.unionByName(new), size=_LI_SIZE, overlap=_LI_OVERLAP
+    ).select(
+        "doc_id",
+        "origin",
+        "chunk_index",
+        HashingEmbedder().embed_col(F.col("chunk")).alias("emb"),
+    )
+    # the persisted base generation: group-level delete of updated ids
+    # (tiny id set broadcast into the anti join), base rows untouched
+    kept = _maxsim_chunk_index(spark, sf_dir).join(
+        F.broadcast(upd.select("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.lit("kept").alias("origin"), "chunk_index", "emb")
+    merged = kept.unionByName(delta_chunks)
+    return merged.groupBy("doc_id", "origin").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(
+            F.round(F.element_at("emb", 1) * 1e6).cast("long")
+        ).cast("long").alias("c0_micro_sum"),
+    )

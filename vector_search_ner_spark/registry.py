@@ -151,6 +151,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_maxsim_overfetch_curve",
     "hybrid_rrf_bq_fusion",
     "hybrid_rrf_maxsim_fusion",
+    "chunk_index_incremental_upsert",
     "stream_bq_serving",
 ]
 
