@@ -1497,13 +1497,15 @@ def test_hamming_band_pairs_width_guard(spark):
     assert {(r.doc_a, r.doc_b, r.hamming) for r in rows} == {(1, 2, 1)}
 
 
-def test_bq_recall_floor(spark, sf_dir):
+def test_bq_recall_floor(spark):
     """The BQ Hamming tier is declared-approximate: pin its measured
     accuracy as a floor so a regression in the encoding or the
     candidate cut fails loudly. With overfetch=50 (a 10% float-scan
     budget at sf0.01) the deterministic path measures mean recall@10 =
     0.7125; the floor leaves headroom for fixture changes only — the
-    path itself has no randomness."""
+    path itself has no randomness. Pinned to sf0.01 (deliberately NOT
+    the suite's sf_dir fixture): the floor constant was measured on
+    this fixture."""
     from vector_search_ner_spark.plans.queries_pq import ann_bq_recall_report
 
     rows = ann_bq_recall_report(spark, "/root/testdata/sf0.01").collect()
@@ -1512,9 +1514,11 @@ def test_bq_recall_floor(spark, sf_dir):
     assert mean_recall >= 0.6, f"BQ mean recall@10 too low: {mean_recall}"
 
 
-def test_bq_encode_matches_numpy(spark, sf_dir):
+def test_bq_encode_matches_numpy(spark):
     """Sign-pattern words agree with an independent numpy derivation
-    (bit j of word w set iff embedding[32*w + j] > 0)."""
+    (bit j of word w set iff embedding[32*w + j] > 0). Pinned to
+    sf0.01 so the 20-vector slice is stable regardless of the suite's
+    sf_dir fixture."""
     import numpy as np
 
     from vector_search_ner_spark.operators.bq import bq_encode
@@ -1531,14 +1535,16 @@ def test_bq_encode_matches_numpy(spark, sf_dir):
         assert got[r.vec_id] == (hi, lo)
 
 
-def test_maxsim_bq_recall_floor(spark, sf_dir):
+def test_maxsim_bq_recall_floor(spark):
     """The pruned MaxSim tier is declared-approximate: pin its measured
     accuracy as a floor. At overfetch=60 chunk candidates per q-chunk
     (~3.4% of the sf0.01 code table each; ~10% float-read budget after
     the union, matching the single-vector BQ tier's budget) the
     deterministic path measures mean recall@5 = 0.85 vs the exact
     MaxSim ground truth; the floor leaves headroom for fixture
-    regeneration only — the path itself has no randomness."""
+    regeneration only — the path itself has no randomness. Pinned to
+    sf0.01 (deliberately NOT the suite's sf_dir fixture): the floor
+    constant was measured on this fixture."""
     from vector_search_ner_spark.plans.queries_vector import (
         ann_maxsim_bq_recall_report,
     )
@@ -1549,13 +1555,14 @@ def test_maxsim_bq_recall_floor(spark, sf_dir):
     assert mean_recall >= 0.6, f"pruned MaxSim mean recall@5 too low: {mean_recall}"
 
 
-def test_snm_recall_vs_exact_pairs(spark, sf_dir):
+def test_snm_recall_vs_exact_pairs(spark):
     """Sorted-neighborhood candidates vs the exact all-pairs n-gram
     Jaccard ground truth (`jaccard_pairs` — the same verify measure,
     so any miss is purely the window's): the 2-minimum shingle-minhash
     sort key must place >=80% of true pairs within the window
     (measured 1.0 on the fixture; deterministic path, floor leaves
-    fixture headroom only)."""
+    fixture headroom only). Pinned to sf0.01 (deliberately NOT the
+    suite's sf_dir fixture): the floor was measured on this fixture."""
     from vector_search_ner_spark.operators import neardup as nd
     from vector_search_ner_spark.sources.catalog import load_table
 
@@ -1589,3 +1596,31 @@ def test_snm_short_doc_single_shingle(spark, sf_dir):
     pairs = nd.sorted_neighborhood_pairs(docs, 0.5, window=4).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
     assert pairs[0].jaccard == 1.0
+
+
+def test_mmr_oracle_memory_capped():
+    """Regression for the r6 driver red: the unrolled MMR DuckDB oracle
+    OOM'd the driver's constrained checker (exponential CTE re-inlining
+    — each step s{t} is referenced by every later sel{u}). The fix
+    (pool and every s{t} AS MATERIALIZED, float-list `dv` dropped from
+    the sel unions) must keep the oracle runnable under a hard 500 MB
+    DuckDB memory cap; the residual floor is per-operator buffer
+    reservations (~115 MB at MMR_N=5), far below any sane checker
+    budget. Spark-vs-oracle value parity is covered by the standard
+    parity test; this test pins only the memory envelope."""
+    import duckdb
+
+    from vector_search_ner_spark.plans.queries_vector import MMR_N, _duck_mmr
+
+    con = duckdb.connect()
+    try:
+        con.execute("PRAGMA memory_limit='500MB'")
+        con.execute(
+            "CREATE VIEW embeddings AS "
+            "SELECT * FROM '/root/testdata/sf0.01/embeddings.parquet'"
+        )
+        df = con.execute(_duck_mmr()).df()
+    finally:
+        con.close()
+    assert len(df) == 8 * MMR_N
+    assert (df.groupby("query_id")["mmr_rank"].max() == MMR_N).all()

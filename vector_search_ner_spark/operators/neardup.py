@@ -33,6 +33,18 @@ intermediate k-word strings — measured ~2x faster on the signature
 stage (PERF.md round 5). Same scheme as the rolling fingerprints in
 queries_text.py, generalized to two lanes for 60-bit width.
 
+Materialization discipline: multi-consumer frames here use EAGER
+`localCheckpoint` — blocks are GC-reclaimed when unreferenced (no
+session-long pin) and the logical plan is truncated (no exponential
+subtree re-derivation). The honest tradeoff: localCheckpoint blocks
+are non-replicated and non-reliable, so on a real cluster an executor
+loss FAILS the job rather than recomputing. For the corpus-sized
+frames (shingle/signature tables in jaccard/minhash/contamination), a
+long-lived cluster deployment should swap in reliable `checkpoint()`
+(HDFS/object store) or persist(MEMORY_AND_DISK)+unpersist — same plan
+shape, one-line change; localCheckpoint stays the right call for the
+small bounded frames (per-round CC labels, convergence signatures).
+
 Word shingles use k=6: long enough that shingle document-frequency
 stays tiny on natural text. Against adversarial skew (boilerplate
 headers shared by millions of docs), `jaccard_pairs` and

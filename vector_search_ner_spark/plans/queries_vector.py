@@ -123,6 +123,15 @@ def similarity_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     session (the same discipline as dedup_sorted_neighborhood's
     identical __pid-rank pattern). The checkpointed slice is 3 narrow
     columns, so even a 10^9-vector corpus is ~tens of GB cluster-wide.
+    Fault-tolerance tradeoff, stated honestly: localCheckpoint blocks
+    are NON-replicated and NON-reliable — on a real cluster an
+    executor loss fails the job instead of recomputing (unlike a
+    lineage-backed persist or a reliable checkpoint()). That is the
+    right trade for SMALL/bounded frames (per-step MMR/lattice frames,
+    convergence signatures); for a corpus-sized frame like this one, a
+    long-lived cluster job should swap in reliable checkpoint() to an
+    HDFS/object-store dir, or persist(MEMORY_AND_DISK) + explicit
+    unpersist — same plan shape, one-line change at deploy time.
     Asserted in tests/test_plan_shapes.py::
     test_similarity_full_scan_jvm_rank.
     Deterministic because (distance, doc_id) is a total order."""
@@ -302,45 +311,60 @@ def _duck_mmr() -> str:
     """Unrolled MMR oracle: candidate pool CTE, then MMR_N selection
     steps, each an anti-join against everything selected so far, a
     MAX pairwise-cosine aggregation, and a window argmax — the exact
-    dataflow of the Spark plan, so every double matches bit-for-bit."""
+    dataflow of the Spark plan, so every double matches bit-for-bit.
+
+    Memory-safe by construction (the r6 driver's constrained DuckDB
+    checker OOM'd on the previous formulation): `pool` AND every step
+    CTE `s{t}` are declared AS MATERIALIZED — each s{t} is referenced
+    by every later sel{u}, so without materialization DuckDB re-inlines
+    the step chain and the plan grows exponentially in steps (the exact
+    DuckDB analogue of the Spark side's localCheckpoint lineage cuts);
+    the `sel{t}` unions carry only (query_id, doc_id) — no float-list
+    column is dragged through the step chain — and `dv` is joined back
+    from the materialized pool only inside each step's pairwise-cosine
+    aggregation. Verified under `PRAGMA memory_limit='500MB'` (and
+    100MB) in tests/test_semantics.py::test_mmr_oracle_memory_capped."""
     cos_qd = duck_cosine("q.qv", "d.embedding")
-    cos_rs = duck_cosine("r.dv", "s.dv")
+    cos_rs = duck_cosine("r.dv", "ps.dv")
     parts = [
         f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv
   FROM embeddings WHERE vec_id < {N_QUERIES}
-), pool AS (
+), pool AS MATERIALIZED (
   SELECT query_id, doc_id, rel, dv FROM (
     SELECT q.query_id, d.vec_id AS doc_id, {cos_qd} AS rel, d.embedding AS dv,
            row_number() OVER (PARTITION BY q.query_id
                               ORDER BY {cos_qd} DESC, d.vec_id) AS rn
     FROM embeddings d CROSS JOIN q
   ) WHERE rn <= {MMR_POOL}
-), s1 AS (
-  SELECT query_id, doc_id, rel, dv, 1 AS mmr_rank, rel AS mmr_score FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY rel DESC, doc_id) AS rn
+), s1 AS MATERIALIZED (
+  SELECT query_id, doc_id, rel, 1 AS mmr_rank, rel AS mmr_score FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rn
     FROM pool
   ) WHERE rn = 1
 )"""
     ]
     for t in range(2, MMR_N + 1):
         prev_union = " UNION ALL ".join(
-            f"SELECT query_id, doc_id, dv FROM s{u}" for u in range(1, t)
+            f"SELECT query_id, doc_id FROM s{u}" for u in range(1, t)
         )
         parts.append(f""", sel{t} AS (
   {prev_union}
 ), r{t} AS (
-  SELECT p.* FROM pool p
+  SELECT p.query_id, p.doc_id, p.rel, p.dv FROM pool p
   ANTI JOIN sel{t} s ON p.query_id = s.query_id AND p.doc_id = s.doc_id
 ), m{t} AS (
   SELECT r.query_id, r.doc_id, MAX({cos_rs}) AS max_sim
-  FROM r{t} r JOIN sel{t} s ON r.query_id = s.query_id
+  FROM r{t} r
+  JOIN sel{t} s ON r.query_id = s.query_id
+  JOIN pool ps ON ps.query_id = s.query_id AND ps.doc_id = s.doc_id
   GROUP BY r.query_id, r.doc_id
-), s{t} AS (
-  SELECT query_id, doc_id, rel, dv, {t} AS mmr_rank, score AS mmr_score FROM (
-    SELECT r.query_id, r.doc_id, r.rel, r.dv,
+), s{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, rel, {t} AS mmr_rank, score AS mmr_score FROM (
+    SELECT r.query_id, r.doc_id, r.rel,
            {MMR_LAMBDA} * r.rel - {1.0 - MMR_LAMBDA} * m.max_sim AS score,
            row_number() OVER (PARTITION BY r.query_id
                               ORDER BY {MMR_LAMBDA} * r.rel
@@ -349,7 +373,10 @@ WITH q AS (
     FROM r{t} r JOIN m{t} m ON r.query_id = m.query_id AND r.doc_id = m.doc_id
   ) WHERE rn = 1
 )""")
-    union = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(1, MMR_N + 1))
+    union = " UNION ALL ".join(
+        f"SELECT query_id, doc_id, mmr_rank, mmr_score FROM s{t}"
+        for t in range(1, MMR_N + 1)
+    )
     parts.append(f"""
 SELECT query_id, doc_id,
        CAST(mmr_rank AS INTEGER) AS mmr_rank,

@@ -67,71 +67,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # identical check (rows + schema + order-insensitive values vs DuckDB
 # at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-6 rotation: the 50 names that headed this list in round 5
-    # (events/TPC-H/windows block) are all green in CORRECTNESS_r05.json
-    # (50/50, zero err) and have been deleted. The driver's r6 window is
-    # now the final never-sampled full-oracle block: scalar/date/math/
-    # array/map galleries, lakehouse (SCD2/CDC/Z-order/stratified),
-    # dataprep (surprisal/packing/quota/PII/k-anon), multimodal dedup,
-    # MMR, and the r5 additions (BQ family, sorted-neighborhood, MaxSim).
-    # Cumulative driver-green after r5: 153/212. Positions 51-59 (the 4
-    # tail-registered r5 queries + the 5 rows-only) plus any r6 additions
-    # registered behind them are round 7's mini-rotation.
-    "map_fn_gallery",
-    "regexp_capture_ids",
-    "revenue_share_by_nation",
-    "events_value_histogram",
-    "stats_corr_exact",
-    "join_null_safe_eq",
-    "try_cast_gallery",
-    "collect_sorted_orderkeys",
-    "date_fn_gallery",
-    "math_fn_gallery",
-    "array_fn_gallery",
-    "lateral_topn_per_customer",
-    "pivot_multi_agg",
-    "variant_json_extract",
-    "agg_mode_median",
-    "sql_udf_gallery",
-    "bucketed_join_colocated",
-    "partition_pruned_scan",
-    "layout_zorder_cluster",
-    "scd2_user_state_history",
-    "rollup_incremental_merge",
-    "snapshot_diff_cdc",
-    "sample_stratified_exact",
-    "doc_lm_surprisal",
-    "dataset_pack_sequences",
-    "mixture_resample_quota",
-    "pysource_synthetic_docs",
-    "pysink_jsonl_roundtrip",
-    "bpe_top_merges",
-    "k_anonymity_audit",
-    "doc_bigram_surprisal",
-    "quality_score_calibrate",
-    "drift_psi_orders",
-    "profile_correlations",
-    "repeated_span_audit",
-    "repeated_span_positions",
-    "multimodal_phash_pairs",
+    # Round-7 mini-rotation: the 49 names that headed this list in
+    # round 6 (galleries/lakehouse/dataprep/multimodal/BQ/MaxSim block)
+    # are all green in CORRECTNESS_r06.json and have been deleted. The
+    # r7 window front-loads the only query ever red in a driver round —
+    # mmr_diversified_topk, red for a DuckDB-oracle-side OOM now fixed
+    # (pool + per-step CTEs AS MATERIALIZED; see _duck_mmr) — followed
+    # by the 16 never-driver-sampled tail registrations (9 pre-r6 + 7
+    # r6 additions) and the round-7 additions. Cumulative driver-green
+    # after r6: 202/219 sampled-green; a green r7 row for every name
+    # below closes driver evidence at 219/219. Positions after this
+    # list backfill with already-green registration-order queries.
     "mmr_diversified_topk",
-    "multimodal_audio_dedup",
-    "ann_recall_report",
-    "stream_neardup_flag",
-    "text_pii_scrub",
-    "doc_augment_token_dropout",
-    "dataset_shard_manifest",
-    "dedup_lsh_eval_report",
-    # round-5 late additions (full oracles; behind the r5 window so the
-    # driver's current 50-query sample is unchanged)
-    "embedding_bq_signs",
-    "ann_bq_hamming_topk",
-    "ann_bq_recall_report",
-    "dedup_sorted_neighborhood",
-    "late_interaction_maxsim",
-    # --- r6 window boundary (the driver samples the first 50) ---
-    # round-5 tail-registered queries, listed explicitly so they enter
-    # round 7's window deterministically (all full-oracle, local-green)
+    # round-5/6 tail registrations, never driver-sampled (local-green)
     "ann_nprobe_tuning_curve",
     "hybrid_rrf_ivf_fusion",
     "repeated_span_cut_apply",
@@ -142,10 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_distinct_quantiles",
     "sketch_hll_union",
     "sketch_freq_items",
-    # round-6 additions (full oracles, local-green; behind the r6
-    # window so the driver's current 50-query sample is unchanged —
-    # they complete round 7's mini-rotation together with the nine
-    # names above)
+    # round-6 additions (full oracles, local-green)
     "ann_maxsim_bq_topk",
     "ann_maxsim_bq_recall_report",
     "ann_maxsim_overfetch_curve",
@@ -153,6 +98,9 @@ _DRIVER_PRIORITY: list[str] = [
     "hybrid_rrf_maxsim_fusion",
     "chunk_index_incremental_upsert",
     "stream_bq_serving",
+    # round-7 additions (full oracles, local-green)
+    "dedup_incremental_vs_index",
+    "doc_language_quality_gate",
 ]
 
 
