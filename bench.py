@@ -23,6 +23,12 @@ from vector_search_ner_spark import registry  # noqa: E402
 
 # Headline set: flagship vector ops + the shuffle-heaviest relational
 # queries + (as they land) dedup / text-analysis pipeline ops.
+# Kept at ~51 entries: stable sub-second queries rotate OUT as new
+# headline ops land (they stay fully oracle-checked in the registry)
+# so the compact summary line stays inside the driver's 2000-char
+# stdout tail. Rotated out r7: postings_korean_drift_search,
+# embedding_quantize_int8, events_tumbling_window, doc_bigram_counts
+# (0.27-0.54 s, flat across rounds 4-6).
 HEADLINE = [
     "knn_topk_cosine",
     "knn_filtered",
@@ -40,15 +46,12 @@ HEADLINE = [
     "staged_retrieval_pipeline",
     "index_build_pipeline",
     "events_session_windows",
-    "events_tumbling_window",
     "asof_join_click_view",
     "tfidf_top_terms",
     "q18_large_orders",
-    "embedding_quantize_int8",
     "q13_order_count_distribution",
     "q8_market_share",
     "q21_sole_blame_supplier",
-    "doc_bigram_counts",
     "ann_pq_adc_topk",
     "events_funnel_analysis",
     "contamination_check",
@@ -64,7 +67,6 @@ HEADLINE = [
     "ann_ivf_lloyd_topk",
     "bm25_topk",
     "dedup_clusters_cc",
-    "postings_korean_drift_search",
     "repeated_span_audit",
     "mmr_diversified_topk",
     "multimodal_phash_pairs",
@@ -80,6 +82,9 @@ HEADLINE = [
     "ann_maxsim_bq_topk",
     "hybrid_rrf_bq_fusion",
     "hybrid_rrf_maxsim_fusion",
+    # round-7 additions
+    "dedup_incremental_vs_index",
+    "doc_language_quality_gate",
 ]
 
 

@@ -17,7 +17,8 @@ the same dup character, not a 10x dup-clique blowup. Doc ids remap to
 replica*10_000_000 + doc_id. Derived data lands under _artifacts/
 (never in /root/testdata).
 
-Usage:  python perf_scale_dedup.py          # prints one JSON line
+Usage:  python perf_scale_dedup.py          # one JSON line per leg
+        SPARK_GRAFT_SCALE_LEGS=a,b ...      # run only the named legs
 """
 
 from __future__ import annotations
@@ -103,14 +104,46 @@ def main() -> None:
     # range sort + an O(n*window) equi-join on integer rank — shuffle
     # bytes must grow ~linearly with the corpus (sort exchange + the
     # K-sized pair verify), with no quadratic candidate term
-    legs = [
-        "dedup_clusters_lsh",
-        "repeated_span_cut_apply",
-        "ann_maxsim_bq_topk",
-        "dedup_sorted_neighborhood",
+    legs: list[tuple[str, object]] = [
+        (n, queries[n])
+        for n in (
+            "dedup_clusters_lsh",
+            "repeated_span_cut_apply",
+            "ann_maxsim_bq_topk",
+            "dedup_sorted_neighborhood",
+        )
     ]
-    for qname in legs:
-        leg = queries[qname]
+
+    # fifth leg — the incremental-ingest serving shape: a FIXED shard
+    # (the 1x corpus's doc_id%10==5 slice) deduplicated against the
+    # PERSISTED index of a 1x vs 10x existing corpus. Index build cost
+    # is paid once OUTSIDE the timed runs (that is the point of a
+    # persisted index); the timed work is the shard's map-only minhash
+    # + broadcast probes of the index scans, so wall should be
+    # scan-bound (~flat to mildly linear) with shard-sized shuffles.
+    from vector_search_ner_spark.operators.neardup import incremental_lsh_dedup
+    from vector_search_ner_spark.plans.queries_dedup import JACCARD_T
+    from vector_search_ner_spark.sources.neardup_index import shingle_index_store
+
+    for mult in (1, 10):
+        shingle_index_store(spark, os.path.join(root, f"scale{mult}"), 10, 5)
+
+    def incremental_fixed_shard(spark_, sf_dir_):
+        bands, shingles = shingle_index_store(spark_, sf_dir_, 10, 5)
+        shard = (
+            spark_.read.parquet(os.path.join(root, "scale1", "documents.parquet"))
+            .where(F.col("doc_id") % 10 == 5)
+        )
+        return incremental_lsh_dedup(shard, bands, shingles, JACCARD_T)
+
+    legs.append(("dedup_incremental_vs_index_fixed_shard", incremental_fixed_shard))
+
+    only = os.environ.get("SPARK_GRAFT_SCALE_LEGS")
+    if only:
+        wanted = {s.strip() for s in only.split(",")}
+        legs = [(n, f) for n, f in legs if n in wanted]
+
+    for qname, leg in legs:
         results = {}
         for mult in (1, 10):
             sf_dir = os.path.join(root, f"scale{mult}")

@@ -579,3 +579,21 @@ def test_chunk_index_upsert_is_delta_sized(spark):
     assert "BroadcastExchange" in p, p
     assert "LeftAnti" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_incremental_dedup_scans_persisted_index(spark):
+    """dedup_incremental_vs_index must READ the persisted shingle/
+    minhash index (two parquet scans of the neardup_index store —
+    bands posting table + shingle sets), never re-derive the existing
+    corpus's tokenization; the shard's probe sides must be BROADCAST
+    so the index relations are scanned without shuffling. Exactly the
+    contract that makes the op O(new shard) at 100 TB."""
+    p = _plan(spark, "dedup_incremental_vs_index")
+    index_scans = [
+        ln
+        for ln in p.splitlines()
+        if "neardup_index" in ln and ("Location" in ln or "Scan parquet" in ln)
+    ]
+    assert len(index_scans) >= 2, p
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p

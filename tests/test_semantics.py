@@ -1624,3 +1624,44 @@ def test_mmr_oracle_memory_capped():
         con.close()
     assert len(df) == 8 * MMR_N
     assert (df.groupby("query_id")["mmr_rank"].max() == MMR_N).all()
+
+
+def test_language_quality_gate_drop_branches(spark):
+    """The fixture corpus is clean (every doc keeps), so exercise each
+    DROP branch of doc_language_quality_gate on constructed inputs:
+    CJK-majority script routes to 'cjk' (kept), symbol soup routes to
+    'other'/'und' (dropped), template spam trips the boilerplate cap
+    (dropped), and a marker-free latin doc scores quality below the
+    bar (dropped)."""
+    from vector_search_ner_spark.operators.textstats import (
+        boilerplate_ratio,
+        lang_id_scripted,
+        quality_score,
+        script_class,
+    )
+
+    boiler = " ".join(["spark table row hash join the query batch"] * 6)
+    rows = [
+        (1, "中文 文本 的 例子 中文 文本 " + "的 例子 " * 8),
+        (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (3, boiler),
+        (4, "zzz qqq vvv kkk www yyy xxx mmm nnn ppp"),
+        (5, "the table row spark join a small query batch of data value"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            script_class(F.col("text")).alias("script"),
+            lang_id_scripted(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).alias("quality"),
+            boilerplate_ratio("text").alias("bp"),
+        ).collect()
+    }
+    assert got[1].script == "cjk" and got[1].lang_pred == "cjk"
+    assert got[2].script == "other" and got[2].lang_pred == "und"
+    assert got[3].bp > 0.3, got[3]
+    assert got[4].script == "latin" and got[4].lang_pred == "und"
+    assert got[5].lang_pred in ("en", "code", "data") and got[5].quality >= 0.5
+    assert got[5].bp == 0.0

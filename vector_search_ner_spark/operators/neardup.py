@@ -749,6 +749,82 @@ def contamination_best_match(
     )
 
 
+def incremental_lsh_dedup(
+    shard: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW shard against the PERSISTED shingle/minhash index of
+    the existing corpus — the lakehouse completion of the dedup family
+    (the engine analogue of the reference v2 store's ingest-into-an-
+    existing-collection path, build_vectorstore.py:233-250): per new
+    doc, the best-matching indexed doc with exact word-6-gram Jaccard
+    >= threshold. `contamination_best_match` semantics, but O(new
+    shard) compute instead of corpus x corpus — the corpus side is
+    READ (two column-pruned parquet scans of the index artifacts), its
+    tokenization is never re-run.
+
+    Scale shape: the shard's band keys (map-only minhash, shard-sized)
+    are BROADCAST into the probe join against the index's band table —
+    the 100 TB posting list never shuffles, it is scanned once with the
+    probe applied map-side (with the store bucketed BY key the scan is
+    also partition-pruned). Candidates are the slim DISTINCT
+    (new_id, dup_of) set; the index's shingle table is likewise probed
+    with the broadcast candidate ids, so full shingle arrays are read
+    only for verified candidates. Wall-clock vs existing-corpus size is
+    therefore scan-bound, not join-bound (measured flat-ish at 1x vs
+    10x corpus in perf_scale_dedup.py)."""
+    ssh = (
+        shard.select(
+            F.col(id_col).alias("new_id"), token_hashes60(F.col(text_col)).alias("__th")
+        )
+        .select("new_id", gram_hashes60(F.col("__th")).alias("n_shingles"))
+        .localCheckpoint(eager=True)  # shard-sized; feeds bands + verify
+    )
+    sigs = ssh.withColumn(
+        "hashes", F.transform(F.col("n_shingles"), lambda h: h % MINHASH_P)
+    ).select("new_id", *minhash_signature_cols(F.col("hashes")))
+    shard_bands = sigs.select(
+        "new_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_key("mh", bi).alias("key"))
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("new_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        index_bands.join(F.broadcast(shard_bands), ["band", "key"])
+        .select("new_id", F.col("sid").alias("dup_of"))
+        .dropDuplicates(["new_id", "dup_of"])
+    )
+    # cand is O(shard)-sized: BROADCAST it into the shingle probe too,
+    # so the index's shingle table is scanned map-side, never shuffled
+    # (first measured as an 18.7 MB exchange of the 10x shingle table
+    # before the hint — the index side must never be a shuffle input)
+    verified = index_shingles.withColumnRenamed("sid", "dup_of").withColumnRenamed(
+        "hs", "o_shingles"
+    ).join(F.broadcast(cand), "dup_of").join(F.broadcast(ssh), "new_id")
+    common = F.size(F.array_intersect(F.col("n_shingles"), F.col("o_shingles")))
+    jac = F.round(
+        common / (F.size("n_shingles") + F.size("o_shingles") - common), 4
+    )
+    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("dup_of"))
+    return (
+        verified.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", "dup_of", "jaccard")
+        .orderBy("new_id")
+    )
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     threshold: float,

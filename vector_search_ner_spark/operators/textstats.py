@@ -75,3 +75,60 @@ def fingerprint(text: Column) -> Column:
     lowercased text (md5-derived; cross-engine reproducible)."""
     norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return stable_long_hash(norm)
+
+
+# ---------------------------------------------------------------------------
+# CCNet/C4-style language + boilerplate gate (doc_language_quality_gate)
+# ---------------------------------------------------------------------------
+
+# unicode script classes for the charset-frequency language router:
+# CJK ideographs + kana + hangul vs basic-latin letters. The router
+# decides the SCRIPT from character-class frequencies (CCNet's first
+# cut); within latin script the marker-word argmax (`lang_id`) refines
+# the label. Identical regex classes work in Java regex and RE2.
+CJK_NEGATED_CLASS = r"[^\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]"
+LATIN_NEGATED_CLASS = "[^A-Za-z]"
+
+# boilerplate detector granularity: consecutive 8-token segments (the
+# fixture corpus is single-line, so C4's line-level dedup degrades to
+# fixed token windows — same signal, newline-free)
+BOILERPLATE_SEG = 8
+
+
+def script_class(text: Column) -> Column:
+    """'cjk' | 'latin' | 'other' from character-class frequencies —
+    count of CJK-script chars vs latin letters, majority wins."""
+    cjk = F.length(F.regexp_replace(text, CJK_NEGATED_CLASS, ""))
+    lat = F.length(F.regexp_replace(text, LATIN_NEGATED_CLASS, ""))
+    return F.when(cjk > lat, "cjk").when(lat > 0, "latin").otherwise("other")
+
+
+def lang_id_scripted(text: Column) -> Column:
+    """Two-stage language id: charset-class script routing, then the
+    marker-word argmax within latin script ('cjk' is terminal — the
+    marker lists are latin-script)."""
+    s = script_class(text)
+    return (
+        F.when(s == "cjk", "cjk")
+        .when(s == "latin", lang_id(text))
+        .otherwise("und")
+    )
+
+
+def boilerplate_ratio(text_col: str = "text") -> Column:
+    """Fraction of duplicated fixed-size token segments — the
+    line-dup/boilerplate signal of CCNet/C4 corpus filtering, over
+    8-token windows since the corpus is single-line. 0.0 = every
+    segment unique; near 1.0 = template spam. Pure higher-order array
+    exprs (map-only, JVM-side); takes a column NAME because the
+    segmenting expression is built with F.expr."""
+    s = BOILERPLATE_SEG
+    w = f"split(trim({text_col}), '\\\\s+')"
+    nseg = f"cast(floor((size({w}) + {s - 1}) / {s}) as int)"
+    segs = (
+        f"transform(sequence(0, {nseg} - 1), "
+        f"i -> array_join(slice({w}, i * {s} + 1, {s}), ' '))"
+    )
+    return F.expr(
+        f"round(1.0 - size(array_distinct({segs})) / cast(size({segs}) as double), 4)"
+    )

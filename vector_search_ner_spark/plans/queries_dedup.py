@@ -849,7 +849,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_corpus_prep() -> str:
-    from vector_search_ner_spark.plans.queries_text import _duck_lang_id, _duck_quality
+    from vector_search_ner_spark.plans.queries_text import (
+        _BP_CAP,
+        _duck_boilerplate,
+        _duck_lang_id,
+        _duck_quality,
+    )
 
     nib = "strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1"
     return (
@@ -863,7 +868,8 @@ def _duck_corpus_prep() -> str:
 ), kept AS (
   SELECT doc_id FROM ranked WHERE rn = 1
 ), scored AS (
-  SELECT d.doc_id, {_duck_quality()} AS quality, {_duck_lang_id()} AS lang_pred
+  SELECT d.doc_id, {_duck_quality()} AS quality, {_duck_lang_id()} AS lang_pred,
+         {_duck_boilerplate()} AS bp
   FROM documents d JOIN kept k ON d.doc_id = k.doc_id
 )
 SELECT doc_id, quality, lang_pred,
@@ -871,7 +877,7 @@ SELECT doc_id, quality, lang_pred,
             WHEN {nib} < 14 THEN 'val'
             ELSE 'test' END AS split
 FROM scored
-WHERE quality >= 0.5 AND lang_pred <> 'und'
+WHERE quality >= 0.5 AND lang_pred <> 'und' AND bp <= {_BP_CAP}
 ORDER BY doc_id
 """
     )
@@ -886,8 +892,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         components — O(n·bands) edges even on full-dup cliques);
       ② keep ONE canonical doc per cluster (longest, id tie-break —
         MAX-over-struct hash agg, map-side combine);
-      ③ quality-score + language-ID the survivors (map-only exprs);
-      ④ drop low-quality and unidentifiable-language docs;
+      ③ quality-score + language-ID + boilerplate-ratio the survivors
+        (map-only exprs);
+      ④ drop low-quality, unidentifiable-language, and boilerplate-
+        heavy docs (the doc_language_quality_gate predicate);
       ⑤ assign the content-hash train/val/test split (row-stable under
         repartition/retry, unlike rand(seed)).
 
@@ -897,7 +905,12 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (diameter-bounded), and one hash agg — scoring, filtering, and
     splitting are all width-one projections."""
     from vector_search_ner_spark.operators.dedup import connected_components
-    from vector_search_ner_spark.operators.textstats import lang_id, quality_score
+    from vector_search_ner_spark.operators.textstats import (
+        boilerplate_ratio,
+        lang_id,
+        quality_score,
+    )
+    from vector_search_ner_spark.plans.queries_text import _BP_CAP
 
     docs = load_table(spark, sf_dir, "documents")
     labels = connected_components(nd.lsh_star_edges(docs))
@@ -913,13 +926,18 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("lang_pred"),
+        boilerplate_ratio("text").alias("bp"),
     )
     nibble = F.instr(
         F.lit("0123456789abcdef"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1),
     ) - 1
     return (
-        scored.where((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        scored.where(
+            (F.col("quality") >= 0.5)
+            & (F.col("lang_pred") != "und")
+            & (F.col("bp") <= _BP_CAP)
+        )
         .select(
             "doc_id",
             "quality",
@@ -1028,3 +1046,84 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/neardup.py:sorted_neighborhood_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return nd.sorted_neighborhood_pairs(docs, JACCARD_T, window=_SNM_WINDOW)
+
+
+_INC_MOD, _INC_REM = 10, 5
+
+
+def _duck_incremental_index() -> str:
+    """Oracle re-derives both sides from first principles: the same
+    split, the same 16-perm minhash + 4-band candidate generation, the
+    same exact-Jaccard verify and best-match argmax the operator runs
+    against the PERSISTED index (the store's contents are derived with
+    the identical exprs, so re-deriving them here checks the store's
+    freshness contract too)."""
+    sig_cols = ",\n       ".join(
+        f"{nd.duck_minhash_sig(j, 'hs')} AS mh{j}" for j in range(nd.N_PERM)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT sid, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
+        for bi in range(nd.N_BANDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS MATERIALIZED (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
+), sigs AS (
+  SELECT sid, hs,
+       {sig_cols}
+  FROM sh
+), bands AS MATERIALIZED (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT n.sid AS new_id, o.sid AS dup_of
+  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+  WHERE n.sid % {_INC_MOD} = {_INC_REM} AND o.sid % {_INC_MOD} <> {_INC_REM}
+), v AS (
+  SELECT c.new_id, c.dup_of,
+         len(list_intersect(sn.hs, so.hs)) AS common,
+         len(sn.hs) AS nn, len(so.hs) AS no
+  FROM cand c
+  JOIN sh sn ON sn.sid = c.new_id
+  JOIN sh so ON so.sid = c.dup_of
+)
+SELECT new_id, dup_of, jaccard FROM (
+  SELECT new_id, dup_of,
+         ROUND(common / CAST(nn + no - common AS DOUBLE), 4) AS jaccard,
+         row_number() OVER (
+           PARTITION BY new_id
+           ORDER BY ROUND(common / CAST(nn + no - common AS DOUBLE), 4) DESC,
+                    dup_of) AS rn
+  FROM v
+  WHERE ROUND(common / CAST(nn + no - common AS DOUBLE), 4) >= {JACCARD_T}
+) WHERE rn = 1
+ORDER BY new_id
+"""
+
+
+@query("dedup_incremental_vs_index", oracle=_duck_incremental_index())
+def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — a new shard (doc_id % 10 == 5, the held-out
+    10%) deduplicated against the PERSISTED shingle/minhash index of
+    the existing corpus (sources/neardup_index.py, the build-once
+    store pattern of sources/vecstore.py; the reference analogue is
+    the v2 store's upsert-into-existing-collection ingest,
+    build_vectorstore.py:233-250). Per new doc, the best-matching
+    indexed doc with exact word-6-gram Jaccard >= 0.5.
+
+    This is `contamination_check`'s semantics at `dedup`'s scale
+    contract: O(new shard) compute — the shard's band keys broadcast
+    into a probe of the index's posting table, candidate verify reads
+    only the candidates' stored shingle sets, and the existing corpus
+    is never re-tokenized (plan-asserted: the index side appears as
+    parquet scans of the store artifacts). The daily-ingest shape at
+    100 TB: index maintenance is an O(delta) append of the new shard's
+    rows after this audit passes."""
+    from vector_search_ner_spark.sources.neardup_index import shingle_index_store
+
+    bands, shingles = shingle_index_store(spark, sf_dir, _INC_MOD, _INC_REM)
+    shard = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _INC_MOD == _INC_REM
+    )
+    return nd.incremental_lsh_dedup(shard, bands, shingles, JACCARD_T)

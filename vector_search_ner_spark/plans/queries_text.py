@@ -11,10 +11,14 @@ from pyspark.sql import functions as F
 from vector_search_ner_spark.functions.text import clean_text, stable_id
 from vector_search_ner_spark.operators.chunker import chunk_text, duck_chunk_sql
 from vector_search_ner_spark.operators.textstats import (
+    BOILERPLATE_SEG,
     LANG_MARKERS,
+    boilerplate_ratio,
     fingerprint,
     lang_id,
+    lang_id_scripted,
     quality_score,
+    script_class,
     token_count,
 )
 from vector_search_ner_spark.registry import query
@@ -1332,3 +1336,73 @@ def hybrid_rrf_maxsim_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+_BP_CAP = 0.3
+
+
+def _duck_script() -> str:
+    cjk = r"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g'))"
+    lat = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    return f"""CASE WHEN {cjk} > {lat} THEN 'cjk'
+      WHEN {lat} > 0 THEN 'latin' ELSE 'other' END"""
+
+
+def _duck_lang_scripted() -> str:
+    return f"""CASE WHEN ({_duck_script()}) = 'cjk' THEN 'cjk'
+      WHEN ({_duck_script()}) = 'latin' THEN ({_duck_lang_id()})
+      ELSE 'und' END"""
+
+
+def _duck_boilerplate() -> str:
+    s = BOILERPLATE_SEG
+    w = "string_split(trim(text), ' ')"
+    segs = (
+        f"list_transform(range(0, CAST(ceil(len({w}) / {s}.0) AS INT)), "
+        f"i -> array_to_string(({w})[(i * {s} + 1):(i * {s} + {s})], ' '))"
+    )
+    return (
+        f"ROUND(1.0 - len(list_distinct({segs})) / CAST(len({segs}) AS DOUBLE), 4)"
+    )
+
+
+@query(
+    "doc_language_quality_gate",
+    oracle=f"""
+SELECT doc_id,
+       {_duck_script()} AS script,
+       {_duck_lang_scripted()} AS lang_pred,
+       {_duck_quality()} AS quality,
+       {_duck_boilerplate()} AS bp_ratio,
+       (({_duck_lang_scripted()}) <> 'und'
+        AND ({_duck_quality()}) >= 0.5
+        AND ({_duck_boilerplate()}) <= {_BP_CAP}) AS keep
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_language_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style pretraining quality gate — the per-doc filter a
+    crawl passes through before tokenization: ① charset-class script
+    routing (CJK-script char count vs latin letters) → ② marker-word
+    language argmax within latin script → ③ boilerplate ratio
+    (duplicated 8-token segments — C4's line-dedup signal, newline-free
+    since the corpus is single-line) → ④ the keep/drop verdict
+    combining language identifiability, the heuristic quality score,
+    and the boilerplate cap. Entirely built-in column exprs: at 100 TB
+    this is a map-only width-one projection that runs at parquet-scan
+    speed, zero shuffles (the same contract as doc_quality_scores).
+    The same gate predicate composes into corpus_prep_pipeline's
+    stage ④."""
+    docs = load_table(spark, sf_dir, "documents")
+    bp = boilerplate_ratio("text")
+    lp = lang_id_scripted(F.col("text"))
+    q = quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        script_class(F.col("text")).alias("script"),
+        lp.alias("lang_pred"),
+        q.alias("quality"),
+        bp.alias("bp_ratio"),
+        ((lp != "und") & (q >= 0.5) & (bp <= _BP_CAP)).alias("keep"),
+    ).orderBy("doc_id")

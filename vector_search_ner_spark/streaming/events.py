@@ -119,7 +119,11 @@ def stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     kafka→lakehouse landing pattern): source split into 4 files fed one
     per micro-batch, each batch appended to a partitioned parquet sink,
     then the LANDED table is aggregated. Oracle = the same aggregate
-    straight off the source — ingest must be lossless, exactly-once."""
+    straight off the source — ingest must be lossless, exactly-once.
+    Each micro-batch OVERWRITES its own batch_id=N subdirectory
+    (deterministic per-batch output), so a replayed batch rewrites
+    rather than duplicates — foreachBatch's at-least-once delivery
+    made idempotent without relying on the checkpoint alone."""
     import os
     import shutil
 
@@ -140,7 +144,9 @@ def stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def land(bdf: DataFrame, batch_id: int) -> None:
-        bdf.write.mode("append").partitionBy("event_type").parquet(sink)
+        bdf.write.mode("overwrite").partitionBy("event_type").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(land)
@@ -154,7 +160,7 @@ def stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(os.path.join(base, "ingest_ckpt_tmp"), ignore_errors=True)
 
-    landed = spark.read.parquet(sink)
+    landed = spark.read.parquet(sink).drop("batch_id")
     return landed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
@@ -315,9 +321,13 @@ def stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch (maxFilesPerTrigger=1); foreachBatch runs the SAME
     knn_join operator used by the batch path against the static
     embeddings (re-read per batch, broadcast of the micro-batch's
-    queries — docs never shuffle), appending answers to the sink. At
+    queries — docs never shuffle), landing answers in the sink. At
     cluster scale this is kafka→foreachBatch→serving-store with the
-    doc index as a persisted table."""
+    doc index as a persisted table. Each micro-batch OVERWRITES its
+    own batch_id=N subdirectory so a replayed batch is idempotent
+    (foreachBatch is at-least-once); the reader drops the inferred
+    batch_id partition column, keeping the schema and the shared
+    oracle bit-for-bit identical."""
     import os
     import shutil
 
@@ -346,14 +356,14 @@ def stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     def answer(batch_queries: DataFrame, batch_id: int) -> None:
         knn_join(batch_queries, docs, k=10, metric="cosine").select(
             "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
-        ).write.mode("append").parquet(sink)
+        ).write.mode("overwrite").parquet(os.path.join(sink, f"batch_id={batch_id}"))
 
     q = stream.writeStream.foreachBatch(answer).trigger(availableNow=True).start()
     try:
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.read.parquet(sink)
+    return spark.read.parquet(sink).drop("batch_id")
 
 
 def stream_bq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +377,10 @@ def stream_bq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure; the float vectors are touched only for candidates, so
     a query micro-batch costs a bit-code scan, not a corpus scan.
     Shares `ann_bq_hamming_topk`'s full oracle bit-for-bit (same
-    query batch, same k/overfetch)."""
+    query batch, same k/overfetch). Each micro-batch OVERWRITES its
+    own batch_id=N subdirectory so a replayed batch is idempotent
+    (foreachBatch is at-least-once); the reader drops the inferred
+    batch_id partition column, keeping the shared oracle intact."""
     import os
     import shutil
 
@@ -397,15 +410,15 @@ def stream_bq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def answer(batch_queries: DataFrame, batch_id: int) -> None:
         bq.bq_hamming_topk(batch_queries, emb, _BQ_K, _BQ_OVERFETCH).write.mode(
-            "append"
-        ).parquet(sink)
+            "overwrite"
+        ).parquet(os.path.join(sink, f"batch_id={batch_id}"))
 
     q = stream.writeStream.foreachBatch(answer).trigger(availableNow=True).start()
     try:
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.read.parquet(sink)
+    return spark.read.parquet(sink).drop("batch_id")
 
 
 def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
