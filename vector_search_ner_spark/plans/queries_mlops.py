@@ -1243,3 +1243,123 @@ def corpus_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_sqdist"),
     )
+
+
+_SEMDEDUP_T = 0.4
+
+
+def _duck_semdedup() -> str:
+    from vector_search_ner_spark.functions.vector import duck_cosine
+
+    sqd = _LLOYD_SQD.format(a="a.v", b="c.centroid")
+    cf = f"c{_LLOYD_ITER}"
+    cos = duck_cosine("a.v", "b.v")
+    return (
+        _duck_lloyd_ctes()
+        + f""",
+j AS (
+  SELECT a.doc_id, a.cluster_id, a.v,
+         CAST(FLOOR({sqd} * 1000000) AS BIGINT) AS u
+  FROM af a JOIN {cf} c ON a.cluster_id = c.cluster_id
+),
+p AS (
+  SELECT b.doc_id, ROUND(MAX({cos}), 4) AS max_sim_earlier
+  FROM j a JOIN j b ON a.cluster_id = b.cluster_id
+   AND (a.u < b.u OR (a.u = b.u AND a.doc_id < b.doc_id))
+  GROUP BY b.doc_id
+)
+SELECT j.doc_id, j.cluster_id, p.max_sim_earlier,
+       COALESCE(p.max_sim_earlier > {_SEMDEDUP_T}, FALSE) AS dropped
+FROM j LEFT JOIN p ON j.doc_id = p.doc_id
+ORDER BY j.doc_id
+"""
+    )
+
+
+@query("dedup_semantic_prune", oracle=_duck_semdedup())
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication, the third
+    rung of the dedup ladder after exact (fingerprint groupBy) and
+    near-dup (MinHash/SimHash/Jaccard): embed, k-means-cluster, and
+    drop documents whose embedding is too cosine-similar to another
+    member of the SAME cluster — catches paraphrases and re-encodings
+    that share no n-grams at all. `corpus_semantic_clusters` reports
+    the cluster landscape; this query makes the keep/drop DECISION.
+
+    Deterministic sweep: members order by (centroid-distance
+    microunits, doc_id) — most-central first, the member SemDeDup
+    retains as the region's representative — and a document is dropped
+    iff its max cosine to ANY EARLIER member exceeds 0.4. The earlier-
+    member rule (rather than earlier-KEPT-member) keeps the decision
+    one set-at-a-time pairwise aggregate instead of a sequential scan
+    — order-free, exactly SQL-expressible, and strictly more
+    conservative (it can only drop a superset of the greedy-kept
+    variant's drops within a redundant region, never keep a true
+    duplicate).
+
+    Scale shape: this is SemDeDup's own design point — pairwise cosine
+    is computed only WITHIN clusters (one equi-join on cluster_id, the
+    inequality a pushed join filter), so cost is O(sum c_i^2) and the
+    cluster count is the knob that bounds c_i at 100 TB (the paper
+    uses ~10k clusters for ~100M docs). The Lloyd rounds are the only
+    corpus-wide iteration (log-bounded, lineage-cut); the final
+    verdict is a broadcast-sized left join. The oracle unrolls Lloyd +
+    sweep end to end; doubles match bit-for-bit."""
+    from vector_search_ner_spark.functions.vector import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.lloyd_build(emb, _IVF_N_CENT, n_iter=_LLOYD_ITER)
+    sq = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # the self-join consumes j TWICE: materialize once (eager
+    # localCheckpoint — the edge-list lesson; K rows, bounded)
+    j = (
+        assigned.select(
+            F.col("vec_id").alias("doc_id"),
+            to_double_array(F.col("embedding")).alias("v"),
+            "cluster_id",
+        )
+        .join(F.broadcast(centroids), "cluster_id")
+        .withColumn(
+            "u", F.floor(sq(F.col("v"), F.col("centroid")) * 1000000).cast("long")
+        )
+        .select("doc_id", "cluster_id", "v", "u")
+        .localCheckpoint(eager=True)
+    )
+    # explicit per-side column names: self-join disambiguation by
+    # dataset id works but is version-fragile (and warns); renamed
+    # join keys make the within-cluster equi-join unambiguous
+    a = j.select(
+        F.col("cluster_id").alias("a_cl"), F.col("doc_id").alias("a_id"),
+        F.col("v").alias("av"), F.col("u").alias("au"),
+    )
+    b = j.select(
+        F.col("cluster_id").alias("b_cl"), F.col("doc_id").alias("doc_id"),
+        F.col("v").alias("bv"), F.col("u").alias("bu"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("a_cl") == F.col("b_cl"))
+            & ((F.col("au") < F.col("bu"))
+               | ((F.col("au") == F.col("bu")) & (F.col("a_id") < F.col("doc_id")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.max(cosine_similarity(F.col("av"), F.col("bv"))), 4).alias("max_sim_earlier"))
+    )
+    return (
+        j.join(p, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "max_sim_earlier",
+            F.coalesce(F.col("max_sim_earlier") > _SEMDEDUP_T, F.lit(False)).alias("dropped"),
+        )
+        .orderBy("doc_id")
+    )

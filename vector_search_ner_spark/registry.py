@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round-7 additions (full oracles, local-green)
     "dedup_incremental_vs_index",
     "doc_language_quality_gate",
+    "dedup_semantic_prune",
 ]
 
 
