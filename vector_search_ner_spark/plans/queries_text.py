@@ -13,10 +13,8 @@ from vector_search_ner_spark.operators.chunker import chunk_text, duck_chunk_sql
 from vector_search_ner_spark.operators.textstats import (
     BOILERPLATE_SEG,
     LANG_MARKERS,
-    boilerplate_ratio,
     fingerprint,
     lang_id,
-    lang_id_scripted,
     quality_score,
     script_class,
     token_count,
