@@ -51,17 +51,27 @@ def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     return marker_hits_tokens(word_tokens(text), markers)
 
 
-def quality_score_tokens(text: Column, toks: Column) -> Column:
-    """`quality_score` over a pre-tokenized array column (hot-path
-    variant — see marker_hits_tokens)."""
-    n_tok = F.size(toks).cast("long")
+def quality_from_parts(text: Column, n_tok: Column, en_hits: Column) -> Column:
+    """The quality formula over PRE-STAGED parts (token count + en
+    marker hits as attributes): the CASE bands reference each part
+    several times, and interpreted higher-order counts have no CSE —
+    staging the counts into their own projection evaluates each filter
+    pass exactly once per row (see the gate's plan notes)."""
     n_chars = F.length(text)
     mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
-    stop_ratio = marker_hits_tokens(toks, LANG_MARKERS["en"]) / n_tok
+    stop_ratio = en_hits / n_tok
     length_ok = F.when((n_tok >= 5) & (n_tok <= 1000), 1.0).otherwise(0.0)
     tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
     stop_ok = F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 1.0).otherwise(0.0)
     return F.round((length_ok + tok_len_ok + stop_ok) / 3.0, 4)
+
+
+def quality_score_tokens(text: Column, toks: Column) -> Column:
+    """`quality_score` over a pre-tokenized array column (hot-path
+    variant — see marker_hits_tokens)."""
+    return quality_from_parts(
+        text, F.size(toks).cast("long"), marker_hits_tokens(toks, LANG_MARKERS["en"])
+    )
 
 
 def quality_score(text: Column) -> Column:
@@ -70,17 +80,25 @@ def quality_score(text: Column) -> Column:
     return quality_score_tokens(text, word_tokens(text))
 
 
-def lang_id_tokens(toks: Column) -> Column:
-    """`lang_id` over a pre-tokenized array column (hot-path variant —
-    see marker_hits_tokens)."""
-    code = marker_hits_tokens(toks, LANG_MARKERS["code"])
-    data = marker_hits_tokens(toks, LANG_MARKERS["data"])
-    en = marker_hits_tokens(toks, LANG_MARKERS["en"])
+def lang_from_hits(code: Column, data: Column, en: Column) -> Column:
+    """The language argmax over PRE-STAGED per-profile hit counts
+    (see quality_from_parts for why staging matters: the CASE chain
+    references `code` three times, `data`/`en` twice each)."""
     return (
         F.when((code >= data) & (code >= en) & (code > 0), "code")
         .when((data >= en) & (data > 0), "data")
         .when(en > 0, "en")
         .otherwise("und")
+    )
+
+
+def lang_id_tokens(toks: Column) -> Column:
+    """`lang_id` over a pre-tokenized array column (hot-path variant —
+    see marker_hits_tokens)."""
+    return lang_from_hits(
+        marker_hits_tokens(toks, LANG_MARKERS["code"]),
+        marker_hits_tokens(toks, LANG_MARKERS["data"]),
+        marker_hits_tokens(toks, LANG_MARKERS["en"]),
     )
 
 
@@ -115,12 +133,24 @@ LATIN_NEGATED_CLASS = "[^A-Za-z]"
 BOILERPLATE_SEG = 8
 
 
+def cjk_char_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, CJK_NEGATED_CLASS, ""))
+
+
+def latin_char_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, LATIN_NEGATED_CLASS, ""))
+
+
+def script_from_counts(cjk: Column, lat: Column) -> Column:
+    """'cjk' | 'latin' | 'other' from PRE-STAGED character-class counts
+    (`lat` is referenced twice — stage the regex counts once)."""
+    return F.when(cjk > lat, "cjk").when(lat > 0, "latin").otherwise("other")
+
+
 def script_class(text: Column) -> Column:
     """'cjk' | 'latin' | 'other' from character-class frequencies —
     count of CJK-script chars vs latin letters, majority wins."""
-    cjk = F.length(F.regexp_replace(text, CJK_NEGATED_CLASS, ""))
-    lat = F.length(F.regexp_replace(text, LATIN_NEGATED_CLASS, ""))
-    return F.when(cjk > lat, "cjk").when(lat > 0, "latin").otherwise("other")
+    return script_from_counts(cjk_char_count(text), latin_char_count(text))
 
 
 def lang_id_scripted(text: Column) -> Column:

@@ -906,9 +906,11 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting are all width-one projections."""
     from vector_search_ner_spark.operators.dedup import connected_components
     from vector_search_ner_spark.operators.textstats import (
+        LANG_MARKERS,
         boilerplate_ratio_tokens,
-        lang_id_tokens,
-        quality_score_tokens,
+        lang_from_hits,
+        marker_hits_tokens,
+        quality_from_parts,
         word_tokens,
     )
     from vector_search_ner_spark.plans.queries_text import _BP_CAP
@@ -923,15 +925,28 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("n_chars"), (-F.col("node")).alias("neg_id"))).alias("b"))
         .select((-F.col("b.neg_id")).cast("long").alias("doc_id"))
     )
-    # tokenize once, score from the staged attribute (interpreted
-    # higher-order exprs, no CSE — same discipline as the gate query)
+    # tokenize once, stage each marker count once, score from the
+    # staged attributes (interpreted higher-order exprs, no CSE —
+    # same discipline as the gate query)
     scored = (
         docs.join(kept, "doc_id")
         .select("doc_id", "text", word_tokens(F.col("text")).alias("__w"))
         .select(
             "doc_id",
-            quality_score_tokens(F.col("text"), F.col("__w")).alias("quality"),
-            lang_id_tokens(F.col("__w")).alias("lang_pred"),
+            "text",
+            "__w",
+            marker_hits_tokens(F.col("__w"), LANG_MARKERS["code"]).alias("__code"),
+            marker_hits_tokens(F.col("__w"), LANG_MARKERS["data"]).alias("__data"),
+            marker_hits_tokens(F.col("__w"), LANG_MARKERS["en"]).alias("__en"),
+        )
+        .select(
+            "doc_id",
+            quality_from_parts(
+                F.col("text"), F.size("__w").cast("long"), F.col("__en")
+            ).alias("quality"),
+            lang_from_hits(F.col("__code"), F.col("__data"), F.col("__en")).alias(
+                "lang_pred"
+            ),
             boilerplate_ratio_tokens("__w").alias("bp"),
         )
     )

@@ -158,12 +158,36 @@ FROM documents
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + heuristic language-ID over documents —
-    training-data-pipeline text analysis as one map-only stage."""
+    training-data-pipeline text analysis as one map-only projection
+    pipeline (tokenize once, stage each marker count once, derive the
+    score and the argmax from attributes — the interpreted-HOF staging
+    discipline; see doc_language_quality_gate)."""
+    from vector_search_ner_spark.operators.textstats import (
+        lang_from_hits,
+        marker_hits_tokens,
+        quality_from_parts,
+        word_tokens,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    hits = docs.select(
+        "doc_id", "text", word_tokens(F.col("text")).alias("__w")
+    ).select(
         "doc_id",
-        quality_score(F.col("text")).alias("quality"),
-        lang_id(F.col("text")).alias("lang_pred"),
+        "text",
+        "__w",
+        marker_hits_tokens(F.col("__w"), LANG_MARKERS["code"]).alias("__code"),
+        marker_hits_tokens(F.col("__w"), LANG_MARKERS["data"]).alias("__data"),
+        marker_hits_tokens(F.col("__w"), LANG_MARKERS["en"]).alias("__en"),
+    )
+    return hits.select(
+        "doc_id",
+        quality_from_parts(
+            F.col("text"), F.size("__w").cast("long"), F.col("__en")
+        ).alias("quality"),
+        lang_from_hits(F.col("__code"), F.col("__data"), F.col("__en")).alias(
+            "lang_pred"
+        ),
     )
 
 
@@ -1395,26 +1419,48 @@ def doc_language_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Evaluation discipline: higher-order array exprs run INTERPRETED
     with no common-subexpression elimination, so the text is tokenized
-    ONCE into a staged column and every signal is computed ONCE, then
-    referenced (not re-derived) by the keep verdict — CollapseProject
-    keeps non-cheap aliases staged when they are referenced more than
-    once downstream. The first cut inlined each signal into `keep`
-    (re-splitting per marker profile) and measured 5.3 s at sf0.1;
-    this shape is ~4x cheaper on the same data."""
+    ONCE into a staged column, each marker/charset COUNT is computed
+    ONCE in its own projection, and every signal is computed ONCE from
+    those attributes, then referenced (not re-derived) by the keep
+    verdict — CollapseProject keeps non-cheap aliases staged when they
+    are referenced more than once downstream. The first cut inlined
+    each signal into `keep` (re-splitting per marker profile) and
+    measured 5.3 s at sf0.1; the signal-staged shape measured 1.92 s;
+    this count-staged shape goes further (the lang CASE referenced the
+    code-profile count three times)."""
     from vector_search_ner_spark.operators.textstats import (
+        LANG_MARKERS,
         boilerplate_ratio_tokens,
-        lang_id_tokens,
-        quality_score_tokens,
+        cjk_char_count,
+        lang_from_hits,
+        latin_char_count,
+        marker_hits_tokens,
+        quality_from_parts,
+        script_from_counts,
         word_tokens,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "text", word_tokens(F.col("text")).alias("__w"))
-    sig = toks.select(
+    hits = toks.select(
         "doc_id",
-        script_class(F.col("text")).alias("script"),
-        lang_id_tokens(F.col("__w")).alias("__latin_lang"),
-        quality_score_tokens(F.col("text"), F.col("__w")).alias("quality"),
+        "text",
+        "__w",
+        marker_hits_tokens(F.col("__w"), LANG_MARKERS["code"]).alias("__code"),
+        marker_hits_tokens(F.col("__w"), LANG_MARKERS["data"]).alias("__data"),
+        marker_hits_tokens(F.col("__w"), LANG_MARKERS["en"]).alias("__en"),
+        cjk_char_count(F.col("text")).alias("__cjk"),
+        latin_char_count(F.col("text")).alias("__lat"),
+    )
+    sig = hits.select(
+        "doc_id",
+        script_from_counts(F.col("__cjk"), F.col("__lat")).alias("script"),
+        lang_from_hits(F.col("__code"), F.col("__data"), F.col("__en")).alias(
+            "__latin_lang"
+        ),
+        quality_from_parts(
+            F.col("text"), F.size("__w").cast("long"), F.col("__en")
+        ).alias("quality"),
         boilerplate_ratio_tokens("__w").alias("bp_ratio"),
     )
     labeled = sig.select(
