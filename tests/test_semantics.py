@@ -1665,3 +1665,71 @@ def test_language_quality_gate_drop_branches(spark):
     assert got[4].script == "latin" and got[4].lang_pred == "und"
     assert got[5].lang_pred in ("en", "code", "data") and got[5].quality >= 0.5
     assert got[5].bp == 0.0
+
+
+def test_boilerplate_ratio_matches_python_reference(spark):
+    """Property check: boilerplate_ratio agrees with a direct Python
+    re-implementation (8-token segments, duplicated-segment fraction,
+    round-4) on randomized token soups — including heavy-repetition
+    inputs the fixture corpus lacks."""
+    from hypothesis import given, settings, strategies as st
+
+    from vector_search_ner_spark.operators.textstats import (
+        BOILERPLATE_SEG,
+        boilerplate_ratio,
+    )
+
+    vocab = ["aa", "bb", "cc", "dd"]
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.sampled_from(range(4)), min_size=1, max_size=60))
+    def run(idx):
+        toks = [vocab[i] for i in idx]
+        text = " ".join(toks)
+        s = BOILERPLATE_SEG
+        segs = [" ".join(toks[i : i + s]) for i in range(0, len(toks), s)]
+        want = round(1.0 - len(set(segs)) / len(segs), 4)
+        got = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(boilerplate_ratio("text").alias("bp"))
+            .collect()[0]
+            .bp
+        )
+        assert got == want, (text, got, want)
+
+    run()
+
+
+def test_incremental_dedup_agrees_with_selfjoin_lsh(spark):
+    """Independent-path consistency: dedup_incremental_vs_index (index
+    probe against the persisted store) must equal the per-new-doc
+    argmax derived from the SELF-JOIN LSH pair path
+    (nd.minhash_lsh_pairs over the full corpus, restricted to pairs
+    crossing the shard split). Same banding, same verify measure, two
+    entirely different dataflows — any store staleness, probe bug, or
+    broadcast-side mixup diverges here."""
+    from vector_search_ner_spark.operators import neardup as nd
+    from vector_search_ner_spark.plans.queries_dedup import (
+        _INC_MOD,
+        _INC_REM,
+        JACCARD_T,
+        dedup_incremental_vs_index,
+    )
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.new_id, r.dup_of, r.jaccard)
+        for r in dedup_incremental_vs_index(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    pairs = nd.minhash_lsh_pairs(docs, JACCARD_T).collect()
+    best: dict[int, tuple[int, float]] = {}
+    for r in pairs:
+        for new, old in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if new % _INC_MOD == _INC_REM and old % _INC_MOD != _INC_REM:
+                cur = best.get(new)
+                if cur is None or (-r.jaccard, old) < (-cur[1], cur[0]):
+                    best[new] = (old, r.jaccard)
+    want = {(n, o, j) for n, (o, j) in best.items()}
+    assert got == want, (got - want, want - got)
