@@ -237,3 +237,59 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest throughput = scan rate). Shares the batch oracle verbatim:
     streaming == batch, bit-for-bit."""
     return se.stream_pii_scrub(spark, sf_dir)
+
+
+def _index_ingest_oracle() -> str:
+    from vector_search_ner_spark.functions.text import duck_stable_long_hash
+    from vector_search_ner_spark.operators import neardup as nd
+
+    sig_cols = ",\n       ".join(
+        f"{nd.duck_minhash_sig(j, 'hs')} AS mh{j}" for j in range(nd.N_PERM)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT sid, {bi} AS band, {nd.duck_band_key(bi)} AS key FROM sigs"
+        for bi in range(nd.N_BANDS)
+    )
+    kh = duck_stable_long_hash("key")
+    ch = duck_stable_long_hash("array_to_string(list_sort(hs), ',')")
+    return f"""
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM documents
+), sh AS MATERIALIZED (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
+), sigs AS (
+  SELECT sid, hs,
+       {sig_cols}
+  FROM sh
+), bands AS (
+{band_selects}
+)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(SUM(sid) AS BIGINT) AS sid_sum,
+       bit_xor({kh}) AS content_xor
+FROM bands GROUP BY band
+UNION ALL
+SELECT -1 AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_keys,
+       CAST(SUM(sid) AS BIGINT) AS sid_sum,
+       bit_xor({ch}) AS content_xor
+FROM sh
+ORDER BY band
+"""
+
+
+@query("stream_index_ingest", oracle=_index_ingest_oracle())
+def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online maintenance of the persisted shingle/minhash dedup index:
+    the new shard arrives as a stream, each micro-batch appends its
+    shingle sets and band keys as idempotent batch_id=N delta
+    generations, and the MERGED index (base store ∪ streamed delta)
+    must equal the batch derivation over the full corpus — per-band
+    row/key counts, sid sums, and bit_xor content checksums over the
+    60-bit key hashes (band=-1 row checksums the full shingle table).
+    The O(delta) index-append that keeps dedup_incremental_vs_index
+    serving against a fresh index."""
+    return se.stream_index_ingest(spark, sf_dir)

@@ -102,6 +102,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental_vs_index",
     "doc_language_quality_gate",
     "dedup_semantic_prune",
+    "stream_index_ingest",
 ]
 
 

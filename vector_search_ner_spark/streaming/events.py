@@ -498,3 +498,124 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return _run_to_memory(pii_scrub_frame(stream), "append")
+
+
+def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE MAINTENANCE of the persisted shingle/minhash dedup index
+    (sources/neardup_index.py) — the op a daily-ingest pipeline runs
+    constantly: new documents arrive as a stream (the doc_id%10==5
+    shard, split over 2 micro-batches), each micro-batch computes its
+    shingle sets and band keys with the SAME map-only exprs as the
+    store build, and APPENDS them to the index as delta generations —
+    each batch OVERWRITES its own batch_id=N subdirectory under
+    delta/{shingles,bands}, so a replayed batch is idempotent (the
+    foreachBatch discipline shared by every sink here). The returned
+    frame summarizes the MERGED index (base store ∪ streamed delta):
+    per band the row count, distinct-key count, sid sum, and a
+    bit_xor content checksum over the 60-bit key hashes, plus a
+    band=-1 row checksumming the full shingle table content — and the
+    oracle derives the identical summary from the raw corpus, so a
+    lost batch, a duplicated replay, or any drift between the
+    streaming exprs and the batch build diverges bit-for-bit. At
+    cluster scale this is the O(delta) index-append that makes
+    `dedup_incremental_vs_index` serve against a fresh index without
+    ever re-tokenizing the corpus."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.functions.text import stable_long_hash
+    from vector_search_ner_spark.operators import neardup as nd
+    from vector_search_ner_spark.sources.neardup_index import shingle_index_store
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(base, "index_ingest_src")
+    delta = os.path.join(base, "index_ingest_delta")
+    shutil.rmtree(delta, ignore_errors=True)
+
+    # base generation: the existing corpus (everything but the shard)
+    bands0, shingles0 = shingle_index_store(spark, sf_dir, 10, 5)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = docs.where(F.col("doc_id") % 10 == 5)
+    shard.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(shard.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        sh = (
+            bdf.select(
+                F.col("doc_id").alias("sid"), nd.token_hashes60(F.col("text")).alias("__th")
+            )
+            .select("sid", nd.gram_hashes60(F.col("__th")).alias("hs"))
+            .localCheckpoint(eager=True)  # one tokenize pass feeds both writes
+        )
+        sh.write.mode("overwrite").parquet(
+            os.path.join(delta, "shingles", f"batch_id={batch_id}")
+        )
+        sigs = sh.withColumn(
+            "hashes", F.transform(F.col("hs"), lambda h: h % nd.MINHASH_P)
+        ).select("sid", *nd.minhash_signature_cols(F.col("hashes")))
+        sigs.select(
+            "sid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            nd.band_key("mh", bi).alias("key"),
+                        )
+                        for bi in range(nd.N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(delta, "bands", f"batch_id={batch_id}"))
+
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    bands = bands0.unionByName(
+        spark.read.parquet(os.path.join(delta, "bands")).drop("batch_id")
+    )
+    shingles = shingles0.unionByName(
+        spark.read.parquet(os.path.join(delta, "shingles")).drop("batch_id")
+    )
+    band_sum = bands.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("key").alias("n_keys"),
+        F.sum("sid").cast("long").alias("sid_sum"),
+    ).join(
+        bands.select(
+            F.col("band").cast("int").alias("band"),
+            stable_long_hash(F.col("key")).alias("__kh"),
+        )
+        .groupBy("band")
+        .agg(F.expr("bit_xor(__kh)").alias("content_xor")),
+        "band",
+    )
+    # hs is a distinct-SET whose element order is engine-specific
+    # (array_distinct preserves first occurrence, list_distinct does
+    # not) — sort before stringifying so the checksum is canonical
+    sh_content = shingles.select(
+        "sid",
+        stable_long_hash(
+            F.array_join(
+                F.transform(F.array_sort(F.col("hs")), lambda h: h.cast("string")), ","
+            )
+        ).alias("__ch"),
+    )
+    sh_sum = sh_content.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("sid").alias("n_keys"),
+        F.sum("sid").cast("long").alias("sid_sum"),
+        F.expr("bit_xor(__ch)").alias("content_xor"),
+    ).select(F.lit(-1).alias("band"), "n_rows", "n_keys", "sid_sum", "content_xor")
+    return band_sum.unionByName(sh_sum).orderBy("band")
