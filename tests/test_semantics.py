@@ -1733,3 +1733,65 @@ def test_incremental_dedup_agrees_with_selfjoin_lsh(spark):
                     best[new] = (old, r.jaccard)
     want = {(n, o, j) for n, (o, j) in best.items()}
     assert got == want, (got - want, want - got)
+
+
+def test_gate_drop_branches_end_to_end(spark, tmp_path):
+    """The fixture corpus is clean (every doc keeps), so the REGISTERED
+    doc_language_quality_gate query and its DuckDB oracle never
+    exercise a drop branch in the parity suite. Run both on a
+    constructed corpus that hits every branch — CJK script routing,
+    'other'-script und, boilerplate cap, marker-free und — and assert
+    full parity PLUS the expected verdicts; then run
+    corpus_prep_pipeline's query+oracle pair on the same corpus and
+    assert its roster excludes exactly the gated-out docs (covering
+    its bp filter term, which the clean fixture also never trips)."""
+    import duckdb
+
+    from vector_search_ner_spark.registry import collect
+    from tests.oracle_harness import assert_frames_match
+
+    boiler = " ".join(["spark table row hash join the query batch"] * 6)
+    rows = [
+        (0, "the table row spark join a small query batch of data value", "en"),
+        (1, "a key agg row scan slow fast table value part hash the merge", "en"),
+        (2, "中文 文本 的 例子 " * 5 + "中文 文本", "zh"),
+        (3, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "en"),
+        (4, boiler, "en"),
+        (5, "zzz qqq vvv kkk www yyy xxx mmm nnn ppp", "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, "srcT", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "gate_corpus")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    queries, oracles = collect()
+
+    def duck(sql: str):
+        con = duckdb.connect()
+        try:
+            # the constructed corpus is a Spark-written parquet DIR
+            # (the live fixtures are single files) — glob the parts
+            con.execute(
+                "CREATE VIEW documents AS "
+                f"SELECT * FROM '{d}/documents.parquet/*.parquet'"
+            )
+            return con.execute(sql).df()
+        finally:
+            con.close()
+
+    sdf = queries["doc_language_quality_gate"](spark, d).toPandas()
+    assert_frames_match(sdf, duck(oracles["doc_language_quality_gate"]), "gate-e2e")
+    by_id = {r.doc_id: r for r in sdf.itertuples()}
+    assert by_id[0].keep and by_id[1].keep
+    assert by_id[2].script == "cjk" and by_id[2].lang_pred == "cjk"
+    assert by_id[3].script == "other" and by_id[3].lang_pred == "und" and not by_id[3].keep
+    assert by_id[4].bp_ratio > 0.3 and not by_id[4].keep
+    assert by_id[5].lang_pred == "und" and not by_id[5].keep
+
+    pdf = queries["corpus_prep_pipeline"](spark, d).toPandas()
+    assert_frames_match(pdf, duck(oracles["corpus_prep_pipeline"]), "prep-e2e")
+    kept_ids = set(pdf.doc_id)
+    assert 4 not in kept_ids and 3 not in kept_ids and 5 not in kept_ids
+    assert kept_ids & {0, 1}

@@ -235,6 +235,41 @@ def duck_band_key(band: int) -> str:
     return "concat_ws('_', " + ", ".join(cols) + ")"
 
 
+def shingle_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(sid, hs): the per-doc 60-bit word-6-gram shingle-hash set —
+    the canonical first stage every minhash consumer shares. Callers
+    that feed multiple consumers localCheckpoint the result."""
+    return docs.select(
+        F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
+    ).select("sid", gram_hashes60(F.col("__th")).alias("hs"))
+
+
+def minhash_band_frame(sh: DataFrame) -> DataFrame:
+    """(sid, band, key) LSH posting rows from a (sid, hs) shingle
+    frame: mod-P staging → 16-perm signatures → 4-band key explode.
+    THE single definition of the banding — the persisted index build,
+    the streaming index append, the shard probe, the pair self-join,
+    the star edges, and the banding eval all call this, so the store,
+    the stream, and every probe CANNOT drift apart (the checksums in
+    stream_index_ingest would catch it; this removes the hazard)."""
+    sigs = sh.withColumn(
+        "hashes", F.transform(F.col("hs"), lambda h: h % MINHASH_P)
+    ).select("sid", *minhash_signature_cols(F.col("hashes")))
+    return sigs.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_key("mh", bi).alias("key"))
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash (map-only fingerprint via 32 bit-folds over the token array)
 # ---------------------------------------------------------------------------
@@ -479,27 +514,8 @@ def minhash_lsh_pairs(
     # recomputing the tokenize+md5 pass per consumer. It carries
     # 60-bit hashes, not shingle strings — ~5x slimmer blocks and
     # long-typed intersects in the verify (gram_hashes60)
-    sh = (
-        docs.select(
-            F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
-        )
-        .select("sid", gram_hashes60(F.col("__th")).alias("hs"))
-        .localCheckpoint(eager=True)
-    )
-    sigs = sh.withColumn(
-        "hashes", F.transform(F.col("hs"), lambda h: h % MINHASH_P)
-    ).select("sid", *minhash_signature_cols(F.col("hashes")))
-    bands = sigs.select(
-        "sid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), band_key("mh", bi).alias("key"))
-                    for bi in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sh = shingle_frame(docs, text_col, id_col).localCheckpoint(eager=True)
+    bands = minhash_band_frame(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -538,23 +554,7 @@ def lsh_star_edges(
     cluster-emitting dedup needs. Self-edges for bucket hubs mean
     every doc appears in the output, so downstream labeling covers
     singletons too. Returns (doc_a=hub, doc_b=member)."""
-    sh = docs.select(
-        F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
-    ).select("sid", gram_hashes60(F.col("__th")).alias("hs"))
-    sigs = sh.withColumn(
-        "hashes", F.transform(F.col("hs"), lambda h: h % MINHASH_P)
-    ).select("sid", *minhash_signature_cols(F.col("hashes")))
-    bands = sigs.select(
-        "sid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), band_key("mh", bi).alias("key"))
-                    for bi in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = minhash_band_frame(shingle_frame(docs, text_col, id_col))
     hub = F.min("sid").over(Window.partitionBy("band", "key"))
     return (
         bands.withColumn("hub", hub)
@@ -777,27 +777,13 @@ def incremental_lsh_dedup(
     only for verified candidates. Wall-clock vs existing-corpus size is
     therefore scan-bound, not join-bound (measured flat-ish at 1x vs
     10x corpus in perf_scale_dedup.py)."""
-    ssh = (
-        shard.select(
-            F.col(id_col).alias("new_id"), token_hashes60(F.col(text_col)).alias("__th")
-        )
-        .select("new_id", gram_hashes60(F.col("__th")).alias("n_shingles"))
-        .localCheckpoint(eager=True)  # shard-sized; feeds bands + verify
+    # shard-sized; feeds bands + verify — same canonical stages as the
+    # store build, so probe keys can never drift from stored keys
+    ssh_raw = shingle_frame(shard, text_col, id_col).localCheckpoint(eager=True)
+    ssh = ssh_raw.select(
+        F.col("sid").alias("new_id"), F.col("hs").alias("n_shingles")
     )
-    sigs = ssh.withColumn(
-        "hashes", F.transform(F.col("n_shingles"), lambda h: h % MINHASH_P)
-    ).select("new_id", *minhash_signature_cols(F.col("hashes")))
-    shard_bands = sigs.select(
-        "new_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), band_key("mh", bi).alias("key"))
-                    for bi in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("new_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    shard_bands = minhash_band_frame(ssh_raw).withColumnRenamed("sid", "new_id")
     cand = (
         index_bands.join(F.broadcast(shard_bands), ["band", "key"])
         .select("new_id", F.col("sid").alias("dup_of"))

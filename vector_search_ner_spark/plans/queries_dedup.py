@@ -536,9 +536,7 @@ def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     small side broadcast (no corpus cross-join — the registry-wide
     plan guard enforces that); production banding stays bucketed."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _EVAL_N)
-    sh = docs.select(
-        F.col("doc_id").alias("sid"), nd.token_hashes60(F.col("text")).alias("__th")
-    ).select("sid", nd.gram_hashes60(F.col("__th")).alias("hs")).localCheckpoint()
+    sh = nd.shingle_frame(docs).localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     common = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
     jac = F.round(
@@ -552,21 +550,9 @@ def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the eval grades RAW band candidates (pre-verify): the public
     # pairs path already Jaccard-verifies, which would make precision
-    # trivially 1.0 — so the band join is rebuilt here unverified
-    sigs = sh.withColumn(
-        "hashes", F.transform(F.col("hs"), lambda h: h % nd.MINHASH_P)
-    ).select("sid", *nd.minhash_signature_cols(F.col("hashes")))
-    bands = sigs.select(
-        "sid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), nd.band_key("mh", bi).alias("key"))
-                    for bi in range(nd.N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # trivially 1.0 — so the band join is rebuilt here unverified,
+    # over the SAME canonical banding (nd.minhash_band_frame)
+    bands = nd.minhash_band_frame(sh)
     ba, bb = bands.alias("x"), bands.alias("y")
     cand = (
         ba.join(

@@ -1318,7 +1318,12 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     # the self-join consumes j TWICE: materialize once (eager
-    # localCheckpoint — the edge-list lesson; K rows, bounded)
+    # localCheckpoint — the edge-list lesson). NOTE: j is CORPUS-sized
+    # (one row per vector, carrying the double array) — per the
+    # fault-tolerance note in operators/neardup.py, a long-lived
+    # cluster deployment should swap this one for reliable
+    # checkpoint() or persist+unpersist; localCheckpoint is the local
+    # harness's choice (GC-reclaimed, plan-truncating)
     j = (
         assigned.select(
             F.col("vec_id").alias("doc_id"),

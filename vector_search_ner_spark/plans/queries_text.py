@@ -14,9 +14,6 @@ from vector_search_ner_spark.operators.textstats import (
     BOILERPLATE_SEG,
     LANG_MARKERS,
     fingerprint,
-    lang_id,
-    quality_score,
-    script_class,
     token_count,
 )
 from vector_search_ner_spark.registry import query

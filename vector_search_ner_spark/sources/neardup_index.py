@@ -92,33 +92,12 @@ def shingle_index_store(
         corpus = load_table(spark, sf_dir, "documents").where(
             F.col("doc_id") % exclude_mod != exclude_rem
         )
-        sh = (
-            corpus.select(
-                F.col("doc_id").alias("sid"),
-                nd.token_hashes60(F.col("text")).alias("__th"),
-            )
-            .select("sid", nd.gram_hashes60(F.col("__th")).alias("hs"))
-            .localCheckpoint(eager=True)
-        )
+        # the canonical stages (nd.shingle_frame / nd.minhash_band_frame)
+        # — shared with the streaming append and every probe, so store
+        # content cannot drift from its consumers
+        sh = nd.shingle_frame(corpus).localCheckpoint(eager=True)
         sh.write.mode("overwrite").parquet(shingles_path)
-        sigs = sh.withColumn(
-            "hashes", F.transform(F.col("hs"), lambda h: h % nd.MINHASH_P)
-        ).select("sid", *nd.minhash_signature_cols(F.col("hashes")))
-        bands = sigs.select(
-            "sid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            nd.band_key("mh", bi).alias("key"),
-                        )
-                        for bi in range(nd.N_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         # at cluster scale: .repartition("key").sortWithinPartitions or a
         # bucketed table BY key, so shard probes are co-located scans
-        bands.write.mode("overwrite").parquet(bands_path)
+        nd.minhash_band_frame(sh).write.mode("overwrite").parquet(bands_path)
     return spark.read.parquet(bands_path), spark.read.parquet(shingles_path)

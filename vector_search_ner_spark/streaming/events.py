@@ -445,26 +445,8 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def band_table(df: DataFrame, id_col: str) -> DataFrame:
-        sh = df.select(
-            F.col(id_col).alias("sid"), nd.token_hashes60(F.col("text")).alias("__th")
-        ).select("sid", nd.gram_hashes60(F.col("__th")).alias("hs"))
-        sigs = sh.withColumn(
-            "hashes", F.transform(F.col("hs"), lambda h: h % nd.MINHASH_P)
-        ).select("sid", *nd.minhash_signature_cols(F.col("hashes")))
-        return sigs.select(
-            "sid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            nd.band_key("mh", bi).alias("key"),
-                        )
-                        for bi in range(nd.N_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        # the canonical stages (nd.shingle_frame / nd.minhash_band_frame)
+        return nd.minhash_band_frame(nd.shingle_frame(df, id_col=id_col))
 
     static_bands = band_table(
         load_table(spark, sf_dir, "documents"), "doc_id"
@@ -546,35 +528,17 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(bdf: DataFrame, batch_id: int) -> None:
-        sh = (
-            bdf.select(
-                F.col("doc_id").alias("sid"), nd.token_hashes60(F.col("text")).alias("__th")
-            )
-            .select("sid", nd.gram_hashes60(F.col("__th")).alias("hs"))
-            .localCheckpoint(eager=True)  # one tokenize pass feeds both writes
+        # the canonical stages (nd.shingle_frame / nd.minhash_band_frame)
+        # — the SAME code object the store build runs, not a copy
+        sh = nd.shingle_frame(bdf).localCheckpoint(
+            eager=True  # one tokenize pass feeds both writes
         )
         sh.write.mode("overwrite").parquet(
             os.path.join(delta, "shingles", f"batch_id={batch_id}")
         )
-        sigs = sh.withColumn(
-            "hashes", F.transform(F.col("hs"), lambda h: h % nd.MINHASH_P)
-        ).select("sid", *nd.minhash_signature_cols(F.col("hashes")))
-        sigs.select(
-            "sid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            nd.band_key("mh", bi).alias("key"),
-                        )
-                        for bi in range(nd.N_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(delta, "bands", f"batch_id={batch_id}"))
+        nd.minhash_band_frame(sh).write.mode("overwrite").parquet(
+            os.path.join(delta, "bands", f"batch_id={batch_id}")
+        )
 
     q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
     try:
@@ -588,18 +552,22 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = shingles0.unionByName(
         spark.read.parquet(os.path.join(delta, "shingles")).drop("batch_id")
     )
-    band_sum = bands.groupBy(F.col("band").cast("int").alias("band")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("key").alias("n_keys"),
-        F.sum("sid").cast("long").alias("sid_sum"),
-    ).join(
+    # one scan, one aggregate: the key hash is staged alongside the
+    # grouping columns so all four metrics come from a single groupBy
+    band_sum = (
         bands.select(
             F.col("band").cast("int").alias("band"),
+            "key",
+            "sid",
             stable_long_hash(F.col("key")).alias("__kh"),
         )
         .groupBy("band")
-        .agg(F.expr("bit_xor(__kh)").alias("content_xor")),
-        "band",
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("key").alias("n_keys"),
+            F.sum("sid").cast("long").alias("sid_sum"),
+            F.expr("bit_xor(__kh)").alias("content_xor"),
+        )
     )
     # hs is a distinct-SET whose element order is engine-specific
     # (array_distinct preserves first occurrence, list_distinct does
