@@ -1795,3 +1795,47 @@ def test_gate_drop_branches_end_to_end(spark, tmp_path):
     kept_ids = set(pdf.doc_id)
     assert 4 not in kept_ids and 3 not in kept_ids and 5 not in kept_ids
     assert kept_ids & {0, 1}
+
+
+def test_shingle_index_store_retires_stale_generations(spark, tmp_path):
+    """The persisted dedup index must never serve stale content after
+    its source corpus changes (the round-2 events-fixture lesson,
+    applied to the neardup store): a rebuilt corpus produces a new
+    fingerprint key, the old generation directory is retired, and the
+    reopened store reflects the new corpus."""
+    import os
+
+    from vector_search_ner_spark.sources.neardup_index import (
+        _index_path,
+        shingle_index_store,
+    )
+
+    d = str(tmp_path / "corpus")
+    rows = [
+        (i, f"token{i} alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 50)
+        for i in range(12)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    bands1, sh1 = shingle_index_store(spark, d, 10, 5)
+    n1 = sh1.count()
+    parent = os.path.dirname(_index_path(d, 10, 5))
+    gens1 = set(os.listdir(parent))
+    assert len(gens1) == 1
+
+    more = rows + [
+        (i, f"fresh{i} one two three four five six seven eight", "en", "s0", 44)
+        for i in range(100, 108)
+    ]
+    spark.createDataFrame(more, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    bands2, sh2 = shingle_index_store(spark, d, 10, 5)
+    gens2 = set(os.listdir(parent))
+    assert len(gens2) == 1 and gens2 != gens1, (gens1, gens2)
+    n2 = sh2.count()
+    assert n2 > n1  # the new docs are indexed
+    # excluded shard stays excluded in both generations
+    assert sh2.where("sid % 10 = 5").count() == 0
