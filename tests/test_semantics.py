@@ -94,13 +94,17 @@ def test_first_wins_dedup_order(spark):
 
 
 def test_lsh_join_superset_sanity(spark, sf_dir):
+    """The bound-verdict LSH eval report: exact sample pairs are
+    ordered, within threshold, self-pair-free, and the global recall
+    verdict (LSH leg recovered >=80% of them) holds on every row."""
     from vector_search_ner_spark.registry import collect
 
     qs, _ = collect()
     rows = qs["ann_lsh_similarity_join"](spark, sf_dir).collect()
-    # pairs are ordered, within threshold, and contain no self-pairs
+    assert rows, "sample produced no exact threshold pairs"
     assert all(r.doc_a < r.doc_b for r in rows)
     assert all(r.l2 <= 1.1 for r in rows)
+    assert all(r.lsh_recall_ge_floor for r in rows)
 
 
 def test_lsh_join_recall_vs_exact(spark):
@@ -186,11 +190,14 @@ def test_sketch_error_bounds(spark):
 
     sf = "/root/testdata/sf0.01"
     qs, _ = registry.collect()
+    # the registered query is bound-verdict form: every verdict column
+    # must hold, and the exact side it carries must match a direct
+    # recomputation
     got = {r["l_returnflag"]: r for r in qs["sketch_distinct_quantiles"](spark, sf).collect()}
+    li = load_table(spark, sf, "lineitem")
     exact = {
         r["l_returnflag"]: r
-        for r in load_table(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
+        for r in li.groupBy("l_returnflag")
         .agg(
             F.count_distinct("l_partkey").alias("parts"),
             F.expr("percentile(l_quantity, 0.5)").alias("p50"),
@@ -199,8 +206,18 @@ def test_sketch_error_bounds(spark):
     }
     for flag, ex in exact.items():
         g = got[flag]
-        assert abs(g["approx_parts"] - ex["parts"]) / ex["parts"] < 0.05
-        assert abs(g["qty_p50_p95"][0] - ex["p50"]) <= 1.0
+        assert g["exact_parts"] == ex["parts"]
+        assert g["acd_within_bound"] and g["p50_in_bounds"] and g["p95_in_bounds"]
+    # tighter direct check than the registered 10% verdict: the rsd=2%
+    # HLL estimate actually lands within 5% on this data
+    approx = {
+        r["l_returnflag"]: r["ap"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"))
+        .collect()
+    }
+    for flag, ex in exact.items():
+        assert abs(approx[flag] - ex["parts"]) / ex["parts"] < 0.05
 
 
 def test_bucketed_join_has_no_exchange(spark):
@@ -354,14 +371,17 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     from vector_search_ner_spark.sources.catalog import load_table
 
     qs, _ = collect()
-    got = {r.item for r in qs["sketch_freq_items"](spark, sf_dir).collect()}
+    rows = qs["sketch_freq_items"](spark, sf_dir).collect()
     o = load_table(spark, sf_dir, "orders")
     n = o.count()
     exact = {
         r.o_orderpriority
         for r in o.groupBy("o_orderpriority").count().where(F.col("count") >= 0.15 * n).collect()
     }
-    assert exact <= got, f"missing truly-frequent items: {exact - got}"
+    # the bound-verdict report's grain IS the truly-frequent set, and
+    # the superset guarantee means every one was found by the sketch
+    assert {r.item for r in rows} == exact
+    assert all(r.found_by_sketch for r in rows)
 
 
 def test_dedup_first_wins_matches_pandas(spark):
@@ -509,11 +529,27 @@ def test_hll_union_error_bounds(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("u"))
         .collect()
     }
+    # registered bound-verdict columns: exact side matches a direct
+    # recomputation, every 5%-bound verdict holds
     tot = rows.pop("TOTAL")
-    assert abs(tot.est_users - exact_total) / exact_total < 0.02
+    assert tot.exact_users == exact_total and tot.est_within_bound
     for day, r in rows.items():
-        assert abs(r.est_users - exact_daily[day]) / exact_daily[day] < 0.02
-    assert tot.est_users <= sum(r.est_users for r in rows.values())
+        assert r.exact_users == exact_daily[day] and r.est_within_bound
+    # tighter 2% direct check + union monotonicity, on inline estimates
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    est_daily = {
+        str(r.day): r.e
+        for r in daily.select("day", F.hll_sketch_estimate("sk").alias("e")).collect()
+    }
+    est_total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0].e
+    assert abs(est_total - exact_total) / exact_total < 0.02
+    for day, e in est_daily.items():
+        assert abs(e - exact_daily[day]) / exact_daily[day] < 0.02
+    assert est_total <= sum(est_daily.values())
 
 
 def test_hot_shingle_cap_bounds_candidate_fanout(spark):
@@ -1839,3 +1875,82 @@ def test_shingle_index_store_retires_stale_generations(spark, tmp_path):
     assert n2 > n1  # the new docs are indexed
     # excluded shard stays excluded in both generations
     assert sh2.where("sid % 10 = 5").count() == 0
+
+    # a part file rewritten IN PLACE (same name — dir inode unchanged)
+    # must still rotate the fingerprint: the key folds in part-file
+    # mtimes/sizes, not the directory stat
+    src_dir = f"{d}/documents.parquet"
+    part = next(
+        os.path.join(src_dir, f) for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    path3 = _index_path(d, 10, 5)
+    assert os.path.basename(path3) not in gens2
+
+    # write-then-swap: if the rebuild for the new key CRASHES before
+    # its _SUCCESS lands, the previous generation must survive (a
+    # concurrent reader's lazy frames stay scannable; rerun recovers)
+    import vector_search_ner_spark.sources.neardup_index as ni
+
+    real = ni.nd.minhash_band_frame
+    ni.nd.minhash_band_frame = lambda *_a, **_k: (_ for _ in ()).throw(
+        RuntimeError("simulated mid-build crash")
+    )
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="simulated"):
+            shingle_index_store(spark, d, 10, 5)
+    finally:
+        ni.nd.minhash_band_frame = real
+    assert gens2 <= set(os.listdir(parent)), "crash retired the prior generation"
+    # a clean rerun completes the swap: new generation in, old out
+    bands3, sh3 = shingle_index_store(spark, d, 10, 5)
+    gens3 = set(os.listdir(parent))
+    assert os.path.basename(path3) in gens3 and not (gens2 & gens3)
+    assert sh3.count() == n2
+
+
+def test_checkpoint_mode_reliable_roundtrip(spark, tmp_path):
+    """spark_graft.checkpoint_mode=reliable must route the corpus-sized
+    lineage cuts through a REAL checkpoint dir (fault-tolerant
+    checkpoint(), not executor-local blocks): after running connected
+    components in reliable mode, the checkpoint dir holds materialized
+    RDD checkpoints and the results still match the default-mode run
+    bit-for-bit. persist mode must also agree (it keeps lineage, so
+    the iterative loop sites clamp it to local — same answers)."""
+    import os
+
+    from vector_search_ner_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 10)],
+        "doc_a long, doc_b long",
+    )
+    baseline = {
+        (r.node, r.cluster_id) for r in connected_components_star(edges).collect()
+    }
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    spark.conf.set("spark_graft.checkpoint_mode", "reliable")
+    try:
+        got = {
+            (r.node, r.cluster_id) for r in connected_components_star(edges).collect()
+        }
+        assert got == baseline
+        ckpt_files = [
+            os.path.join(root, f)
+            for root, _d, files in os.walk(ckpt_dir)
+            for f in files
+        ]
+        assert ckpt_files, "reliable mode wrote nothing to the checkpoint dir"
+
+        spark.conf.set("spark_graft.checkpoint_mode", "persist")
+        got_p = {
+            (r.node, r.cluster_id) for r in connected_components_star(edges).collect()
+        }
+        assert got_p == baseline
+    finally:
+        spark.conf.unset("spark_graft.checkpoint_mode")

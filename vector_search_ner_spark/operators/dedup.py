@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_search_ner_spark.session import cut_lineage
+
 
 def dedup_first_wins(
     df: DataFrame,
@@ -59,8 +61,10 @@ def connected_components(
     reachable from it. Returns (node, cluster_id).
 
     The loop is a driver-gated iteration (converged when no label
-    changes); each round is one shuffle join + one aggregate, and
-    `localCheckpoint` cuts the lineage so plans don't grow
+    changes); each round is one shuffle join + one aggregate, and a
+    per-round lineage cut (session.cut_lineage — localCheckpoint by
+    default, reliable checkpoint() under
+    spark_graft.checkpoint_mode=reliable) keeps plans from growing
     exponentially. Rounds needed = graph diameter — near-dup graphs are
     shallow (dup clusters are cliques or short chains). At extreme
     scale the large-star/small-star formulation halves rounds; the
@@ -71,9 +75,9 @@ def connected_components(
     # minhash permutations, twice). Every iteration joins against
     # `sym`; deriving it from the checkpointed relation makes each
     # round a cheap re-read instead of a re-derivation.
-    edges0 = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    edges0 = cut_lineage(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     sym = edges0.unionByName(
         edges0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -85,8 +89,8 @@ def connected_components(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("__nmin"))
         .select("node", F.least(F.col("node"), F.col("__nmin")).alias("label"))
-        .localCheckpoint()
     )
+    labels = cut_lineage(labels, allow_persist=False)
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.b == labels.node)
@@ -105,8 +109,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("neighbor_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        new_labels = cut_lineage(new_labels, allow_persist=False)
         changed = new_labels.where(F.col("label") != F.col("__old")).count()
         labels = new_labels.drop("__old")
         if changed == 0:
@@ -128,8 +132,9 @@ def connected_components_star(
     rounds, star contraction needs O(log diameter) on chains/paths
     (each round at least halves every node's hop distance to its
     component minimum). Per round: two hash aggregations + two
-    equi-joins, all on the slim (u, v) edge relation; `localCheckpoint`
-    cuts lineage exactly like the label loop. Returns (node,
+    equi-joins, all on the slim (u, v) edge relation; per-round lineage
+    cuts (session.cut_lineage, mode-configurable) exactly like the
+    label loop. Returns (node,
     cluster_id = component-min node id); `rounds_out`, when given,
     receives the number of driver-gated rounds actually run (for the
     convergence property tests).
@@ -148,9 +153,9 @@ def connected_components_star(
     # the canonical edge set derive from it, and without this boundary
     # each would re-evaluate the full upstream pipeline (for LSH pair
     # graphs: tokenize + md5 + 16 permutations + bucket join + verify)
-    edges0 = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint()
+    edges0 = cut_lineage(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    )
     # nodes has exactly ONE consumer (the final label join) and derives
     # from the checkpointed relation — no boundary needed
     nodes = (
@@ -165,8 +170,8 @@ def connected_components_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    e = cut_lineage(e, allow_persist=False)
     def _sig(df: DataFrame) -> tuple:
         # per-edge hash reduced mod a prime before summing: keeps the
         # signature sum within int64 under ANSI mode out to ~9e9 edges
@@ -206,8 +211,8 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        e_next = cut_lineage(e_next, allow_persist=False)
         sig = _sig(e_next)
         e = e_next
         if sig == prev_sig:

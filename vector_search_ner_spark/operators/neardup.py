@@ -81,6 +81,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_search_ner_spark.session import cut_lineage
+
 # ---------------------------------------------------------------------------
 # shared deterministic constants (same literals go into the SQL oracles)
 # ---------------------------------------------------------------------------
@@ -421,12 +423,12 @@ def jaccard_pairs(
             F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
         )
         .select("sid", gram_hashes60(F.col("__th"), k).alias("hs"))
-        # eager localCheckpoint, not persist: consumed by the candidate
-        # explode AND both verify joins, and checkpoint blocks are
-        # GC-reclaimed once the frame is unreferenced (a persist here
-        # would pin corpus-sized cache for the session lifetime)
-        .localCheckpoint(eager=True)
     )
+    # corpus-sized cut (session.cut_lineage, mode-configurable):
+    # consumed by the candidate explode AND both verify joins; in the
+    # default local mode checkpoint blocks are GC-reclaimed once the
+    # frame is unreferenced
+    sh = cut_lineage(sh)
     exploded = sh.select("sid", F.explode("hs").alias("sh"))
     if df_cap is not None:
         exploded = _drop_hot_shingles(exploded, df_cap)
@@ -514,7 +516,7 @@ def minhash_lsh_pairs(
     # recomputing the tokenize+md5 pass per consumer. It carries
     # 60-bit hashes, not shingle strings — ~5x slimmer blocks and
     # long-typed intersects in the verify (gram_hashes60)
-    sh = shingle_frame(docs, text_col, id_col).localCheckpoint(eager=True)
+    sh = cut_lineage(shingle_frame(docs, text_col, id_col))
     bands = minhash_band_frame(sh)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -716,15 +718,15 @@ def contamination_best_match(
             F.col(id_col).alias("bench_id"), token_hashes60(F.col(text_col)).alias("__th")
         )
         .select("bench_id", gram_hashes60(F.col("__th"), k).alias("b_shingles"))
-        .localCheckpoint(eager=True)
     )
+    bsh = cut_lineage(bsh)
     tsh = (
         train.select(
             F.col(id_col).alias("train_id"), token_hashes60(F.col(text_col)).alias("__th")
         )
         .select("train_id", gram_hashes60(F.col("__th"), k).alias("t_shingles"))
-        .localCheckpoint(eager=True)
     )
+    tsh = cut_lineage(tsh)
     b_expl = bsh.select("bench_id", F.explode("b_shingles").alias("sh"))
     t_expl = tsh.select("train_id", F.explode("t_shingles").alias("sh"))
     if df_cap is not None:
@@ -779,7 +781,7 @@ def incremental_lsh_dedup(
     10x corpus in perf_scale_dedup.py)."""
     # shard-sized; feeds bands + verify — same canonical stages as the
     # store build, so probe keys can never drift from stored keys
-    ssh_raw = shingle_frame(shard, text_col, id_col).localCheckpoint(eager=True)
+    ssh_raw = cut_lineage(shingle_frame(shard, text_col, id_col))
     ssh = ssh_raw.select(
         F.col("sid").alias("new_id"), F.col("hs").alias("n_shingles")
     )
@@ -792,10 +794,18 @@ def incremental_lsh_dedup(
     # cand is O(shard)-sized: BROADCAST it into the shingle probe too,
     # so the index's shingle table is scanned map-side, never shuffled
     # (first measured as an 18.7 MB exchange of the 10x shingle table
-    # before the hint — the index side must never be a shuffle input)
+    # before the hint — the index side must never be a shuffle input).
+    # The shard's own shingle table `ssh` is deliberately NOT
+    # hint-broadcast: a daily shard can be a double-digit percentage of
+    # the corpus, far beyond the 8 GB broadcast hard limit, and a
+    # forced hint would remove AQE's runtime fallback. Left unhinted,
+    # AQE broadcasts it when it is actually small (the bench/fixture
+    # case) and falls back to a shard-sized shuffle otherwise — the
+    # shuffle inputs are then only the candidate-pruned index rows and
+    # the shard, both O(shard), never the index.
     verified = index_shingles.withColumnRenamed("sid", "dup_of").withColumnRenamed(
         "hs", "o_shingles"
-    ).join(F.broadcast(cand), "dup_of").join(F.broadcast(ssh), "new_id")
+    ).join(F.broadcast(cand), "dup_of").join(ssh, "new_id")
     common = F.size(F.array_intersect(F.col("n_shingles"), F.col("o_shingles")))
     jac = F.round(
         common / (F.size("n_shingles") + F.size("o_shingles") - common), 4
@@ -875,10 +885,8 @@ def sorted_neighborhood_pairs(
             ).alias("h2"),
         )
     )
-    chk = (
-        keyed.orderBy("h1", "h2", "sid")
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    chk = cut_lineage(
+        keyed.orderBy("h1", "h2", "sid").withColumn("__pid", F.spark_partition_id())
     )
     counts = chk.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
@@ -890,10 +898,9 @@ def sorted_neighborhood_pairs(
     # the ranked relation feeds BOTH sides of the neighbor join —
     # checkpoint before deriving the two views, or the whole rank
     # derivation (two windows + a join) re-executes per side
-    ranked = (
+    ranked = cut_lineage(
         chk.join(F.broadcast(offsets), "__pid")
         .select("sid", "th", (F.col("__off") + F.row_number().over(w_in)).alias("rank"))
-        .localCheckpoint(eager=True)
     )
     left = (
         ranked.select(

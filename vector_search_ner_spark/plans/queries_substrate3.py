@@ -244,20 +244,60 @@ def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_distinct_quantiles")
+@query(
+    "sketch_distinct_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS acd_within_bound,
+       TRUE AS p50_in_bounds,
+       TRUE AS p95_in_bounds
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates for 100 TB profiling: HyperLogLog++
-    approx_count_distinct and GK approx quantiles per group — constant
+    """Sketch aggregates for 100 TB profiling — HyperLogLog++
+    approx_count_distinct and GK approx quantiles per group, constant
     memory per group vs the exact distinct's full shuffle; the standard
     first pass over a new corpus before exact jobs are sized.
-    Approximation differs per implementation, so no cross-engine oracle
-    (rows-only here); tests/test_semantics.py bounds the error vs the
-    exact answers instead."""
+
+    Bound-verdict form (full oracle): sketch internals differ per
+    implementation, so the query computes BOTH the approximate and the
+    exact side in Spark and emits only oracle-derivable values plus
+    boolean verdicts that the sketches landed inside their published
+    error bounds. The oracle re-derives the exact side and the expected
+    all-true verdicts — same discipline as `ann_bq_recall_report`.
+    Bounds checked: HLL++ rsd=0.02 estimate within 10% (5 sigma) of the
+    exact distinct; GK accuracy=10000 quantile value bracketed by the
+    EXACT interpolated quantiles at p±0.02 (guaranteed rank error is
+    n/10000 = 0.0001·n, so the ±0.02-rank bracket has 100x headroom for
+    any group with more than ~100 rows). All output columns are scalar:
+    the driver's pandas canonicalizer cannot hash array cells (the r07
+    `qty_p50_p95` crash), and tests/test_registry.py now pins that
+    invariant registry-wide."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_quantity", [0.5, 0.95], 10000).alias("qty_p50_p95"),
+    agg = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("ap95"),
+        F.expr("percentile(l_quantity, 0.48)").alias("p50_lo"),
+        F.expr("percentile(l_quantity, 0.52)").alias("p50_hi"),
+        F.expr("percentile(l_quantity, 0.93)").alias("p95_lo"),
+        F.expr("percentile(l_quantity, 0.97)").alias("p95_hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("acd_within_bound"),
+        F.col("ap50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_bounds"),
+        F.col("ap95").between(F.col("p95_lo"), F.col("p95_hi")).alias("p95_in_bounds"),
     )
 
 
@@ -395,7 +435,25 @@ def quartiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_union")
+@query(
+    "sketch_hll_union",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, n_events, exact_users,
+       TRUE AS est_within_bound
+FROM d
+UNION ALL
+SELECT 'TOTAL',
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT),
+       TRUE
+""",
+)
 def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable HyperLogLog sketches (Datasketches HllSketch):
     build one binary sketch per day with hll_sketch_agg, then roll the
@@ -404,23 +462,42 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once per partition/day and merged at any grain later,
     instead of re-scanning raw data per rollup. (approx_count_distinct
     can't do this — its sketch isn't exposed for re-aggregation.)
-    Sketch internals are implementation-specific, so rows-only here;
-    tests/test_semantics.py bounds the estimates against exact distinct
-    counts."""
+
+    Bound-verdict form (full oracle): sketch bytes are
+    implementation-specific, so the query computes the exact distinct
+    counts alongside the sketches and emits (day, n_events,
+    exact_users, est_within_bound) — the boolean asserts the per-day
+    estimates AND the merged-union TOTAL estimate land within 5% of
+    exact (HLL lgK=14 rsd is ~0.81%, so 5% is a >6-sigma verdict). The
+    oracle re-derives exact counts and the expected all-true verdicts;
+    tests/test_semantics.py keeps the tighter 2% direct check."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
     )
+    within = (
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    ).alias("est_within_bound")
     per_day = daily.select(
         F.col("day").cast("string").alias("day"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
         "n_events",
-    )
-    total = daily.agg(
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    ).select("day", "n_events", "exact_users", within)
+    # the TOTAL row rolls the daily sketches up with hll_union_agg and
+    # verdicts that merged estimate against the exact global distinct
+    # (computed in one scan-side agg, joined on as a 1-row broadcast)
+    merged = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         F.sum("n_events").alias("n_events"),
-    ).select(F.lit("TOTAL").alias("day"), "est_users", "n_events")
+    )
+    exact_tot = ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    total = merged.crossJoin(F.broadcast(exact_tot)).select(
+        F.lit("TOTAL").alias("day"), "n_events", "exact_users", within
+    )
     # explicit total-last sort key: do not rely on 'TOTAL' collating
     # after ISO dates in whatever locale/format the day strings take
     return per_day.unionByName(total).orderBy((F.col("day") == "TOTAL").cast("int"), "day")

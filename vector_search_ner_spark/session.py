@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(app_name: str = "vector_search_ner_spark", cpus: int | None = None) -> SparkSession:
@@ -49,3 +49,54 @@ def get_spark(app_name: str = "vector_search_ner_spark", cpus: int | None = None
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cut_lineage(df: DataFrame, eager: bool = True, allow_persist: bool = True) -> DataFrame:
+    """Materialize a CORPUS-SIZED intermediate frame and cut (or cap)
+    its lineage, honoring the session config
+
+        spark_graft.checkpoint_mode = local | reliable | persist
+
+    - ``local`` (default): ``localCheckpoint`` — executor-block
+      storage, GC-reclaimed, plan-truncating; the right call for the
+      single-JVM harness, but NOT fault-tolerant (an executor loss
+      kills the job instead of recomputing).
+    - ``reliable``: ``checkpoint()`` through the SparkContext
+      checkpoint dir (auto-set under ``_artifacts/reliable_ckpt`` if
+      the session has none) — survives executor loss; the long-lived
+      cluster deployment mode the localCheckpoint docstrings promise.
+    - ``persist``: ``persist(MEMORY_AND_DISK)`` + eager count — keeps
+      lineage (re-derivable after executor loss, no checkpoint I/O)
+      while still materializing once. Sites inside multi-self-
+      reference ITERATIVE loops pass ``allow_persist=False`` and clamp
+      to ``local`` there: persist caches compute but does not truncate
+      the logical plan, so those loops would still grow it
+      exponentially (the MMR plan-blowup lesson).
+
+    Only the corpus-sized cut sites route through here; K-rows-sized
+    stage frames (MMR steps, Lloyd centroids, staged-retrieval stage
+    frames) keep their documented local/persist choices — they are not
+    a fault-tolerance concern and several pin plan-shape tests."""
+    spark = df.sparkSession
+    mode = spark.conf.get("spark_graft.checkpoint_mode", "local")
+    if mode == "persist" and not allow_persist:
+        mode = "local"
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "_artifacts",
+                    "reliable_ckpt",
+                )
+            )
+        return df.checkpoint(eager=eager)
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    return df.localCheckpoint(eager=eager)

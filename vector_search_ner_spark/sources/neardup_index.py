@@ -20,8 +20,10 @@ Layout (two column-pruned parquet relations under one generation dir):
                                   only for candidate verification
 
 Freshness mirrors vecstore: the artifact key fingerprints the source
-parquet (path, mtime, size), the corpus split, and a VERSION constant,
-so regenerated fixtures or a hashing change retire stale generations.
+parquet (path + part-file mtimes/sizes for directory sources), the
+corpus split, and a VERSION constant, so regenerated fixtures or a
+hashing change retire stale generations — retirement is write-then-
+swap (old generations removed only after the new build's _SUCCESS).
 Everything stored is derived with the exact neardup operator exprs
 (`token_hashes60`/`gram_hashes60`/`minhash_signature_cols`), so DuckDB
 oracles that re-derive from first principles stay valid bit-for-bit.
@@ -36,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_ner_spark.operators import neardup as nd
+from vector_search_ner_spark.session import cut_lineage
 from vector_search_ner_spark.sources.catalog import load_table
 
 ARTIFACT_DIR = os.path.join(
@@ -47,11 +50,30 @@ ARTIFACT_DIR = os.path.join(
 NEARDUP_INDEX_VERSION = 1
 
 
+def _source_fingerprint(src: str) -> str:
+    """Freshness fingerprint of the source parquet. For a single file,
+    (mtime_ns, size). For a DIRECTORY-shaped corpus (Spark writes
+    parquet as a dir of part files), stat'ing the directory inode only
+    tracks entry renames — a part file rewritten in place under the
+    same name leaves dir mtime/size unchanged and would serve a stale
+    index — so fold in the max part-file mtime_ns and the total
+    part-file byte count instead."""
+    st = os.stat(src)
+    if not os.path.isdir(src):
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    max_mtime, total = 0, 0
+    for root, _dirs, files in os.walk(src):
+        for name in files:
+            fst = os.stat(os.path.join(root, name))
+            max_mtime = max(max_mtime, fst.st_mtime_ns)
+            total += fst.st_size
+    return f"d{max_mtime}:{total}"
+
+
 def _index_path(sf_dir: str, exclude_mod: int, exclude_rem: int) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
     key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:m{exclude_mod}r{exclude_rem}"
+        f"{src}:{_source_fingerprint(src)}:m{exclude_mod}r{exclude_rem}"
         f":v{NEARDUP_INDEX_VERSION}".encode()
     ).hexdigest()[:16]
     corpus = sf_dir.strip("/").replace("/", "_")
@@ -83,21 +105,27 @@ def shingle_index_store(
     bands_path = os.path.join(path, "bands")
     shingles_path = os.path.join(path, "shingles")
     if not os.path.exists(os.path.join(bands_path, "_SUCCESS")):
-        parent = os.path.dirname(path)
-        if os.path.isdir(parent):
-            import shutil
-
-            for old in os.listdir(parent):
-                shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
         corpus = load_table(spark, sf_dir, "documents").where(
             F.col("doc_id") % exclude_mod != exclude_rem
         )
         # the canonical stages (nd.shingle_frame / nd.minhash_band_frame)
         # — shared with the streaming append and every probe, so store
         # content cannot drift from its consumers
-        sh = nd.shingle_frame(corpus).localCheckpoint(eager=True)
+        sh = cut_lineage(nd.shingle_frame(corpus))
         sh.write.mode("overwrite").parquet(shingles_path)
         # at cluster scale: .repartition("key").sortWithinPartitions or a
         # bucketed table BY key, so shard probes are co-located scans
         nd.minhash_band_frame(sh).write.mode("overwrite").parquet(bands_path)
+        # write-then-swap: stale sibling generations are retired ONLY
+        # after the new generation's bands _SUCCESS marker lands, so a
+        # crash mid-build leaves the previous generation usable and a
+        # concurrent reader holding lazy frames on it is never pulled
+        # out from under mid-scan by the builder of a fresher key
+        parent = os.path.dirname(path)
+        if os.path.exists(os.path.join(bands_path, "_SUCCESS")):
+            import shutil
+
+            for old in os.listdir(parent):
+                if old != os.path.basename(path):
+                    shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
     return spark.read.parquet(bands_path), spark.read.parquet(shingles_path)

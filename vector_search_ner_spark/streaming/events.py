@@ -515,6 +515,7 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = os.path.join(base, "index_ingest_src")
     delta = os.path.join(base, "index_ingest_delta")
+    ckpt = os.path.join(base, "index_ingest_ckpt_tmp")
     shutil.rmtree(delta, ignore_errors=True)
 
     # base generation: the existing corpus (everything but the shard)
@@ -540,11 +541,22 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(delta, "bands", f"batch_id={batch_id}")
         )
 
-    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    # explicit checkpointLocation (not Spark's per-run temp dir): batch
+    # composition is pinned by the checkpoint's offset log, so the
+    # batch_id=N overwrite idempotency holds across a RESTARTED run,
+    # not just within one availableNow execution; removed in finally
+    # because each call of this harness query is self-contained
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
     try:
         q.awaitTermination()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     bands = bands0.unionByName(
         spark.read.parquet(os.path.join(delta, "bands")).drop("batch_id")
