@@ -1,0 +1,159 @@
+"""Measured scaling curve for SemDeDup (PERF.md) — the O(sum c_i^2)
+contract with the CLUSTER COUNT as the knob.
+
+`dedup_semantic_prune`'s docstring claims the pairwise cosine sweep is
+confined within clusters, so cost is O(sum c_i^2) and the cluster
+count bounds c_i at 100 TB (the SemDeDup paper's own design point:
+~10k clusters for ~100M docs). This script MEASURES both sides of
+that claim on the sf0.1 embedding table (2,000 x 64-dim) vs a 10x
+derivation (20,000 vectors):
+
+  leg "fixed_k":   n_cent = 16 at BOTH scales. c_i grows 10x, so the
+                   within-cluster pair count grows ~100x — wall and
+                   shuffle should grow clearly super-linearly. This is
+                   the MIS-CONFIGURED deployment the knob exists to
+                   avoid.
+  leg "scaled_k":  n_cent = 16 at 1x, 160 at 10x. c_i stays ~constant,
+                   pair count grows ~10x — wall should be ~linear in
+                   the corpus. This is the paper's configuration.
+
+The 10x table derives by replication with a PER-REPLICA ELEMENT
+ROTATION of the embedding array (replica i shifts the 64 components by
+i positions): norms are preserved, cross-replica cosine is decorrelated,
+so the 10x corpus has the same intra-cluster similarity character as
+the base rather than 10 stacked exact duplicates. vec_ids remap to
+replica*10_000_000 + vec_id. Derived data lands under _artifacts/.
+
+Methodology per the bench-noise discipline: best-of-3 wall, shuffle
+totals from the status REST API, nothing else running on the box.
+
+Usage:  python perf_scale_semdedup.py     # one JSON line per leg
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_RUNS = 3
+DIM = 64
+
+
+def _shuffle_totals(ui: str) -> tuple[int, int]:
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
+    )
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vector_search_ner_spark.plans.queries_mlops import semantic_prune_frame
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "_artifacts", "scale_semdedup"
+    )
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4049")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = "http://localhost:4049"
+
+    emb = load_table(spark, base_sf, "embeddings")
+    scales = {1: emb}
+    replicas = []
+    for i in range(10):
+        rot = F.concat(
+            F.slice(F.col("embedding"), i + 1, DIM - i),
+            F.slice(F.col("embedding"), 1, i),
+        ) if i else F.col("embedding")
+        replicas.append(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                rot.alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    ten = replicas[0]
+    for r in replicas[1:]:
+        ten = ten.unionByName(r)
+    scales[10] = ten
+    for mult, df in scales.items():
+        out = os.path.join(root, f"scale{mult}")
+        shutil.rmtree(out, ignore_errors=True)
+        df.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    legs = {
+        "semdedup_fixed_k": {1: 16, 10: 16},
+        "semdedup_scaled_k": {1: 16, 10: 160},
+    }
+    for qname, k_by_mult in legs.items():
+        results = {}
+        for mult in (1, 10):
+            sf_dir = os.path.join(root, f"scale{mult}")
+            table = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            n = table.count()
+            best, sh = None, None
+            for _ in range(N_RUNS):
+                spark.catalog.clearCache()
+                r0, w0 = _shuffle_totals(ui)
+                t0 = time.perf_counter()
+                semantic_prune_frame(table, n_cent=k_by_mult[mult]).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                dt = time.perf_counter() - t0
+                r1, w1 = _shuffle_totals(ui)
+                if best is None or dt < best:
+                    best, sh = dt, (r1 - r0, w1 - w0)
+            results[f"x{mult}"] = {
+                "n_vecs": n,
+                "n_cent": k_by_mult[mult],
+                "wall_sec": round(best, 3),
+                "shuffle_read_mb": round(sh[0] / 1e6, 2),
+                "shuffle_write_mb": round(sh[1] / 1e6, 2),
+                "runs": N_RUNS,
+            }
+        r1x, r10x = results["x1"], results["x10"]
+        print(
+            json.dumps(
+                {
+                    "metric": "semdedup_scaling",
+                    "leg": qname,
+                    "base_sf_dir": base_sf,
+                    "scales": results,
+                    "wall_ratio_10x_over_1x": round(
+                        r10x["wall_sec"] / r1x["wall_sec"], 2
+                    ),
+                    "shuffle_write_ratio_10x_over_1x": round(
+                        r10x["shuffle_write_mb"] / max(r1x["shuffle_write_mb"], 1e-9), 2
+                    ),
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

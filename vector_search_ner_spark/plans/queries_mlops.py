@@ -1415,13 +1415,26 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide iteration (log-bounded, lineage-cut); the final
     verdict is a broadcast-sized left join. The oracle unrolls Lloyd +
     sweep end to end; doubles match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_prune_frame(emb)
+
+
+def semantic_prune_frame(
+    emb: DataFrame, n_cent: int = _IVF_N_CENT, n_iter: int = _LLOYD_ITER
+) -> DataFrame:
+    """The SemDeDup cluster+sweep dataflow with the cluster count as a
+    parameter — `dedup_semantic_prune` calls it with the registered
+    constants; perf_scale_semdedup.py calls it at 1x/10x corpus with
+    fixed vs corpus-scaled n_cent to MEASURE the O(sum c_i^2) scale
+    contract (cluster count is the knob: fixed k at 10x data grows the
+    pairwise term ~quadratically, k scaled with the corpus holds c_i
+    constant and the cost ~linear)."""
     from vector_search_ner_spark.functions.vector import (
         cosine_similarity,
         to_double_array,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = ann.lloyd_build(emb, _IVF_N_CENT, n_iter=_LLOYD_ITER)
+    assigned, centroids = ann.lloyd_build(emb, n_cent, n_iter=n_iter)
     sq = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
