@@ -1954,3 +1954,57 @@ def test_checkpoint_mode_reliable_roundtrip(spark, tmp_path):
         assert got_p == baseline
     finally:
         spark.conf.unset("spark_graft.checkpoint_mode")
+
+
+def test_semdedup_greedy_vs_conservative_divergence(spark):
+    """Constructed redundant-region fixture for the two SemDeDup sweep
+    rules: a 3-chain v0—v1—v2 whose sweep order (centroid-distance
+    microunits) is v0 < v1 < v2, with successive cosines over the
+    T=0.4 threshold (0.805, 0.655) and the endpoint cosine under it
+    (0.08), plus an orthogonal ballast vector (similar to nothing,
+    ranked last). The paper's greedy-kept rule drops only v1 (v2's
+    only earlier KEPT member is v0, which it is not similar to); the
+    shipped conservative rule also drops v2 (similar to the earlier —
+    though dropped — v1). Asserts the exact verdicts, the subset law
+    (greedy drops ⊆ conservative drops), and the degree column."""
+    import math
+
+    from vector_search_ner_spark.plans.queries_mlops import (
+        semantic_prune_greedy_frame,
+    )
+
+    dim = 64
+
+    def vec(theta, scale):
+        v = [0.0] * dim
+        v[0] = math.cos(theta) * scale
+        v[1] = math.sin(theta) * scale
+        return v
+
+    ballast = [0.0] * dim
+    ballast[2] = 8.0
+    # angles/scales found numerically so that distance-to-mean (the
+    # 4-member cluster mean, ballast included) strictly orders
+    # v0 < v1 < v2 with >0.08 gaps — no reliance on tie-breaks
+    rows = [
+        (0, vec(1.6587, 0.754)),
+        (1, vec(1.0238, 2.6482)),
+        (2, vec(0.1678, 2.602)),
+        (3, ballast),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {
+        r.doc_id: r
+        for r in semantic_prune_greedy_frame(emb, n_cent=1, n_iter=1).collect()
+    }
+    assert not out[0].dropped and not out[0].dropped_conservative
+    assert out[1].dropped and out[1].dropped_conservative  # similar to kept v0
+    assert not out[2].dropped  # its only similar-earlier member was dropped
+    assert out[2].dropped_conservative  # the relaxation over-drops it
+    assert not out[3].dropped and not out[3].dropped_conservative
+    assert out[1].n_earlier_similar == 1 and out[2].n_earlier_similar == 1
+    # subset law on every row
+    for r in out.values():
+        assert (not r.dropped) or r.dropped_conservative

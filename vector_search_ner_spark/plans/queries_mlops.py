@@ -1419,20 +1419,18 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_prune_frame(emb)
 
 
-def semantic_prune_frame(
+def _semdedup_members(
     emb: DataFrame, n_cent: int = _IVF_N_CENT, n_iter: int = _LLOYD_ITER
 ) -> DataFrame:
-    """The SemDeDup cluster+sweep dataflow with the cluster count as a
-    parameter — `dedup_semantic_prune` calls it with the registered
-    constants; perf_scale_semdedup.py calls it at 1x/10x corpus with
-    fixed vs corpus-scaled n_cent to MEASURE the O(sum c_i^2) scale
-    contract (cluster count is the knob: fixed k at 10x data grows the
-    pairwise term ~quadratically, k scaled with the corpus holds c_i
-    constant and the cost ~linear)."""
-    from vector_search_ner_spark.functions.vector import (
-        cosine_similarity,
-        to_double_array,
-    )
+    """Shared SemDeDup member staging: Lloyd-cluster the embeddings and
+    attach the microunit centroid distance `u` that defines the
+    deterministic within-cluster sweep order (u, doc_id). Returns the
+    lineage-cut (doc_id, cluster_id, v, u) frame both sweep variants
+    self-join. NOTE: corpus-sized (one row per vector, carrying the
+    double array), so the cut routes through session.cut_lineage:
+    localCheckpoint by default, spark_graft.checkpoint_mode=reliable
+    (or =persist) for a long-lived cluster."""
+    from vector_search_ner_spark.functions.vector import to_double_array
 
     assigned, centroids = ann.lloyd_build(emb, n_cent, n_iter=n_iter)
     sq = lambda a, b: F.aggregate(
@@ -1440,13 +1438,6 @@ def semantic_prune_frame(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    # the self-join consumes j TWICE: materialize once (the edge-list
-    # lesson). NOTE: j is CORPUS-sized (one row per vector, carrying
-    # the double array), so the cut routes through session.cut_lineage:
-    # localCheckpoint by default (GC-reclaimed, plan-truncating), and a
-    # long-lived cluster sets spark_graft.checkpoint_mode=reliable (or
-    # =persist) to make this exact site fault-tolerant without a code
-    # change
     j = (
         assigned.select(
             F.col("vec_id").alias("doc_id"),
@@ -1459,7 +1450,22 @@ def semantic_prune_frame(
         )
         .select("doc_id", "cluster_id", "v", "u")
     )
-    j = cut_lineage(j)
+    return cut_lineage(j)
+
+
+def semantic_prune_frame(
+    emb: DataFrame, n_cent: int = _IVF_N_CENT, n_iter: int = _LLOYD_ITER
+) -> DataFrame:
+    """The SemDeDup cluster+sweep dataflow with the cluster count as a
+    parameter — `dedup_semantic_prune` calls it with the registered
+    constants; perf_scale_semdedup.py calls it at 1x/10x corpus with
+    fixed vs corpus-scaled n_cent to MEASURE the O(sum c_i^2) scale
+    contract (cluster count is the knob: fixed k at 10x data grows the
+    pairwise term ~quadratically, k scaled with the corpus holds c_i
+    constant and the cost ~linear)."""
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+
+    j = _semdedup_members(emb, n_cent, n_iter)
     # explicit per-side column names: self-join disambiguation by
     # dataset id works but is version-fragile (and warns); renamed
     # join keys make the within-cluster equi-join unambiguous
@@ -1488,6 +1494,176 @@ def semantic_prune_frame(
             "cluster_id",
             "max_sim_earlier",
             F.coalesce(F.col("max_sim_earlier") > _SEMDEDUP_T, F.lit(False)).alias("dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_semdedup_greedy() -> str:
+    from vector_search_ner_spark.functions.vector import duck_cosine
+
+    sqd = _LLOYD_SQD.format(a="a.v", b="c.centroid")
+    cf = f"c{_LLOYD_ITER}"
+    cos = duck_cosine("a.v", "b.v")
+    sql = (
+        _duck_lloyd_ctes()
+        + f""",
+j AS (
+  SELECT a.doc_id, a.cluster_id, a.v,
+         CAST(FLOOR({sqd} * 1000000) AS BIGINT) AS u
+  FROM af a JOIN {cf} c ON a.cluster_id = c.cluster_id
+),
+m AS (
+  SELECT doc_id, cluster_id, v, u,
+         CAST(row_number() OVER (
+           PARTITION BY cluster_id ORDER BY u, doc_id) AS BIGINT) AS rn
+  FROM j
+),
+e AS (
+  SELECT a.cluster_id AS cl, a.rn AS ra, b.rn AS rb
+  FROM m a JOIN m b ON a.cluster_id = b.cluster_id AND a.rn < b.rn
+  WHERE {cos} > {_SEMDEDUP_T}
+),
+ebl AS (SELECT cl, rb, list(ra) AS ra_list FROM e GROUP BY cl, rb),
+cmax AS (SELECT cluster_id AS cl, MAX(rn) AS mx FROM m GROUP BY cluster_id),
+g AS (
+  SELECT cl, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept_rns FROM cmax
+  UNION ALL
+  SELECT g.cl, g.rn + 1,
+         CASE WHEN len(list_intersect(
+                    COALESCE(ebl.ra_list, CAST([] AS BIGINT[])), g.kept_rns)) > 0
+              THEN g.kept_rns
+              ELSE list_append(g.kept_rns, g.rn + 1) END
+  FROM g
+  JOIN cmax ON cmax.cl = g.cl AND g.rn < cmax.mx
+  LEFT JOIN ebl ON ebl.cl = g.cl AND ebl.rb = g.rn + 1
+),
+fin AS (
+  SELECT g.cl, g.kept_rns
+  FROM g JOIN cmax ON cmax.cl = g.cl AND g.rn = cmax.mx
+)
+SELECT m.doc_id, m.cluster_id,
+       NOT list_contains(f.kept_rns, m.rn) AS dropped,
+       COALESCE(len(i.ra_list), 0) > 0 AS dropped_conservative,
+       CAST(COALESCE(len(i.ra_list), 0) AS INTEGER) AS n_earlier_similar
+FROM m
+JOIN fin f ON f.cl = m.cluster_id
+LEFT JOIN ebl i ON i.cl = m.cluster_id AND i.rb = m.rn
+ORDER BY m.doc_id
+"""
+    )
+    # the sweep CTE `g` is recursive; DuckDB requires the keyword on
+    # the chain head even though every Lloyd CTE before it is plain
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@query("dedup_semantic_prune_greedy", oracle=_duck_semdedup_greedy())
+def dedup_semantic_prune_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GREEDY-KEPT SemDeDup sweep (the paper's exact rule): walk
+    each cluster's members most-central-first and drop a member iff it
+    is too cosine-similar to an EARLIER KEPT member — whereas the
+    shipped `dedup_semantic_prune` drops on similarity to ANY earlier
+    member, a declared strictly-more-conservative relaxation. This twin
+    pins that divergence quantitatively: it emits BOTH verdicts per
+    document plus the earlier-similar degree, so drop-rate delta is a
+    groupBy away and the subset claim (greedy drops ⊆ conservative
+    drops) is hash-checked by the oracle on every row.
+
+    Dataflow: the O(sum c_i^2) within-cluster pairwise pass runs ONCE
+    to extract the SPARSE earlier-similar edge relation (only pairs
+    over the threshold survive — at sane thresholds a small fraction
+    of the corpus); the sequential-looking sweep then resolves by
+    driver-gated frontier rounds over that edge list alone: a member
+    is DROPPED as soon as any earlier similar member is decided-kept,
+    and KEPT once all its earlier similar members are decided-dropped
+    (members with no earlier similar edge are kept at round zero). One
+    member per dependency chain resolves per round, so rounds = the
+    longest undecided chain, not cluster size — redundant regions are
+    clique-ish, so this is 2-3 rounds in practice (CC-style loop,
+    per-round lineage cuts, statuses are slim (doc_id, int) rows).
+    The oracle replays the paper's sequential sweep exactly, with a
+    per-cluster recursive CTE accumulating the kept set in rank order
+    — the frontier fixpoint and the sequential sweep provably agree
+    (induction on rank), and the hash check re-proves it on this
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_prune_greedy_frame(emb)
+
+
+def semantic_prune_greedy_frame(
+    emb: DataFrame, n_cent: int = _IVF_N_CENT, n_iter: int = _LLOYD_ITER
+) -> DataFrame:
+    """The greedy-kept sweep dataflow (see dedup_semantic_prune_greedy)
+    with the cluster count as a parameter — shared by the registered
+    query and the constructed-fixture divergence test."""
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+
+    j = _semdedup_members(emb, n_cent, n_iter)
+    a = j.select(
+        F.col("cluster_id").alias("a_cl"), F.col("doc_id").alias("a_id"),
+        F.col("v").alias("av"), F.col("u").alias("au"),
+    )
+    b = j.select(
+        F.col("cluster_id").alias("b_cl"), F.col("doc_id").alias("b_id"),
+        F.col("v").alias("bv"), F.col("u").alias("bu"),
+    )
+    edges = cut_lineage(
+        a.join(
+            b,
+            (F.col("a_cl") == F.col("b_cl"))
+            & ((F.col("au") < F.col("bu"))
+               | ((F.col("au") == F.col("bu")) & (F.col("a_id") < F.col("b_id")))),
+        )
+        .where(cosine_similarity(F.col("av"), F.col("bv")) > F.lit(_SEMDEDUP_T))
+        .select("a_id", "b_id")
+    )
+    # status: 0 = undecided, 1 = kept, 2 = dropped. Round zero keeps
+    # everything with no incoming earlier-similar edge.
+    targets = edges.select(F.col("b_id").alias("doc_id")).distinct().withColumn(
+        "__t", F.lit(1)
+    )
+    status = j.select("doc_id").join(targets, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("__t").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("st"),
+    )
+    status = cut_lineage(status, allow_persist=False)
+    for _ in range(1000):  # bound >= max cluster size; loop exits on fixpoint
+        if status.where(F.col("st") == 0).count() == 0:
+            break
+        upd = (
+            edges.join(
+                status.select(F.col("doc_id").alias("a_id"), F.col("st").alias("a_st")),
+                "a_id",
+            )
+            .groupBy("b_id")
+            .agg(
+                F.max((F.col("a_st") == 1).cast("int")).alias("any_kept"),
+                F.min((F.col("a_st") != 0).cast("int")).alias("all_decided"),
+            )
+        )
+        status = (
+            status.join(upd, status.doc_id == upd.b_id, "left")
+            .select(
+                "doc_id",
+                F.when(F.col("st") != 0, F.col("st"))
+                .when(F.col("any_kept") == 1, F.lit(2))
+                .when(F.col("all_decided") == 1, F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("st"),
+            )
+        )
+        status = cut_lineage(status, allow_persist=False)
+    inc = edges.groupBy("b_id").agg(F.count(F.lit(1)).cast("int").alias("__deg"))
+    return (
+        j.select("doc_id", "cluster_id")
+        .join(status, "doc_id")
+        .join(inc.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("st") == 2).alias("dropped"),
+            (F.coalesce(F.col("__deg"), F.lit(0)) > 0).alias("dropped_conservative"),
+            F.coalesce(F.col("__deg"), F.lit(0)).alias("n_earlier_similar"),
         )
         .orderBy("doc_id")
     )

@@ -84,6 +84,8 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_freq_items",
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
+    # new full-oracle operator this round (greedy-kept SemDeDup twin)
+    "dedup_semantic_prune_greedy",
 ]
 
 
