@@ -85,6 +85,11 @@ HEADLINE = [
     # round-7 additions
     "dedup_incremental_vs_index",
     "doc_language_quality_gate",
+    # round-8 additions: both SemDeDup sweep rules (conservative +
+    # the paper's greedy-kept twin) — the semantic dedup rung's cost
+    # was previously unrepresented in the headline set
+    "dedup_semantic_prune",
+    "dedup_semantic_prune_greedy",
 ]
 
 
