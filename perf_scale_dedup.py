@@ -104,6 +104,11 @@ def main() -> None:
     # range sort + an O(n*window) equi-join on integer rank — shuffle
     # bytes must grow ~linearly with the corpus (sort exchange + the
     # K-sized pair verify), with no quadratic candidate term
+    # the sixth leg pins the text-analysis family's scale claim: the
+    # CCNet/C4-style language+boilerplate gate is documented as
+    # map-only with ZERO shuffle (tokenize-once staging, per-row
+    # verdicts) — at 10x corpus its wall must be ~linear and its
+    # shuffle bytes ~zero at both scales
     legs: list[tuple[str, object]] = [
         (n, queries[n])
         for n in (
@@ -111,6 +116,7 @@ def main() -> None:
             "repeated_span_cut_apply",
             "ann_maxsim_bq_topk",
             "dedup_sorted_neighborhood",
+            "doc_language_quality_gate",
         )
     ]
 

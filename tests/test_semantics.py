@@ -2008,3 +2008,64 @@ def test_semdedup_greedy_vs_conservative_divergence(spark):
     # subset law on every row
     for r in out.values():
         assert (not r.dropped) or r.dropped_conservative
+
+
+def test_checkpoint_mode_queries_agree_across_modes(spark, sf_dir, tmp_path):
+    """Every query whose dataflow routes through session.cut_lineage
+    must return IDENTICAL results under all three checkpoint modes —
+    the config changes materialization/fault-tolerance strategy, never
+    values. Covers one representative per cut-site family: the LSH
+    pair pipeline (shingle-frame cut), connected-components clustering
+    (edge + loop cuts), SemDeDup (corpus-sized j cut), the greedy twin
+    (edges + status-loop cuts), and sorted-neighborhood (the
+    partition-id offset cuts, where a mode that changed partitioning
+    between consumers would corrupt ranks)."""
+    from vector_search_ner_spark.registry import collect
+
+    qs, _ = collect()
+    names = [
+        "dedup_minhash_lsh",
+        "dedup_clusters_cc",
+        "dedup_semantic_prune",
+        "dedup_semantic_prune_greedy",
+        "dedup_sorted_neighborhood",
+    ]
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    base = {}
+    for n in names:
+        base[n] = sorted(map(tuple, qs[n](spark, sf_dir).collect()))
+        assert base[n], n
+    try:
+        for mode in ("reliable", "persist"):
+            spark.conf.set("spark_graft.checkpoint_mode", mode)
+            for n in names:
+                got = sorted(map(tuple, qs[n](spark, sf_dir).collect()))
+                assert got == base[n], f"{n} diverges under mode={mode}"
+    finally:
+        spark.conf.unset("spark_graft.checkpoint_mode")
+
+
+def test_dsir_target_like_doc_outranks_alien(spark, tmp_path):
+    """DSIR behavioral check on a constructed corpus: a raw document
+    sharing the target corpus's vocabulary must get a strictly higher
+    importance weight (and the #1 per-source rank) than a raw document
+    with disjoint vocabulary."""
+    from vector_search_ner_spark.registry import collect
+
+    d = str(tmp_path / "corpus")
+    target_text = "alpha beta gamma delta epsilon alpha beta gamma"
+    rows = [
+        (i, target_text, "en", "s0", len(target_text)) for i in range(8)
+    ] + [
+        (100, "alpha beta gamma delta epsilon zeta", "xx", "s0", 35),
+        (101, "zork quux blarg frobnitz wibble snork", "xx", "s0", 37),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    qs, _ = collect()
+    out = {r.doc_id: r for r in qs["dsir_importance_select"](spark, d).collect()}
+    assert set(out) == {100, 101}  # only raw docs are scored
+    assert out[100].weight_bits > out[101].weight_bits
+    assert out[100].sel_rank == 1 and out[100].selected

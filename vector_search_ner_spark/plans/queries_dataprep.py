@@ -1025,3 +1025,156 @@ def dataset_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.sum("n_chars") / float(_SHARD_TARGET_BYTES)).cast("int").alias("n_files"),
         )
     )
+
+
+# -- DSIR importance selection ----------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# pick raw-corpus documents that look like a TARGET corpus by the
+# likelihood ratio of two hashed-n-gram bag models. Weights are
+# quantized to whole bits with the same floor-log2 device as
+# doc_lm_surprisal — integer everywhere, so the per-doc sum is
+# order-independent and bit-identical cross-engine (a sum of ln()
+# terms would drift with accumulation order).
+
+_DSIR_B = 128  # hashed feature buckets (the paper's hashed n-grams)
+_DSIR_P = 1_000_000_007
+_DSIR_M = 1_000_003
+_DSIR_TOPK = 5  # per-source selection quota
+_DSIR_TARGET_LANG = "en"
+
+
+def _duck_dsir() -> str:
+    from vector_search_ner_spark.operators.neardup import duck_token_hashes60
+
+    B, P, M = _DSIR_B, _DSIR_P, _DSIR_M
+    fl2 = lambda x: f"(length(bin({x})) - 1)"
+    return f"""
+WITH th AS (
+  SELECT doc_id, lang, source, {duck_token_hashes60("text")} AS th
+  FROM documents
+), uni AS (
+  SELECT doc_id, lang, source, unnest(list_transform(th, h -> h % {B})) AS bucket
+  FROM th
+), big AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(generate_series(1, len(th) - 1),
+                i -> (((th[i] % {P}) * {M} + (th[i + 1] % {P})) % {P}) % {B})) AS bucket
+  FROM th WHERE len(th) >= 2
+), g AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM big
+), model AS (
+  SELECT bucket,
+         SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN lang <> '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS cr
+  FROM g GROUP BY bucket
+), tot AS (
+  SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model
+), w AS (
+  SELECT m.bucket,
+         ({fl2("m.ct + 1")} - {fl2("t.nt + " + str(B))})
+         - ({fl2("m.cr + 1")} - {fl2("t.nr + " + str(B))}) AS bits
+  FROM model m CROSS JOIN tot t
+), per_doc AS (
+  SELECT g.doc_id, g.source,
+         CAST(COUNT(*) AS INTEGER) AS n_grams,
+         CAST(SUM(w.bits) AS BIGINT) AS weight_bits
+  FROM g JOIN w ON g.bucket = w.bucket
+  WHERE g.lang <> '{_DSIR_TARGET_LANG}'
+  GROUP BY g.doc_id, g.source
+)
+SELECT doc_id, source, n_grams, weight_bits,
+       CAST(row_number() OVER (
+         PARTITION BY source ORDER BY weight_bits DESC, doc_id
+       ) AS INTEGER) AS sel_rank,
+       row_number() OVER (
+         PARTITION BY source ORDER BY weight_bits DESC, doc_id
+       ) <= {_DSIR_TOPK} AS selected
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@query("dsir_importance_select", oracle=_duck_dsir())
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every RAW document by how much more likely its hashed-n-gram bag is
+    under the TARGET corpus's bag model than under the raw corpus's
+    own, then take a per-source quota of the highest-weight documents.
+    Here target = the 'en' slice of the corpus, raw = everything
+    else; features = hashed unigrams + bigrams of the canonical
+    whitespace tokens, folded into 128 buckets.
+
+    Bit-exact quantization: the per-bucket log-likelihood ratio is
+    taken in WHOLE BITS via floor-log2 (length(bin(x))-1) of the
+    add-one-smoothed counts — the doc_lm_surprisal device — so the
+    per-document weight is an integer sum, order-independent, and the
+    oracle reproduces it exactly (a float ln() sum would drift with
+    accumulation order). Selection is deterministic: per-source
+    row_number over (weight desc, doc_id).
+
+    Scale shape (100 TB): one tokenize+explode pass over the corpus
+    (the exploded gram frame is slim (doc_id, lang, source, int) rows
+    and is lineage-cut once for its three consumers); the bag models
+    collapse to a 128-row table via ONE map-side-combining aggregate
+    with conditional sums (no second corpus pass for the target
+    model); weights broadcast into the per-doc scoring aggregate; the
+    quota rank partitions by source. Zero corpus-by-corpus joins —
+    the whole op is two linear passes and a broadcast."""
+    from vector_search_ner_spark.operators.neardup import token_hashes60
+    from vector_search_ner_spark.session import cut_lineage
+
+    B, P, M = _DSIR_B, _DSIR_P, _DSIR_M
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id", "lang", "source", token_hashes60(F.col("text")).alias("th")
+    )
+    n = F.size("th")
+    uni = th.select(
+        "doc_id", "lang", "source",
+        F.explode(F.transform(F.col("th"), lambda h: h % B)).alias("bucket"),
+    )
+    big = th.where(n >= 2).select(
+        "doc_id", "lang", "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: (
+                    (F.element_at("th", i) % P) * M + F.element_at("th", i + 1) % P
+                ) % P % B,
+            )
+        ).alias("bucket"),
+    )
+    g = cut_lineage(uni.unionByName(big))
+    is_t = (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+    model = g.groupBy("bucket").agg(
+        F.sum(is_t).alias("ct"), F.sum(1 - is_t).alias("cr")
+    )
+    tot = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    fl2 = lambda c: F.length(F.bin(c)) - 1
+    w = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            (fl2(F.col("ct") + 1) - fl2(F.col("nt") + B))
+            - (fl2(F.col("cr") + 1) - fl2(F.col("nr") + B))
+        ).alias("bits"),
+    )
+    per_doc = (
+        g.where(F.col("lang") != _DSIR_TARGET_LANG)
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum("bits").cast("bigint").alias("weight_bits"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("weight_bits").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        per_doc.withColumn("sel_rank", rank.cast("int"))
+        .withColumn("selected", F.col("sel_rank") <= _DSIR_TOPK)
+        .orderBy("doc_id")
+    )

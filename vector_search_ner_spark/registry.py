@@ -84,8 +84,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_freq_items",
     "ann_ivf_topk",
     "ann_lsh_similarity_join",
-    # new full-oracle operator this round (greedy-kept SemDeDup twin)
+    # new full-oracle operators this round
     "dedup_semantic_prune_greedy",
+    "dsir_importance_select",
 ]
 
 
