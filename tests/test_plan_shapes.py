@@ -597,3 +597,27 @@ def test_incremental_dedup_scans_persisted_index(spark):
     assert len(index_scans) >= 2, p
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_index_compact_serves_from_compacted_generation(spark):
+    """dedup_index_compact's returned summary must READ the compacted
+    generation (parquet scans under neardup_index_compacted) — one
+    relation per table, not base + N deltas, and never a recompute of
+    the corpus tokenization. A second call with the generation already
+    built must produce the identical frame (compaction is idempotent
+    and the _SUCCESS-guarded rebuild is skipped)."""
+    p = _plan(spark, "dedup_index_compact")
+    compact_scans = [
+        ln
+        for ln in p.splitlines()
+        if "neardup_index_compacted" in ln and ("Location" in ln or "Scan parquet" in ln)
+    ]
+    assert len(compact_scans) >= 2, p
+    assert "CartesianProduct" not in p, p
+    from vector_search_ner_spark.registry import collect
+
+    qs, _ = collect()
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, qs["dedup_index_compact"](spark, sf).collect()))
+    b = sorted(map(tuple, qs["dedup_index_compact"](spark, sf).collect()))
+    assert a == b and a

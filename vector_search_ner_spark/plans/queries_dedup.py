@@ -1135,3 +1135,99 @@ def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _INC_MOD == _INC_REM
     )
     return nd.incremental_lsh_dedup(shard, bands, shingles, JACCARD_T)
+
+
+def _compact_oracle() -> str:
+    # the compacted full-corpus index must equal the batch derivation
+    # from the raw corpus — the SAME contract (and the same oracle) as
+    # the streamed base∪delta merge in stream_index_ingest
+    from vector_search_ner_spark.plans.queries_streaming import _index_ingest_oracle
+
+    return _index_ingest_oracle()
+
+
+@query("dedup_index_compact", oracle=_compact_oracle())
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION of the persisted shingle/minhash dedup index — the
+    third op of the index lifecycle (build → streamed delta appends →
+    compact): fold the base generation plus accumulated batch_id=N
+    delta generations into ONE fresh full-corpus generation, so
+    consumers scan a single compacted relation instead of base + N
+    deltas (at daily-ingest cadence the delta count — and the probe's
+    scan fan-in — grows without bound until someone compacts).
+
+    Write-then-swap like the store build: the compacted generation is
+    written in full, and only after its bands _SUCCESS marker lands
+    are older compacted generations retired — a crash mid-compaction
+    leaves the previous state intact and re-runs recover. The returned
+    frame is the canonical content summary (index_summary_frame) READ
+    BACK from the compacted artifacts, and the oracle re-derives the
+    identical summary from the raw corpus, so compaction is certified
+    content-preserving bit-for-bit: a lost delta, a doubled append, or
+    any merge drift flips a checksum. O(index) sequential I/O, zero
+    shuffle beyond the summary's own aggregate."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.session import cut_lineage
+    from vector_search_ner_spark.sources.neardup_index import (
+        ARTIFACT_DIR,
+        _source_fingerprint,
+        index_summary_frame,
+        shingle_index_store,
+    )
+
+    base_bands, base_shingles = shingle_index_store(spark, sf_dir, 10, 5)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = docs.where(F.col("doc_id") % 10 == 5)
+
+    # the accumulated delta generations (two batch_id dirs, the same
+    # layout the streaming append writes — produced batch-wise here so
+    # the query is self-contained)
+    delta = os.path.join(ARTIFACT_DIR, "index_compact_delta")
+    shutil.rmtree(delta, ignore_errors=True)
+    mid = shard.agg(F.expr("percentile(doc_id, 0.5)").alias("m")).collect()[0].m
+    for batch_id, part in enumerate(
+        (shard.where(F.col("doc_id") <= mid), shard.where(F.col("doc_id") > mid))
+    ):
+        sh = cut_lineage(nd.shingle_frame(part))
+        sh.write.mode("overwrite").parquet(
+            os.path.join(delta, "shingles", f"batch_id={batch_id}")
+        )
+        nd.minhash_band_frame(sh).write.mode("overwrite").parquet(
+            os.path.join(delta, "bands", f"batch_id={batch_id}")
+        )
+
+    # compact base ∪ deltas into one fresh generation, keyed by the
+    # source fingerprint so a regenerated corpus retires stale output
+    src = os.path.join(sf_dir, "documents.parquet")
+    import hashlib
+
+    gen = hashlib.md5(
+        f"{src}:{_source_fingerprint(src)}:compact".encode()
+    ).hexdigest()[:16]
+    parent = os.path.join(
+        ARTIFACT_DIR, "neardup_index_compacted", sf_dir.strip("/").replace("/", "_")
+    )
+    out = os.path.join(parent, gen)
+    bands_path = os.path.join(out, "bands")
+    shingles_path = os.path.join(out, "shingles")
+    if not os.path.exists(os.path.join(bands_path, "_SUCCESS")):
+        merged_sh = base_shingles.unionByName(
+            spark.read.parquet(os.path.join(delta, "shingles")).drop("batch_id")
+        )
+        merged_bands = base_bands.unionByName(
+            spark.read.parquet(os.path.join(delta, "bands")).drop("batch_id")
+        )
+        merged_sh.write.mode("overwrite").parquet(shingles_path)
+        # at cluster scale: repartition("key") / bucketing here, so the
+        # compacted posting table keeps the co-located-probe layout
+        merged_bands.write.mode("overwrite").parquet(bands_path)
+        if os.path.exists(os.path.join(bands_path, "_SUCCESS")):
+            for old in os.listdir(parent):
+                if old != gen:
+                    shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
+
+    cb = spark.read.parquet(bands_path)
+    cs = spark.read.parquet(shingles_path)
+    return index_summary_frame(cb, cs)

@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     # new full-oracle operators this round
     "dedup_semantic_prune_greedy",
     "dsir_importance_select",
+    "dedup_index_compact",
 ]
 
 

@@ -129,3 +129,49 @@ def shingle_index_store(
                 if old != os.path.basename(path):
                     shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
     return spark.read.parquet(bands_path), spark.read.parquet(shingles_path)
+
+
+def index_summary_frame(bands: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Canonical content summary of a shingle/minhash index: per band
+    the row count, distinct-key count, sid sum, and a bit_xor checksum
+    over the 60-bit key hashes, plus a band=-1 row checksumming the
+    full shingle table. Order-insensitive and engine-neutral (the
+    shingle set is sorted before stringifying — array_distinct vs
+    list_distinct element order differs), so a DuckDB oracle deriving
+    the same summary from the raw corpus certifies the index content
+    bit-for-bit. Shared by stream_index_ingest (base ∪ streamed delta)
+    and dedup_index_compact (the compacted generation)."""
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    # one scan, one aggregate: the key hash is staged alongside the
+    # grouping columns so all four metrics come from a single groupBy
+    band_sum = (
+        bands.select(
+            F.col("band").cast("int").alias("band"),
+            "key",
+            "sid",
+            stable_long_hash(F.col("key")).alias("__kh"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("key").alias("n_keys"),
+            F.sum("sid").cast("long").alias("sid_sum"),
+            F.expr("bit_xor(__kh)").alias("content_xor"),
+        )
+    )
+    sh_content = shingles.select(
+        "sid",
+        stable_long_hash(
+            F.array_join(
+                F.transform(F.array_sort(F.col("hs")), lambda h: h.cast("string")), ","
+            )
+        ).alias("__ch"),
+    )
+    sh_sum = sh_content.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("sid").alias("n_keys"),
+        F.sum("sid").cast("long").alias("sid_sum"),
+        F.expr("bit_xor(__ch)").alias("content_xor"),
+    ).select(F.lit(-1).alias("band"), "n_rows", "n_keys", "sid_sum", "content_xor")
+    return band_sum.unionByName(sh_sum).orderBy("band")

@@ -505,7 +505,6 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from vector_search_ner_spark.functions.text import stable_long_hash
     from vector_search_ner_spark.operators import neardup as nd
     from vector_search_ner_spark.sources.neardup_index import shingle_index_store
 
@@ -564,38 +563,6 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = shingles0.unionByName(
         spark.read.parquet(os.path.join(delta, "shingles")).drop("batch_id")
     )
-    # one scan, one aggregate: the key hash is staged alongside the
-    # grouping columns so all four metrics come from a single groupBy
-    band_sum = (
-        bands.select(
-            F.col("band").cast("int").alias("band"),
-            "key",
-            "sid",
-            stable_long_hash(F.col("key")).alias("__kh"),
-        )
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct("key").alias("n_keys"),
-            F.sum("sid").cast("long").alias("sid_sum"),
-            F.expr("bit_xor(__kh)").alias("content_xor"),
-        )
-    )
-    # hs is a distinct-SET whose element order is engine-specific
-    # (array_distinct preserves first occurrence, list_distinct does
-    # not) — sort before stringifying so the checksum is canonical
-    sh_content = shingles.select(
-        "sid",
-        stable_long_hash(
-            F.array_join(
-                F.transform(F.array_sort(F.col("hs")), lambda h: h.cast("string")), ","
-            )
-        ).alias("__ch"),
-    )
-    sh_sum = sh_content.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("sid").alias("n_keys"),
-        F.sum("sid").cast("long").alias("sid_sum"),
-        F.expr("bit_xor(__ch)").alias("content_xor"),
-    ).select(F.lit(-1).alias("band"), "n_rows", "n_keys", "sid_sum", "content_xor")
-    return band_sum.unionByName(sh_sum).orderBy("band")
+    from vector_search_ner_spark.sources.neardup_index import index_summary_frame
+
+    return index_summary_frame(bands, shingles)
