@@ -1617,32 +1617,38 @@ def semantic_prune_greedy_frame(
         .where(cosine_similarity(F.col("av"), F.col("bv")) > F.lit(_SEMDEDUP_T))
         .select("a_id", "b_id")
     )
-    # status: 0 = undecided, 1 = kept, 2 = dropped. Round zero keeps
-    # everything with no incoming earlier-similar edge.
-    targets = edges.select(F.col("b_id").alias("doc_id")).distinct().withColumn(
-        "__t", F.lit(1)
+    # Loop state is O(SIMILAR docs), not O(corpus): only edge TARGETS
+    # (docs with an incoming earlier-similar edge) can be dropped, so
+    # only they carry a mutable status (0 = undecided, 1 = kept,
+    # 2 = dropped); every non-target is kept by definition at round
+    # zero and never enters the loop. At a sane threshold the target
+    # set is a small fraction of the corpus, so the per-round
+    # checkpoint materializes a near-dup-sized frame, not a
+    # corpus-sized one.
+    tstat = cut_lineage(
+        edges.select(F.col("b_id").alias("doc_id")).distinct().select(
+            "doc_id", F.lit(0).alias("st")
+        ),
+        allow_persist=False,
     )
-    status = j.select("doc_id").join(targets, "doc_id", "left").select(
-        "doc_id",
-        F.when(F.col("__t").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("st"),
-    )
-    status = cut_lineage(status, allow_persist=False)
-    for _ in range(1000):  # bound >= max cluster size; loop exits on fixpoint
-        if status.where(F.col("st") == 0).count() == 0:
+    for _ in range(1000):  # bound >= max chain depth; loop exits on fixpoint
+        if tstat.where(F.col("st") == 0).count() == 0:
             break
+        # a-side status lookup: a non-target source is KEPT by round
+        # zero; targets read their tracked status
+        a_st = F.coalesce(F.col("st"), F.lit(1))
         upd = (
             edges.join(
-                status.select(F.col("doc_id").alias("a_id"), F.col("st").alias("a_st")),
-                "a_id",
+                tstat.select(F.col("doc_id").alias("a_id"), "st"), "a_id", "left"
             )
             .groupBy("b_id")
             .agg(
-                F.max((F.col("a_st") == 1).cast("int")).alias("any_kept"),
-                F.min((F.col("a_st") != 0).cast("int")).alias("all_decided"),
+                F.max((a_st == 1).cast("int")).alias("any_kept"),
+                F.min((a_st != 0).cast("int")).alias("all_decided"),
             )
         )
-        status = (
-            status.join(upd, status.doc_id == upd.b_id, "left")
+        tstat = (
+            tstat.join(upd, tstat.doc_id == upd.b_id, "left")
             .select(
                 "doc_id",
                 F.when(F.col("st") != 0, F.col("st"))
@@ -1652,16 +1658,21 @@ def semantic_prune_greedy_frame(
                 .alias("st"),
             )
         )
-        status = cut_lineage(status, allow_persist=False)
+        tstat = cut_lineage(tstat, allow_persist=False)
     inc = edges.groupBy("b_id").agg(F.count(F.lit(1)).cast("int").alias("__deg"))
+    # no broadcast hints on the verdict joins: the target/degree
+    # frames are similar-docs-sized, which at aggressive thresholds is
+    # a large corpus fraction — the 8 GB broadcast ceiling would make
+    # a forced hint fail exactly when dedup matters most. AQE
+    # broadcasts them when they are actually small.
     return (
         j.select("doc_id", "cluster_id")
-        .join(status, "doc_id")
+        .join(tstat, "doc_id", "left")
         .join(inc.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             "cluster_id",
-            (F.col("st") == 2).alias("dropped"),
+            (F.coalesce(F.col("st"), F.lit(1)) == 2).alias("dropped"),
             (F.coalesce(F.col("__deg"), F.lit(0)) > 0).alias("dropped_conservative"),
             F.coalesce(F.col("__deg"), F.lit(0)).alias("n_earlier_similar"),
         )
