@@ -90,6 +90,8 @@ HEADLINE = [
     # was previously unrepresented in the headline set
     "dedup_semantic_prune",
     "dedup_semantic_prune_greedy",
+    "dsir_importance_select",
+    "dedup_index_compact",
 ]
 
 
