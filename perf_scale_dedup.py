@@ -141,6 +141,31 @@ def main() -> None:
 
     legs.append(("dedup_incremental_vs_index_fixed_shard", incremental_fixed_shard))
 
+    # seventh leg — DSIR importance selection: docstring claims two
+    # LINEAR passes (tokenize+explode, broadcast-weight scoring) and
+    # zero corpus-by-corpus joins, so wall AND shuffle must grow ~10x
+    # at 10x corpus with no quadratic term
+    legs.append(("dsir_importance_select", queries["dsir_importance_select"]))
+
+    # eighth leg — index compaction: O(index) sequential rewrite. The
+    # compacted generation is _SUCCESS-gated, so each timed run first
+    # retires it to measure the real recurring compaction (delta write
+    # + merge write + summary), not a cached re-read; the BASE store
+    # build stays prebuilt outside the timing like the incremental leg
+    def compact_fresh(spark_, sf_dir_):
+        import shutil as _sh
+
+        comp = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "_artifacts",
+            "neardup_index_compacted",
+            sf_dir_.strip("/").replace("/", "_"),
+        )
+        _sh.rmtree(comp, ignore_errors=True)
+        return queries["dedup_index_compact"](spark_, sf_dir_)
+
+    legs.append(("dedup_index_compact_fresh", compact_fresh))
+
     only = os.environ.get("SPARK_GRAFT_SCALE_LEGS")
     if only:
         wanted = {s.strip() for s in only.split(",")}
@@ -148,7 +173,10 @@ def main() -> None:
 
     # index build cost is paid once OUTSIDE the timed runs (the point
     # of a persisted index); only when the incremental leg will run
-    if any(n == "dedup_incremental_vs_index_fixed_shard" for n, _ in legs):
+    if any(
+        n in ("dedup_incremental_vs_index_fixed_shard", "dedup_index_compact_fresh")
+        for n, _ in legs
+    ):
         for mult in (1, 10):
             shingle_index_store(spark, os.path.join(root, f"scale{mult}"), 10, 5)
 
