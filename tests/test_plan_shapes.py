@@ -621,3 +621,32 @@ def test_index_compact_serves_from_compacted_generation(spark):
     a = sorted(map(tuple, qs["dedup_index_compact"](spark, sf).collect()))
     b = sorted(map(tuple, qs["dedup_index_compact"](spark, sf).collect()))
     assert a == b and a
+
+
+def test_dsir_model_broadcasts_into_scoring(spark):
+    """dsir_importance_select's 100 TB contract: the 128-bucket weight
+    table must BROADCAST into the per-doc scoring join (never shuffle
+    the exploded gram frame against it), the gram frame must be a
+    lineage-cut leaf scanned by both the model build and the scoring
+    (one tokenize+explode, not two), and the aggregates must partial-
+    combine map-side."""
+    p = _plan(spark, "dsir_importance_select")
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert "CartesianProduct" not in p, p
+    # the cut gram frame appears as ExistingRDD leaves (the one
+    # explode pass feeding model + scoring), never a re-derivation of
+    # the corpus tokenization below the scoring join
+    assert p.count("Scan ExistingRDD") >= 2, p
+
+
+def test_semdedup_greedy_loop_state_is_target_sized(spark):
+    """The greedy sweep's verdict plan must join the corpus members
+    against the TARGET-ONLY status/degree frames (checkpointed leaves
+    + the edge aggregate), with no corpus-sized frame re-derived inside
+    the loop output and no cartesian anywhere. The loop itself ran
+    during construction (driver-gated), so the returned plan is the
+    final verdict join."""
+    p = _plan(spark, "dedup_semantic_prune_greedy")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p

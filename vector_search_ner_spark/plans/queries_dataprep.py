@@ -1146,9 +1146,17 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     g = cut_lineage(uni.unionByName(big))
-    is_t = (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+    # when/otherwise (not a bare boolean cast): a NULL lang must count
+    # as 0 on BOTH sides, exactly like the oracle's CASE ... ELSE 0 —
+    # sum() skipping NULLs would otherwise leave a NULL ct/cr for a
+    # bucket whose grams are all NULL-lang, and its bits would drop
+    # silently from the per-doc sum
+    is_t = F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+    is_r = F.when(
+        F.col("lang").isNotNull() & (F.col("lang") != _DSIR_TARGET_LANG), 1
+    ).otherwise(0)
     model = g.groupBy("bucket").agg(
-        F.sum(is_t).alias("ct"), F.sum(1 - is_t).alias("cr")
+        F.sum(is_t).alias("ct"), F.sum(is_r).alias("cr")
     )
     tot = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     fl2 = lambda c: F.length(F.bin(c)) - 1

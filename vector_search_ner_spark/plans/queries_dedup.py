@@ -1172,39 +1172,21 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ner_spark.session import cut_lineage
     from vector_search_ner_spark.sources.neardup_index import (
         ARTIFACT_DIR,
+        NEARDUP_INDEX_VERSION,
         _source_fingerprint,
         index_summary_frame,
         shingle_index_store,
     )
 
-    base_bands, base_shingles = shingle_index_store(spark, sf_dir, 10, 5)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    shard = docs.where(F.col("doc_id") % 10 == 5)
-
-    # the accumulated delta generations (two batch_id dirs, the same
-    # layout the streaming append writes — produced batch-wise here so
-    # the query is self-contained)
-    delta = os.path.join(ARTIFACT_DIR, "index_compact_delta")
-    shutil.rmtree(delta, ignore_errors=True)
-    mid = shard.agg(F.expr("percentile(doc_id, 0.5)").alias("m")).collect()[0].m
-    for batch_id, part in enumerate(
-        (shard.where(F.col("doc_id") <= mid), shard.where(F.col("doc_id") > mid))
-    ):
-        sh = cut_lineage(nd.shingle_frame(part))
-        sh.write.mode("overwrite").parquet(
-            os.path.join(delta, "shingles", f"batch_id={batch_id}")
-        )
-        nd.minhash_band_frame(sh).write.mode("overwrite").parquet(
-            os.path.join(delta, "bands", f"batch_id={batch_id}")
-        )
-
-    # compact base ∪ deltas into one fresh generation, keyed by the
-    # source fingerprint so a regenerated corpus retires stale output
+    # compacted generation keyed by source fingerprint AND the hashing
+    # VERSION: a regenerated corpus or a shingle/minhash definition
+    # bump must both retire stale compacted output (the base store's
+    # _index_path folds the version in for exactly this reason)
     src = os.path.join(sf_dir, "documents.parquet")
     import hashlib
 
     gen = hashlib.md5(
-        f"{src}:{_source_fingerprint(src)}:compact".encode()
+        f"{src}:{_source_fingerprint(src)}:v{NEARDUP_INDEX_VERSION}:compact".encode()
     ).hexdigest()[:16]
     parent = os.path.join(
         ARTIFACT_DIR, "neardup_index_compacted", sf_dir.strip("/").replace("/", "_")
@@ -1213,6 +1195,30 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_path = os.path.join(out, "bands")
     shingles_path = os.path.join(out, "shingles")
     if not os.path.exists(os.path.join(bands_path, "_SUCCESS")):
+        base_bands, base_shingles = shingle_index_store(spark, sf_dir, 10, 5)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        shard = docs.where(F.col("doc_id") % 10 == 5)
+
+        # the accumulated delta generations (two batch_id dirs, the
+        # same layout the streaming append writes — produced batch-wise
+        # here so the query is self-contained). Built only when the
+        # compaction itself runs: on the _SUCCESS-gated idempotent
+        # path, rebuilding deltas would be dead work the merged read
+        # never consumes.
+        delta = os.path.join(ARTIFACT_DIR, "index_compact_delta")
+        shutil.rmtree(delta, ignore_errors=True)
+        mid = shard.agg(F.expr("percentile(doc_id, 0.5)").alias("m")).collect()[0].m
+        for batch_id, part in enumerate(
+            (shard.where(F.col("doc_id") <= mid), shard.where(F.col("doc_id") > mid))
+        ):
+            sh = cut_lineage(nd.shingle_frame(part))
+            sh.write.mode("overwrite").parquet(
+                os.path.join(delta, "shingles", f"batch_id={batch_id}")
+            )
+            nd.minhash_band_frame(sh).write.mode("overwrite").parquet(
+                os.path.join(delta, "bands", f"batch_id={batch_id}")
+            )
+
         merged_sh = base_shingles.unionByName(
             spark.read.parquet(os.path.join(delta, "shingles")).drop("batch_id")
         )

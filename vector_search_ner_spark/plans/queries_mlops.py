@@ -255,7 +255,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann.ivf_topk(queries, assigned, centroids, k=10, nprobe=4).select(
         "query_id", "doc_id"
     )
-    exact = knn_join(queries, docs, k=10, metric="l2").select("query_id", "doc_id")
+    # the exact ground truth feeds the verdict aggregate AND the
+    # per-query grain — cut it once or the corpus-x-queries scoring
+    # crossJoin runs twice (K-sized output, corpus-sized compute)
+    exact = cut_lineage(
+        knn_join(queries, docs, k=10, metric="l2").select("query_id", "doc_id")
+    )
     verdict = (
         exact.join(ivf.withColumn("__hit", F.lit(1)), ["query_id", "doc_id"], "left")
         .agg(
@@ -303,14 +308,15 @@ def ann_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ner_spark.functions.vector import l2_distance_nc, to_double_array
 
     emb = load_table(spark, sf_dir, "embeddings")
-    lsh_pairs = ann.lsh_similarity_join(emb, threshold=1.1).select(
-        "doc_a", "doc_b", F.lit(True).alias("__found")
-    )
+    lsh_pairs = ann.lsh_similarity_join(emb, threshold=1.1).select("doc_a", "doc_b")
     s = emb.where(F.col("vec_id") < _LSH_SAMPLE).select(
         "vec_id", to_double_array("embedding").alias("__dv")
     )
     a, b = s.alias("a"), s.alias("b")
-    exact = (
+    # the exact relation is bounded (sample^2 pairs) but each run costs
+    # a broadcast self-join with per-pair distance folds — cut it once:
+    # it feeds the verdict aggregate AND the returned report
+    exact = cut_lineage(
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("__l2", l2_distance_nc(F.col("a.__dv"), F.col("b.__dv")))
         .where(F.col("__l2") <= 1.1)
@@ -320,13 +326,20 @@ def ann_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("__l2", 4).alias("l2"),
         )
     )
+    # broadcast the BOUNDED exact sample into the corpus-wide LSH pair
+    # relation (never the reverse: the within-threshold pair set of a
+    # 100 TB corpus is far beyond the broadcast ceiling — the same
+    # asymmetry argument as incremental_lsh_dedup's probe joins)
+    n_hit = lsh_pairs.join(
+        F.broadcast(exact.select("doc_a", "doc_b")), ["doc_a", "doc_b"]
+    ).agg(F.count(F.lit(1)).alias("__nh"))
     verdict = (
-        exact.join(F.broadcast(lsh_pairs), ["doc_a", "doc_b"], "left")
-        .agg(
-            (
-                F.sum(F.when(F.col("__found"), 1).otherwise(0))
-                >= _LSH_RECALL_FLOOR * F.count(F.lit(1))
-            ).alias("lsh_recall_ge_floor")
+        exact.agg(F.count(F.lit(1)).alias("__ne"))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            (F.col("__nh") >= _LSH_RECALL_FLOOR * F.col("__ne")).alias(
+                "lsh_recall_ge_floor"
+            )
         )
     )
     return exact.crossJoin(F.broadcast(verdict))
@@ -1659,6 +1672,17 @@ def semantic_prune_greedy_frame(
             )
         )
         tstat = cut_lineage(tstat, allow_persist=False)
+    else:
+        # the frontier decides at least one member per dependency
+        # chain per round, so hitting the cap means something is
+        # structurally wrong — fail loudly rather than silently
+        # reporting still-undecided members as kept
+        undecided = tstat.where(F.col("st") == 0).count()
+        if undecided:
+            raise RuntimeError(
+                f"greedy sweep did not converge: {undecided} undecided "
+                "members after the round cap"
+            )
     inc = edges.groupBy("b_id").agg(F.count(F.lit(1)).cast("int").alias("__deg"))
     # no broadcast hints on the verdict joins: the target/degree
     # frames are similar-docs-sized, which at aggressive thresholds is

@@ -646,7 +646,7 @@ c AS (SELECT o_orderpriority AS item, COUNT(*) AS n_occurrences
       FROM orders GROUP BY 1)
 SELECT item, CAST(n_occurrences AS BIGINT) AS n_occurrences,
        TRUE AS found_by_sketch
-FROM c, t WHERE n_occurrences >= 0.15 * tot
+FROM c, t WHERE n_occurrences > 0.15 * tot
 """,
 )
 def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,7 +659,8 @@ def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bound-verdict form (full oracle): sketch contents are
     impl-specific, so the query derives the EXACT frequent-item set
-    (count >= support*total — fully oracle-derivable) and emits one row
+    (count > support*total — fully oracle-derivable; STRICT, matching
+    the sketch's guarantee) and emits one row
     per truly-frequent item with `found_by_sketch` = whether freqItems
     returned it. The superset guarantee says every verdict must be
     true; the oracle re-derives the exact set and the all-true column.
@@ -676,7 +677,12 @@ def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.col("o_orderpriority").alias("item"))
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .crossJoin(F.broadcast(tot))
-        .where(F.col("n_occurrences") >= 0.15 * F.col("__tot"))
+        # STRICTLY greater: the freqItems guarantee covers items with
+        # frequency > support*n (an exactly-at-the-boundary item may
+        # legitimately be omitted by the sketch), so the exact grain
+        # uses > to match — >= would manufacture a false red on a
+        # boundary-count corpus
+        .where(F.col("n_occurrences") > 0.15 * F.col("__tot"))
     )
     return (
         exact.join(F.broadcast(found), "item", "left")

@@ -44,6 +44,10 @@ def get_spark(app_name: str = "vector_search_ner_spark", cpus: int | None = None
         # (off by default in Spark 4.1); set once here rather than as
         # a per-query side effect
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # reliable checkpoint files (spark_graft.checkpoint_mode=
+        # reliable via cut_lineage) are deleted once their frame is
+        # GC-unreachable, instead of accumulating until session end
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
@@ -71,7 +75,17 @@ def cut_lineage(df: DataFrame, eager: bool = True, allow_persist: bool = True) -
       reference ITERATIVE loops pass ``allow_persist=False`` and clamp
       to ``local`` there: persist caches compute but does not truncate
       the logical plan, so those loops would still grow it
-      exponentially (the MMR plan-blowup lesson).
+      exponentially (the MMR plan-blowup lesson). Honest tradeoff:
+      nothing here unpersists (the consumer's lifetime is unknowable
+      at the cut site), so persist mode pins each cut frame in
+      MEMORY_AND_DISK until `spark.catalog.clearCache()` or session
+      end — acceptable for a mode opted into per session, and the
+      bench/suite harnesses clear between queries. Reliable-mode
+      checkpoint FILES are reclaimed by Spark's ContextCleaner when
+      the frame is GC'd (`spark.cleaner.referenceTracking.
+      cleanCheckpoints=true`, set in get_spark); without it they
+      would accumulate under the checkpoint dir for the session
+      lifetime.
 
     Only the corpus-sized cut sites route through here; K-rows-sized
     stage frames (MMR steps, Lloyd centroids, staged-retrieval stage

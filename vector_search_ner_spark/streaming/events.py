@@ -540,11 +540,13 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(delta, "bands", f"batch_id={batch_id}")
         )
 
-    # explicit checkpointLocation (not Spark's per-run temp dir): batch
-    # composition is pinned by the checkpoint's offset log, so the
-    # batch_id=N overwrite idempotency holds across a RESTARTED run,
-    # not just within one availableNow execution; removed in finally
-    # because each call of this harness query is self-contained
+    # explicit checkpointLocation (not Spark's per-run temp dir): the
+    # offset log pins batch composition across driver-side retries
+    # WITHIN this execution, making the batch_id=N overwrites
+    # replay-idempotent for the run. The finally-cleanup below makes
+    # each harness call self-contained (the delta dir is wiped at
+    # entry anyway); a production deployment keeps the checkpoint dir
+    # across restarts to extend the same guarantee between runs
     q = (
         stream.writeStream.foreachBatch(ingest)
         .trigger(availableNow=True)
