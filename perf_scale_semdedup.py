@@ -61,7 +61,10 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from vector_search_ner_spark.plans.queries_mlops import semantic_prune_frame
+    from vector_search_ner_spark.plans.queries_mlops import (
+        semantic_prune_frame,
+        semantic_prune_greedy_frame,
+    )
     from vector_search_ner_spark.sources.catalog import load_table
 
     base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,10 +109,16 @@ def main() -> None:
         df.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 
     legs = {
-        "semdedup_fixed_k": {1: 16, 10: 16},
-        "semdedup_scaled_k": {1: 16, 10: 160},
+        "semdedup_fixed_k": ("conservative", {1: 16, 10: 16}),
+        "semdedup_scaled_k": ("conservative", {1: 16, 10: 160}),
+        # the greedy twin at the paper's configuration: the extra cost
+        # over the conservative sweep is the driver-gated frontier
+        # rounds, whose count is dependency-chain depth — the measured
+        # ratio must stay in the conservative leg's class, showing the
+        # loop does NOT add a corpus-proportional term
+        "semdedup_greedy_scaled_k": ("greedy", {1: 16, 10: 160}),
     }
-    for qname, k_by_mult in legs.items():
+    for qname, (variant, k_by_mult) in legs.items():
         results = {}
         for mult in (1, 10):
             sf_dir = os.path.join(root, f"scale{mult}")
@@ -120,7 +129,11 @@ def main() -> None:
                 spark.catalog.clearCache()
                 r0, w0 = _shuffle_totals(ui)
                 t0 = time.perf_counter()
-                semantic_prune_frame(table, n_cent=k_by_mult[mult]).write.mode(
+                frame_fn = (
+                    semantic_prune_greedy_frame if variant == "greedy"
+                    else semantic_prune_frame
+                )
+                frame_fn(table, n_cent=k_by_mult[mult]).write.mode(
                     "overwrite"
                 ).format("noop").save()
                 dt = time.perf_counter() - t0

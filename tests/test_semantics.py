@@ -2030,6 +2030,7 @@ def test_checkpoint_mode_queries_agree_across_modes(spark, sf_dir, tmp_path):
         "dedup_semantic_prune",
         "dedup_semantic_prune_greedy",
         "dedup_sorted_neighborhood",
+        "dsir_importance_select",
     ]
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     base = {}
