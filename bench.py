@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_semantic_prune_greedy",
     "dsir_importance_select",
     "dedup_index_compact",
+    "dedup_semantic_incremental",
 ]
 
 

@@ -650,3 +650,21 @@ def test_semdedup_greedy_loop_state_is_target_sized(spark):
     p = _plan(spark, "dedup_semantic_prune_greedy")
     assert "CartesianProduct" not in p, p
     assert "ExistingRDD" in p, p
+
+
+def test_semantic_incremental_scans_persisted_index(spark):
+    """dedup_semantic_incremental must READ the persisted semantic
+    cluster index (parquet scans of the semdedup_index store — member
+    table + centroids), never re-run Lloyd over the existing corpus;
+    the shard's assignment side must BROADCAST into the member probe
+    so the partitioned index is scanned, not shuffled. The semantic
+    twin of test_incremental_dedup_scans_persisted_index."""
+    p = _plan(spark, "dedup_semantic_incremental")
+    index_scans = [
+        ln
+        for ln in p.splitlines()
+        if "semdedup_index" in ln and ("Location" in ln or "Scan parquet" in ln)
+    ]
+    assert len(index_scans) >= 2, p
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p

@@ -2071,3 +2071,40 @@ def test_dsir_target_like_doc_outranks_alien(spark, tmp_path):
     assert set(out) == {100, 101}  # only raw docs are scored
     assert out[100].weight_bits > out[101].weight_bits
     assert out[100].sel_rank == 1 and out[100].selected
+
+
+def test_semantic_index_store_retires_stale_generations(spark, tmp_path):
+    """The persisted semantic cluster index mirrors the neardup
+    store's freshness contract: a regenerated embedding corpus
+    produces a new fingerprint key, the stale generation retires
+    (write-then-swap), and the held-out shard never enters the member
+    table."""
+    import os
+
+    from vector_search_ner_spark.sources.semdedup_index import (
+        _index_path,
+        semantic_index_store,
+    )
+
+    d = str(tmp_path / "corpus")
+    rows = [(i, [float(i % 7), float(i % 3), 1.0, float(i)]) for i in range(30)]
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    members1, cents1 = semantic_index_store(spark, d, 4, 1, 10, 5)
+    n1 = members1.count()
+    assert members1.where("doc_id % 10 = 5").count() == 0
+    parent = os.path.dirname(_index_path(d, 4, 1, 10, 5))
+    gens1 = set(os.listdir(parent))
+    assert len(gens1) == 1
+
+    more = rows + [(i, [9.0, 9.0, 9.0, float(i)]) for i in range(100, 110)]
+    spark.createDataFrame(more, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    members2, _ = semantic_index_store(spark, d, 4, 1, 10, 5)
+    gens2 = set(os.listdir(parent))
+    assert len(gens2) == 1 and gens2 != gens1
+    assert members2.count() > n1
+    assert members2.where("doc_id % 10 = 5").count() == 0

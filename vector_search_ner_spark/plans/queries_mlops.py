@@ -1193,22 +1193,28 @@ _LLOYD_SQD = (
 )
 
 
-def _duck_lloyd_ctes(n_clusters: int = _IVF_N_CENT) -> str:
+def _duck_lloyd_ctes(n_clusters: int = _IVF_N_CENT, corpus_where: str = "") -> str:
     """Unrolled-SQL twin of ann.lloyd_build: _LLOYD_ITER exact Lloyd
     iterations (argmin assignment, integer-microunit centroid means,
     empty-cluster carry). Ends with `af` (doc_id, v, cluster_id — the
     final assignment) and `c{_LLOYD_ITER}` (the learned centroids);
     append a consumer tail. Every intermediate matches the Spark plan
-    bit-for-bit."""
+    bit-for-bit. `corpus_where` (an AND-able condition on embeddings
+    columns) restricts BOTH the clustered corpus and the first-n-ids
+    seed set, mirroring lloyd_build over a filtered input frame —
+    note the seeds are then the filtered ids below n_clusters, so the
+    surviving cluster_id set is a subset of 0..n_clusters-1 exactly
+    as in Spark."""
     sqd = _LLOYD_SQD
+    and_where = f" AND ({corpus_where})" if corpus_where else ""
     parts = [
         f"""docs AS (
   SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE TRUE{and_where}
 ), c0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cluster_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM embeddings WHERE vec_id < {n_clusters}
+  FROM embeddings WHERE vec_id < {n_clusters}{and_where}
 )"""
     ]
     for it in range(1, _LLOYD_ITER + 1):
@@ -1699,6 +1705,110 @@ def semantic_prune_greedy_frame(
             (F.coalesce(F.col("st"), F.lit(1)) == 2).alias("dropped"),
             (F.coalesce(F.col("__deg"), F.lit(0)) > 0).alias("dropped_conservative"),
             F.coalesce(F.col("__deg"), F.lit(0)).alias("n_earlier_similar"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_semdedup_incremental() -> str:
+    from vector_search_ner_spark.functions.vector import duck_cosine
+
+    sqd_c = _LLOYD_SQD.format(a="s.v", b="c.centroid")
+    cf = f"c{_LLOYD_ITER}"
+    cos = duck_cosine("s.v", "m.v")
+    return (
+        _duck_lloyd_ctes(corpus_where="(vec_id % 10) <> 5")
+        + f""",
+shard AS (
+  SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE (vec_id % 10) = 5
+), sa AS (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT s.doc_id, s.v, c.cluster_id, row_number() OVER (
+      PARTITION BY s.doc_id ORDER BY {sqd_c}, c.cluster_id) AS rn
+    FROM shard s CROSS JOIN {cf} c
+  ) WHERE rn = 1
+), p AS (
+  SELECT s.doc_id, ROUND(MAX({cos}), 4) AS max_sim_index
+  FROM sa s JOIN af m ON m.cluster_id = s.cluster_id
+  GROUP BY s.doc_id
+)
+SELECT sa.doc_id, CAST(sa.cluster_id AS INTEGER) AS cluster_id,
+       p.max_sim_index,
+       COALESCE(p.max_sim_index > {_SEMDEDUP_T}, FALSE) AS dropped
+FROM sa LEFT JOIN p ON sa.doc_id = p.doc_id
+ORDER BY sa.doc_id
+"""
+    )
+
+
+@query("dedup_semantic_incremental", oracle=_duck_semdedup_incremental())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the SEMANTIC analogue of
+    `dedup_incremental_vs_index`: deduplicate a NEW shard (the
+    vec_id%10==5 slice) against the PERSISTED cluster index of the
+    existing corpus (sources/semdedup_index.py), without re-clustering
+    or re-reading the corpus beyond the probed clusters. Per new
+    vector: assign to the nearest persisted Lloyd centroid (centroids
+    broadcast — tiny), then max cosine against ONLY that cluster's
+    persisted members; dropped iff it exceeds the SemDeDup threshold.
+
+    Scale shape (100 TB daily ingest): the index member table is laid
+    out partitionBy(cluster_id) and the shard's assignments probe it
+    on the partition column — only assigned clusters' directories are
+    read, the corpus-sized index never shuffles and is never
+    re-embedded/re-clustered; compute is O(shard x avg cluster size),
+    with cluster count the same knob as batch SemDeDup. The oracle
+    re-derives the whole thing from first principles — filtered-corpus
+    Lloyd unroll (the store's exact quantizer), shard assignment,
+    within-cluster sweep — so the persisted store's CONTENT is
+    value-checked, not just its plumbing."""
+    from vector_search_ner_spark.functions.vector import cosine_similarity, to_double_array
+    from vector_search_ner_spark.operators.knn import topk_per_query
+    from vector_search_ner_spark.sources.semdedup_index import semantic_index_store
+
+    members, centroids = semantic_index_store(
+        spark, sf_dir, _IVF_N_CENT, _LLOYD_ITER, 10, 5
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    shard = emb.where(F.col("vec_id") % 10 == 5).select(
+        F.col("vec_id").alias("doc_id"), to_double_array(F.col("embedding")).alias("v")
+    )
+    sq = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sc = shard.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", sq(F.col("v"), F.col("centroid"))
+    )
+    assigned = topk_per_query(sc, 1, "doc_id", "cdist", "cluster_id", ascending=True).select(
+        "doc_id", "v", "cluster_id"
+    )
+    # shard-side assignments BROADCAST into the member probe: the
+    # partitioned index is scanned (pruned to assigned clusters by the
+    # layout), never shuffled — the incremental-LSH discipline applied
+    # to the semantic store
+    probe = members.withColumnRenamed("doc_id", "m_id").withColumnRenamed(
+        "v", "mv"
+    ).join(
+        F.broadcast(assigned.withColumnRenamed("v", "sv")), "cluster_id"
+    )
+    p = probe.groupBy("doc_id").agg(
+        F.round(F.max(cosine_similarity(F.col("sv"), F.col("mv"))), 4).alias(
+            "max_sim_index"
+        )
+    )
+    return (
+        assigned.select("doc_id", F.col("cluster_id").cast("int").alias("cluster_id"))
+        .join(p, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "max_sim_index",
+            F.coalesce(F.col("max_sim_index") > _SEMDEDUP_T, F.lit(False)).alias(
+                "dropped"
+            ),
         )
         .orderBy("doc_id")
     )

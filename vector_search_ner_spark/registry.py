@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_semantic_prune_greedy",
     "dsir_importance_select",
     "dedup_index_compact",
+    "dedup_semantic_incremental",
 ]
 
 
