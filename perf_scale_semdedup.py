@@ -118,6 +118,71 @@ def main() -> None:
         # loop does NOT add a corpus-proportional term
         "semdedup_greedy_scaled_k": ("greedy", {1: 16, 10: 160}),
     }
+    # fourth leg — the incremental serving shape: a FIXED shard (the
+    # 1x table's vec_id%10==5 slice) probed against the PERSISTED
+    # semantic index of a 1x vs 10x existing corpus (clusters scaled
+    # with the corpus so avg cluster size is constant). Store build is
+    # paid once OUTSIDE the timed runs; the timed work is shard
+    # assignment + probing only the assigned clusters, so wall should
+    # be ~flat — the semantic twin of the incremental-LSH 0.93x leg.
+    from vector_search_ner_spark.plans.queries_mlops import (
+        semantic_incremental_frame,
+    )
+    from vector_search_ner_spark.sources.semdedup_index import semantic_index_store
+    from vector_search_ner_spark.functions.vector import to_double_array
+
+    stores = {
+        mult: semantic_index_store(
+            spark, os.path.join(root, f"scale{mult}"), k, 2, 10, 5
+        )
+        for mult, k in ((1, 16), (10, 160))
+    }
+    fixed_shard = (
+        spark.read.parquet(os.path.join(root, "scale1", "embeddings.parquet"))
+        .where(F.col("vec_id") % 10 == 5)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            to_double_array(F.col("embedding")).alias("v"),
+        )
+    )
+
+    def incremental_fixed_shard(mult):
+        members, centroids = stores[mult]
+        return semantic_incremental_frame(fixed_shard, members, centroids)
+
+    results = {}
+    for mult in (1, 10):
+        best, sh = None, None
+        for _ in range(N_RUNS):
+            spark.catalog.clearCache()
+            r0, w0 = _shuffle_totals(ui)
+            t0 = time.perf_counter()
+            incremental_fixed_shard(mult).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            r1, w1 = _shuffle_totals(ui)
+            if best is None or dt < best:
+                best, sh = dt, (r1 - r0, w1 - w0)
+        results[f"x{mult}"] = {
+            "n_vecs": 2000 * mult,
+            "wall_sec": round(best, 3),
+            "shuffle_read_mb": round(sh[0] / 1e6, 2),
+            "shuffle_write_mb": round(sh[1] / 1e6, 2),
+            "runs": N_RUNS,
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "semdedup_scaling",
+                "leg": "semdedup_incremental_fixed_shard",
+                "base_sf_dir": base_sf,
+                "scales": results,
+                "wall_ratio_10x_over_1x": round(
+                    results["x10"]["wall_sec"] / results["x1"]["wall_sec"], 2
+                ),
+            }
+        )
+    )
+
     for qname, (variant, k_by_mult) in legs.items():
         results = {}
         for mult in (1, 10):

@@ -1763,8 +1763,7 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd unroll (the store's exact quantizer), shard assignment,
     within-cluster sweep — so the persisted store's CONTENT is
     value-checked, not just its plumbing."""
-    from vector_search_ner_spark.functions.vector import cosine_similarity, to_double_array
-    from vector_search_ner_spark.operators.knn import topk_per_query
+    from vector_search_ner_spark.functions.vector import to_double_array
     from vector_search_ner_spark.sources.semdedup_index import semantic_index_store
 
     members, centroids = semantic_index_store(
@@ -1774,6 +1773,21 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = emb.where(F.col("vec_id") % 10 == 5).select(
         F.col("vec_id").alias("doc_id"), to_double_array(F.col("embedding")).alias("v")
     )
+    return semantic_incremental_frame(shard, members, centroids)
+
+
+def semantic_incremental_frame(
+    shard: DataFrame, members: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """The shard-vs-persisted-index probe (see
+    dedup_semantic_incremental) over explicit store frames — shared by
+    the registered query and perf_scale_semdedup.py's fixed-shard leg
+    (a FIXED shard probed against 1x vs 10x existing-corpus stores:
+    wall must be ~flat because the probe reads only assigned clusters
+    and the shard side is the only compute input that matters)."""
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+    from vector_search_ner_spark.operators.knn import topk_per_query
+
     sq = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
