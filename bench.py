@@ -28,7 +28,9 @@ from vector_search_ner_spark import registry  # noqa: E402
 # so the compact summary line stays inside the driver's 2000-char
 # stdout tail. Rotated out r7: postings_korean_drift_search,
 # embedding_quantize_int8, events_tumbling_window, doc_bigram_counts
-# (0.27-0.54 s, flat across rounds 4-6).
+# (0.27-0.54 s, flat across rounds 4-6). Rotated out r8 (0.54-0.69 s,
+# flat across rounds 5-8): window_top_orders_per_cust,
+# ner_metadata_filter, asof_join_click_view, dataset_pack_sequences.
 HEADLINE = [
     "knn_topk_cosine",
     "knn_filtered",
@@ -36,17 +38,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
-    "window_top_orders_per_cust",
     "q10_returned_items",
     "cube_status_priority",
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "doc_quality_scores",
-    "ner_metadata_filter",
     "staged_retrieval_pipeline",
     "index_build_pipeline",
     "events_session_windows",
-    "asof_join_click_view",
     "tfidf_top_terms",
     "q18_large_orders",
     "q13_order_count_distribution",
@@ -63,7 +62,6 @@ HEADLINE = [
     "staged_retrieval_topk_scale",
     "corpus_prep_pipeline",
     "doc_lm_surprisal",
-    "dataset_pack_sequences",
     "ann_ivf_lloyd_topk",
     "bm25_topk",
     "dedup_clusters_cc",
