@@ -127,6 +127,24 @@ def main() -> None:
         # from earlier queries must not evict/spill this one's working
         # set (nor serve it data it would otherwise compute)
         spark.catalog.clearCache()
+        if name == "dedup_index_compact":
+            # the compacted generation is _SUCCESS-gated; without
+            # retiring it, every timed run after the first measures a
+            # cached parquet read, not compaction work (ADVICE r8).
+            # Same retire-then-run shape as perf_scale_dedup's
+            # compact_fresh wrapper. The BASE store stays prebuilt —
+            # that cost belongs to index_build, not compaction.
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "_artifacts",
+                    "neardup_index_compacted",
+                    sf_dir.strip("/").replace("/", "_"),
+                ),
+                ignore_errors=True,
+            )
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0

@@ -1205,9 +1205,18 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # compaction itself runs: on the _SUCCESS-gated idempotent
         # path, rebuilding deltas would be dead work the merged read
         # never consumes.
-        delta = os.path.join(ARTIFACT_DIR, "index_compact_delta")
+        # keyed by the corpus/version generation (ADVICE r8): two
+        # interleaved invocations on DIFFERENT corpora (parallel
+        # test/bench processes) must not cross-contaminate each
+        # other's staged deltas behind the shared _SUCCESS gate.
+        delta = os.path.join(ARTIFACT_DIR, "index_compact_delta", gen)
         shutil.rmtree(delta, ignore_errors=True)
         mid = shard.agg(F.expr("percentile(doc_id, 0.5)").alias("m")).collect()[0].m
+        # fail loudly on a degenerate empty shard (ADVICE r8): with
+        # mid=None both filters below are null-valued and would
+        # silently stage EMPTY deltas — on a non-empty corpus that
+        # masks missing data instead of surfacing it.
+        assert mid is not None, f"compaction shard slice of {src} is empty"
         for batch_id, part in enumerate(
             (shard.where(F.col("doc_id") <= mid), shard.where(F.col("doc_id") > mid))
         ):

@@ -516,6 +516,12 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = os.path.join(base, "index_ingest_delta")
     ckpt = os.path.join(base, "index_ingest_ckpt_tmp")
     shutil.rmtree(delta, ignore_errors=True)
+    # wipe the checkpoint WITH the delta dir: after a hard driver kill
+    # (SIGKILL/OOM) the finally-cleanup below never ran, and a stale
+    # offset log over an empty delta dir would make the next
+    # availableNow run replay nothing (ADVICE r8). Each harness run is
+    # self-contained, so entry-wipe is the correct lifecycle here.
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     # base generation: the existing corpus (everything but the shard)
     bands0, shingles0 = shingle_index_store(spark, sf_dir, 10, 5)
