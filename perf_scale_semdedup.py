@@ -230,6 +230,68 @@ def main() -> None:
                 }
             )
         )
+
+    # fifth leg — the ADVERSARIAL giant cluster (round 9): every
+    # embedding IDENTICAL, so Lloyd collapses the whole corpus into
+    # one cluster regardless of n_cent and the uncapped pairwise term
+    # is O(n^2) (2M pairs at 1x, 200M at 10x — the 100x blowup the
+    # r8 verdict flagged). With the rank cap the comparison side is
+    # the cluster's `cap` most-central members: pair count is n*cap,
+    # so wall at 10x data must grow ~linearly (~10x pair count), not
+    # ~100x. cap=256 here (vs the registered default 1024) keeps the
+    # leg quick while still 8x the non-degenerate cluster size.
+    const_vec = F.array(*[F.lit(1.0 + (i % 5)) for i in range(DIM)]).cast(
+        "array<float>"
+    )
+    for mult in (1, 10):
+        src = spark.read.parquet(
+            os.path.join(root, f"scale{mult}", "embeddings.parquet")
+        )
+        out = os.path.join(root, f"giant{mult}")
+        shutil.rmtree(out, ignore_errors=True)
+        src.select("vec_id", const_vec.alias("embedding")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "embeddings.parquet"))
+    results = {}
+    for mult in (1, 10):
+        table = spark.read.parquet(
+            os.path.join(root, f"giant{mult}", "embeddings.parquet")
+        )
+        n = table.count()
+        best, sh = None, None
+        for _ in range(N_RUNS):
+            spark.catalog.clearCache()
+            r0, w0 = _shuffle_totals(ui)
+            t0 = time.perf_counter()
+            semantic_prune_frame(table, n_cent=16, cap=256).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            dt = time.perf_counter() - t0
+            r1, w1 = _shuffle_totals(ui)
+            if best is None or dt < best:
+                best, sh = dt, (r1 - r0, w1 - w0)
+        results[f"x{mult}"] = {
+            "n_vecs": n,
+            "n_cent": 16,
+            "cap": 256,
+            "wall_sec": round(best, 3),
+            "shuffle_read_mb": round(sh[0] / 1e6, 2),
+            "shuffle_write_mb": round(sh[1] / 1e6, 2),
+            "runs": N_RUNS,
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "semdedup_scaling",
+                "leg": "semdedup_giant_cluster_capped",
+                "base_sf_dir": base_sf,
+                "scales": results,
+                "wall_ratio_10x_over_1x": round(
+                    results["x10"]["wall_sec"] / results["x1"]["wall_sec"], 2
+                ),
+            }
+        )
+    )
     spark.stop()
 
 

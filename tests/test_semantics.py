@@ -2028,6 +2028,93 @@ def test_semdedup_greedy_vs_conservative_divergence(spark):
         assert (not r.dropped) or r.dropped_conservative
 
 
+def test_semdedup_giant_cluster_cap(spark):
+    """Adversarial giant-cluster fixture (VERDICT r8 #2): 200
+    IDENTICAL embeddings plus orthogonal ballast collapse Lloyd into
+    one degenerate cluster — uncapped, the within-cluster pairwise
+    pass is O(c^2) (19,900 flood pairs here). With the rank cap the
+    comparison side is each cluster's `cap` most-central members, so
+
+    * the edge relation is bounded: every member's earlier-similar
+      degree is <= cap (witnessed via n_earlier_similar — uncapped,
+      the max would be flood_size-1), total edges <= n*cap;
+    * the flood is STILL fully deduplicated: every flood member
+      beyond rank 1 is sim-1.0 to the rank-1 representative (which is
+      always inside the cap), so both sweep rules drop all 199
+      non-representatives and keep the ballast untouched.
+    """
+    from vector_search_ner_spark.plans.queries_mlops import (
+        semantic_prune_frame,
+        semantic_prune_greedy_frame,
+    )
+
+    dim, flood_n, cap = 8, 200, 8
+    flood = [3.0 if i == 0 else 0.0 for i in range(dim)]
+    rows = [(i, flood) for i in range(flood_n)]
+    for k in range(4):  # ballast: mutually orthogonal, similar to nothing
+        axis = [0.0] * dim
+        axis[2 + k] = 5.0
+        rows.append((flood_n + k, axis))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+
+    g = {
+        r.doc_id: r
+        for r in semantic_prune_greedy_frame(emb, n_cent=1, n_iter=1, cap=cap).collect()
+    }
+    flood_ids = set(range(flood_n))
+    kept_flood = [i for i in flood_ids if not g[i].dropped]
+    assert len(kept_flood) == 1  # exactly the rank-1 representative survives
+    assert all(not g[flood_n + k].dropped for k in range(4))
+    # cap bound on the edge relation — uncapped the max degree is 199
+    assert max(r.n_earlier_similar for r in g.values()) == cap
+    assert sum(r.n_earlier_similar for r in g.values()) <= (flood_n + 4) * cap
+
+    c = {
+        r.doc_id: r
+        for r in semantic_prune_frame(emb, n_cent=1, n_iter=1, cap=cap).collect()
+    }
+    assert sum(1 for i in flood_ids if not c[i].dropped) == 1
+    assert all(not c[flood_n + k].dropped for k in range(4))
+    # both rules agree here (flood has no kept-vs-any divergence) and
+    # every dropped flood member records the exact sim-1.0 evidence
+    assert all(c[i].max_sim_earlier == 1.0 for i in flood_ids if c[i].dropped)
+
+
+def test_semdedup_incremental_cap_is_applied(spark):
+    """The incremental probe must honor the store's persisted rank cap
+    — constructed so the ONLY index member similar to the shard vector
+    sits BEYOND the cap: capped, the probe never sees it (not
+    dropped); uncapped, it does (dropped). This pins that the cap is a
+    real filter on the comparison set, not a no-op."""
+    from vector_search_ner_spark.plans.queries_mlops import (
+        semantic_incremental_frame,
+    )
+
+    dim = 8
+
+    def axis(i, scale=1.0):
+        v = [0.0] * dim
+        v[i % dim] = scale
+        return v
+
+    # 12 members, ranks 1..12; ranks 1..11 orthogonal to the shard
+    # vector (axes 1..3 rotating), rank 12 IDENTICAL to it
+    members = [(m, axis(1 + (m % 3)), int(m), int(m), 0) for m in range(1, 12)]
+    members.append((12, axis(0, 2.0), 12, 12, 0))
+    mdf = spark.createDataFrame(
+        members, "doc_id long, v array<double>, u long, rn long, cluster_id int"
+    )
+    cents = spark.createDataFrame([(0, axis(0))], "cluster_id int, centroid array<double>")
+    shard = spark.createDataFrame([(100, axis(0, 3.0))], "doc_id long, v array<double>")
+
+    capped = semantic_incremental_frame(shard, mdf, cents, cap=8).collect()
+    assert len(capped) == 1 and not capped[0].dropped
+    uncapped = semantic_incremental_frame(shard, mdf, cents, cap=1024).collect()
+    assert uncapped[0].dropped and uncapped[0].max_sim_index == 1.0
+
+
 def test_checkpoint_mode_queries_agree_across_modes(spark, sf_dir, tmp_path):
     """Every query whose dataflow routes through session.cut_lineage
     must return IDENTICAL results under all three checkpoint modes —

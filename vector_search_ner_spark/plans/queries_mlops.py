@@ -1375,6 +1375,23 @@ def corpus_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_T = 0.4
+# Giant-cluster defense (round 9): the comparison side of every
+# SemDeDup variant is restricted to each cluster's `cap`
+# most-central members (rank by (u, doc_id) — exactly the sweep
+# order, so rank-1 is the representative the sweep retains). Cost on
+# a degenerate cluster of size c falls from O(c^2) to O(c*cap), and
+# an adversarial identical-embedding flood is still fully caught:
+# every beyond-cap member is ~sim-1.0 to the rank-1 representative.
+# The declared trade: a duplicate PAIR both beyond the cap with
+# NEITHER similar to any of the cap most-central members escapes —
+# geometrically that requires a satellite clump far from the cluster
+# core yet assigned to it, which a sane cluster count makes rare
+# (and the paper's own answer, re-clustering oversized clusters,
+# re-introduces exactly the unbounded pass this cap exists to
+# avoid). The default is far above the fixture's max cluster size
+# (sf0.1: 2000 vectors / 16 clusters), so registered outputs only
+# change when a cluster actually degenerates.
+_SEMDEDUP_CAP = 1024
 
 
 def _duck_semdedup() -> str:
@@ -1386,15 +1403,22 @@ def _duck_semdedup() -> str:
     return (
         _duck_lloyd_ctes()
         + f""",
-j AS (
+j0 AS (
   SELECT a.doc_id, a.cluster_id, a.v,
          CAST(FLOOR({sqd} * 1000000) AS BIGINT) AS u
   FROM af a JOIN {cf} c ON a.cluster_id = c.cluster_id
+),
+j AS (
+  SELECT doc_id, cluster_id, v, u,
+         CAST(row_number() OVER (
+           PARTITION BY cluster_id ORDER BY u, doc_id) AS BIGINT) AS rn
+  FROM j0
 ),
 p AS (
   SELECT b.doc_id, ROUND(MAX({cos}), 4) AS max_sim_earlier
   FROM j a JOIN j b ON a.cluster_id = b.cluster_id
    AND (a.u < b.u OR (a.u = b.u AND a.doc_id < b.doc_id))
+  WHERE a.rn <= {_SEMDEDUP_CAP}
   GROUP BY b.doc_id
 )
 SELECT j.doc_id, j.cluster_id, p.max_sim_earlier,
@@ -1430,7 +1454,11 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed only WITHIN clusters (one equi-join on cluster_id, the
     inequality a pushed join filter), so cost is O(sum c_i^2) and the
     cluster count is the knob that bounds c_i at 100 TB (the paper
-    uses ~10k clusters for ~100M docs). The Lloyd rounds are the only
+    uses ~10k clusters for ~100M docs). Against a DEGENERATE cluster
+    (adversarially identical embeddings collapsing Lloyd), the
+    comparison side is additionally capped to each cluster's
+    _SEMDEDUP_CAP most-central members — cost O(c*cap), flood still
+    fully dropped (see _SEMDEDUP_CAP). The Lloyd rounds are the only
     corpus-wide iteration (log-bounded, lineage-cut); the final
     verdict is a broadcast-sized left join. The oracle unrolls Lloyd +
     sweep end to end; doubles match bit-for-bit."""
@@ -1443,12 +1471,18 @@ def _semdedup_members(
 ) -> DataFrame:
     """Shared SemDeDup member staging: Lloyd-cluster the embeddings and
     attach the microunit centroid distance `u` that defines the
-    deterministic within-cluster sweep order (u, doc_id). Returns the
-    lineage-cut (doc_id, cluster_id, v, u) frame both sweep variants
-    self-join. NOTE: corpus-sized (one row per vector, carrying the
-    double array), so the cut routes through session.cut_lineage:
-    localCheckpoint by default, spark_graft.checkpoint_mode=reliable
-    (or =persist) for a long-lived cluster."""
+    deterministic within-cluster sweep order (u, doc_id), plus the
+    rank `rn` within that order (rank-1 = the cluster representative;
+    the giant-cluster cap is a filter on this rank). Returns the
+    lineage-cut (doc_id, cluster_id, v, u, rn) frame both sweep
+    variants self-join. The rank window partitions by cluster_id —
+    never a global sort. NOTE: corpus-sized (one row per vector,
+    carrying the double array), so the cut routes through
+    session.cut_lineage: localCheckpoint by default,
+    spark_graft.checkpoint_mode=reliable (or =persist) for a
+    long-lived cluster."""
+    from pyspark.sql import Window
+
     from vector_search_ner_spark.functions.vector import to_double_array
 
     assigned, centroids = ann.lloyd_build(emb, n_cent, n_iter=n_iter)
@@ -1467,13 +1501,22 @@ def _semdedup_members(
         .withColumn(
             "u", F.floor(sq(F.col("v"), F.col("centroid")) * 1000000).cast("long")
         )
-        .select("doc_id", "cluster_id", "v", "u")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy("u", "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "cluster_id", "v", "u", "rn")
     )
     return cut_lineage(j)
 
 
 def semantic_prune_frame(
-    emb: DataFrame, n_cent: int = _IVF_N_CENT, n_iter: int = _LLOYD_ITER
+    emb: DataFrame,
+    n_cent: int = _IVF_N_CENT,
+    n_iter: int = _LLOYD_ITER,
+    cap: int = _SEMDEDUP_CAP,
 ) -> DataFrame:
     """The SemDeDup cluster+sweep dataflow with the cluster count as a
     parameter — `dedup_semantic_prune` calls it with the registered
@@ -1487,8 +1530,11 @@ def semantic_prune_frame(
     j = _semdedup_members(emb, n_cent, n_iter)
     # explicit per-side column names: self-join disambiguation by
     # dataset id works but is version-fragile (and warns); renamed
-    # join keys make the within-cluster equi-join unambiguous
-    a = j.select(
+    # join keys make the within-cluster equi-join unambiguous. The
+    # a-side (the comparison set) carries the giant-cluster cap: only
+    # each cluster's `cap` most-central members can trigger a drop,
+    # bounding the pair join at O(c*cap) per cluster.
+    a = j.where(F.col("rn") <= F.lit(cap)).select(
         F.col("cluster_id").alias("a_cl"), F.col("doc_id").alias("a_id"),
         F.col("v").alias("av"), F.col("u").alias("au"),
     )
@@ -1541,7 +1587,7 @@ m AS (
 e AS (
   SELECT a.cluster_id AS cl, a.rn AS ra, b.rn AS rb
   FROM m a JOIN m b ON a.cluster_id = b.cluster_id AND a.rn < b.rn
-  WHERE {cos} > {_SEMDEDUP_T}
+  WHERE {cos} > {_SEMDEDUP_T} AND a.rn <= {_SEMDEDUP_CAP}
 ),
 ebl AS (SELECT cl, rb, list(ra) AS ra_list FROM e GROUP BY cl, rb),
 cmax AS (SELECT cluster_id AS cl, MAX(rn) AS mx FROM m GROUP BY cluster_id),
@@ -1610,15 +1656,21 @@ def dedup_semantic_prune_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_prune_greedy_frame(
-    emb: DataFrame, n_cent: int = _IVF_N_CENT, n_iter: int = _LLOYD_ITER
+    emb: DataFrame,
+    n_cent: int = _IVF_N_CENT,
+    n_iter: int = _LLOYD_ITER,
+    cap: int = _SEMDEDUP_CAP,
 ) -> DataFrame:
     """The greedy-kept sweep dataflow (see dedup_semantic_prune_greedy)
     with the cluster count as a parameter — shared by the registered
-    query and the constructed-fixture divergence test."""
+    query and the constructed-fixture divergence test. The a-side rank
+    cap bounds the edge extraction at O(c*cap) per cluster (see
+    _SEMDEDUP_CAP); it also bounds the sweep's dependency-chain depth
+    at cap, since only capped-rank members can be edge SOURCES."""
     from vector_search_ner_spark.functions.vector import cosine_similarity
 
     j = _semdedup_members(emb, n_cent, n_iter)
-    a = j.select(
+    a = j.where(F.col("rn") <= F.lit(cap)).select(
         F.col("cluster_id").alias("a_cl"), F.col("doc_id").alias("a_id"),
         F.col("v").alias("av"), F.col("u").alias("au"),
     )
@@ -1714,6 +1766,7 @@ def _duck_semdedup_incremental() -> str:
     from vector_search_ner_spark.functions.vector import duck_cosine
 
     sqd_c = _LLOYD_SQD.format(a="s.v", b="c.centroid")
+    sqd_m = _LLOYD_SQD.format(a="m.v", b="c.centroid")
     cf = f"c{_LLOYD_ITER}"
     cos = duck_cosine("s.v", "m.v")
     return (
@@ -1728,9 +1781,15 @@ shard AS (
       PARTITION BY s.doc_id ORDER BY {sqd_c}, c.cluster_id) AS rn
     FROM shard s CROSS JOIN {cf} c
   ) WHERE rn = 1
+), mr AS (
+  SELECT m.doc_id, m.cluster_id, m.v,
+         row_number() OVER (PARTITION BY m.cluster_id ORDER BY
+           CAST(FLOOR({sqd_m} * 1000000) AS BIGINT), m.doc_id) AS rn
+  FROM af m JOIN {cf} c ON m.cluster_id = c.cluster_id
 ), p AS (
   SELECT s.doc_id, ROUND(MAX({cos}), 4) AS max_sim_index
-  FROM sa s JOIN af m ON m.cluster_id = s.cluster_id
+  FROM sa s JOIN mr m ON m.cluster_id = s.cluster_id
+   AND m.rn <= {_SEMDEDUP_CAP}
   GROUP BY s.doc_id
 )
 SELECT sa.doc_id, CAST(sa.cluster_id AS INTEGER) AS cluster_id,
@@ -1751,7 +1810,9 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     or re-reading the corpus beyond the probed clusters. Per new
     vector: assign to the nearest persisted Lloyd centroid (centroids
     broadcast — tiny), then max cosine against ONLY that cluster's
-    persisted members; dropped iff it exceeds the SemDeDup threshold.
+    persisted members — capped to the _SEMDEDUP_CAP most-central via
+    the store's persisted rank column (giant-cluster defense, a
+    pushable filter); dropped iff it exceeds the SemDeDup threshold.
 
     Scale shape (100 TB daily ingest): the index member table is laid
     out partitionBy(cluster_id) and the shard's assignments probe it
@@ -1777,7 +1838,10 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_incremental_frame(
-    shard: DataFrame, members: DataFrame, centroids: DataFrame
+    shard: DataFrame,
+    members: DataFrame,
+    centroids: DataFrame,
+    cap: int = _SEMDEDUP_CAP,
 ) -> DataFrame:
     """The shard-vs-persisted-index probe (see
     dedup_semantic_incremental) over explicit store frames — shared by
@@ -1802,9 +1866,13 @@ def semantic_incremental_frame(
     # shard-side assignments BROADCAST into the member probe: the
     # partitioned index is scanned (pruned to assigned clusters by the
     # layout), never shuffled — the incremental-LSH discipline applied
-    # to the semantic store
-    probe = members.withColumnRenamed("doc_id", "m_id").withColumnRenamed(
-        "v", "mv"
+    # to the semantic store. The giant-cluster cap is a pushable
+    # filter on the store's persisted centrality rank: the probe
+    # compares against only each cluster's `cap` most-central members
+    # (the same comparison set the batch sweeps use), so a degenerate
+    # cluster costs O(shard * cap), not O(shard * giant).
+    probe = members.where(F.col("rn") <= F.lit(cap)).select(
+        F.col("doc_id").alias("m_id"), F.col("v").alias("mv"), "cluster_id"
     ).join(
         F.broadcast(assigned.withColumnRenamed("v", "sv")), "cluster_id"
     )

@@ -36,7 +36,10 @@ from vector_search_ner_spark.sources.neardup_index import (
 
 # bump when the quantizer (iterations, microunit scale) or the store
 # schema changes
-SEMDEDUP_INDEX_VERSION = 1
+# v2: members carry (u, rn) — the microunit centroid distance and the
+# within-cluster centrality rank — so probe-time giant-cluster caps
+# are a pushable `rn <= cap` filter, not a window over the index
+SEMDEDUP_INDEX_VERSION = 2
 
 
 def _index_path(
@@ -70,13 +73,18 @@ def semantic_index_store(
     "new data" role in `dedup_semantic_incremental`).
 
     Returns (members, centroids) as plain parquet reads: members carry
-    (doc_id, v double-array, cluster_id) partitioned BY cluster_id;
+    (doc_id, v double-array, u, rn, cluster_id) partitioned BY
+    cluster_id — u is the microunit centroid distance and rn the
+    within-cluster centrality rank by (u, doc_id), so probe-time
+    giant-cluster caps (`rn <= cap`) are plain pushable filters;
     centroids carry (cluster_id, centroid). Consumers' plans show
     scans of this store, never a re-clustering of the corpus."""
     path = _index_path(sf_dir, n_cent, n_iter, exclude_mod, exclude_rem)
     members_path = os.path.join(path, "members")
     centroids_path = os.path.join(path, "centroids")
     if not os.path.exists(os.path.join(members_path, "_SUCCESS")):
+        from pyspark.sql import Window
+
         from vector_search_ner_spark.functions.vector import to_double_array
 
         corpus = load_table(spark, sf_dir, "embeddings").where(
@@ -86,10 +94,28 @@ def semantic_index_store(
         # centroids first (no _SUCCESS dependency on them — members'
         # marker is the swap gate), then the partitioned member table
         centroids.write.mode("overwrite").parquet(centroids_path)
-        assigned.select(
-            F.col("vec_id").alias("doc_id"),
-            to_double_array(F.col("embedding")).alias("v"),
-            "cluster_id",
+        sq = lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        (
+            assigned.select(
+                F.col("vec_id").alias("doc_id"),
+                to_double_array(F.col("embedding")).alias("v"),
+                "cluster_id",
+            )
+            .join(F.broadcast(centroids), "cluster_id")
+            .withColumn(
+                "u", F.floor(sq(F.col("v"), F.col("centroid")) * 1000000).cast("long")
+            )
+            .withColumn(
+                "rn",
+                F.row_number()
+                .over(Window.partitionBy("cluster_id").orderBy("u", "doc_id"))
+                .cast("long"),
+            )
+            .select("doc_id", "v", "u", "rn", "cluster_id")
         ).write.mode("overwrite").partitionBy("cluster_id").parquet(members_path)
         # write-then-swap: retire older generations only after the new
         # build's members marker lands (crash mid-build keeps the
