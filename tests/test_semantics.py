@@ -2115,6 +2115,62 @@ def test_semdedup_incremental_cap_is_applied(spark):
     assert uncapped[0].dropped and uncapped[0].max_sim_index == 1.0
 
 
+def test_pretrain_corpus_e2e_roster_invariants(spark, sf_dir):
+    """Structural laws of the curation flagship's disposition roster
+    (values are hash-checked by the oracle; this pins the invariants a
+    consumer relies on):
+
+    * PARTITION: every ingested id (eligible ∪ clones ∪ noise ∪
+      benchmark) appears exactly once — no doc is double-disposed or
+      silently lost;
+    * the simulated re-ingest clones all exit at the exact rung;
+    * the injected noise docs all exit at the quality_gate rung;
+    * src0 is always 'benchmark' and never enters any other rung;
+    * train packing is gapless: sorted by offset, each doc starts
+      where the previous ended, seq ranges match offset arithmetic,
+      and only train docs carry offsets."""
+    from vector_search_ner_spark.plans.queries_pretrain import (
+        _CLONE_OFFSET,
+        _NOISE_DOCS,
+        pretrain_corpus_e2e,
+    )
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    rows = pretrain_corpus_e2e(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(by_id) == len(rows)  # one disposition per doc
+
+    docs = {
+        (r.doc_id, r.source)
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    elig = {i for i, s in docs if s != "src0"}
+    bench = {i for i, s in docs if s == "src0"}
+    clones = {i + _CLONE_OFFSET for i in elig if i % 7 == 3}
+    noise = {d[0] for d in _NOISE_DOCS}
+    assert set(by_id) == elig | bench | clones | noise
+
+    assert all(by_id[i].disposition == "benchmark" for i in bench)
+    assert all(by_id[i].dropped_by == "exact" for i in clones)
+    assert all(by_id[i].dropped_by == "quality_gate" for i in noise)
+
+    train = sorted(
+        (r for r in rows if r.disposition == "train"), key=lambda r: r.offset
+    )
+    assert train and train[0].offset == 0
+    pos = 0
+    for r in train:
+        assert r.offset == pos
+        assert r.first_seq == r.offset // 256
+        assert r.last_seq == (r.offset + r.n_tokens - 1) // 256
+        pos += r.n_tokens
+    for r in rows:
+        if r.disposition in ("val", "test"):
+            assert r.offset is None and r.n_tokens is not None
+        elif r.disposition in ("benchmark", "dropped"):
+            assert r.offset is None and r.n_tokens is None
+
+
 def test_checkpoint_mode_queries_agree_across_modes(spark, sf_dir, tmp_path):
     """Every query whose dataflow routes through session.cut_lineage
     must return IDENTICAL results under all three checkpoint modes —

@@ -716,11 +716,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd.contamination_best_match(bench, train)
 
 
-def _duck_lsh_cluster_ctes() -> str:
+def _duck_lsh_cluster_ctes(src: str = "documents") -> str:
     """Recursive-CTE prefix shared by the LSH-cluster oracles: same
     band-key derivation as the minhash oracle, star edges to each
     bucket's min sid, min-reachable-node closure, final `labels`
-    (doc_id, cluster_id)."""
+    (doc_id, cluster_id). `src` names the (doc_id, text) relation to
+    cluster — a prior CTE when composing (the e2e flagship clusters
+    exact-dedup survivors, not raw documents)."""
     sig_cols = ",\n       ".join(
         f"{nd.duck_minhash_sig(j, 'hs')} AS mh{j}" for j in range(nd.N_PERM)
     )
@@ -730,7 +732,7 @@ def _duck_lsh_cluster_ctes() -> str:
     )
     return f"""
 WITH RECURSIVE t AS (
-  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM documents
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th FROM {src}
 ), sh AS (
   SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
 ), sigs AS (

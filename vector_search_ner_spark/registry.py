@@ -41,6 +41,7 @@ _QUERY_MODULES = [
     "vector_search_ner_spark.plans.queries_layout",
     "vector_search_ner_spark.plans.queries_lakehouse",
     "vector_search_ner_spark.plans.queries_dataprep",
+    "vector_search_ner_spark.plans.queries_pretrain",
 ]
 
 
