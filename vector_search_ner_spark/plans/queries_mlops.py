@@ -1894,3 +1894,132 @@ def semantic_incremental_frame(
         )
         .orderBy("doc_id")
     )
+
+
+# staleness verdict: drift in integer NANOUNITS of squared L2 between
+# the persisted and recomputed centroid. The sf0.01 store measures
+# 3.1M-7.8M nu after the 10% shard append; 5M splits the fixture so
+# BOTH verdicts are exercised (8 stale / 6 fresh) and the oracle
+# hash-checks the boundary.
+_STALE_DRIFT_NU = 5_000_000
+
+
+def _duck_semantic_staleness() -> str:
+    cf = f"c{_LLOYD_ITER}"
+    sqd_s = _LLOYD_SQD.format(a="s.v", b="c.centroid")
+    sqd_drift = _LLOYD_SQD.format(a="c.centroid", b="r.rcen")
+    return (
+        _duck_lloyd_ctes(corpus_where="(vec_id % 10) <> 5")
+        + f""",
+shard AS (
+  SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE (vec_id % 10) = 5
+), sa AS (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT s.doc_id, s.v, c.cluster_id, row_number() OVER (
+      PARTITION BY s.doc_id ORDER BY {sqd_s}, c.cluster_id) AS rn
+    FROM shard s CROSS JOIN {cf} c
+  ) WHERE rn = 1
+), allm AS (
+  SELECT doc_id, cluster_id, v, 0 AS is_delta FROM af
+  UNION ALL
+  SELECT doc_id, cluster_id, v, 1 AS is_delta FROM sa
+), rsum AS (
+  SELECT cluster_id, g.d,
+         SUM(CAST(FLOOR(v[g.d] * 1000000) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM allm, (SELECT unnest(generate_series(1, {_LLOYD_DIM})) AS d) g
+  GROUP BY cluster_id, g.d
+), rc AS (
+  SELECT cluster_id,
+         list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS rcen
+  FROM rsum GROUP BY cluster_id
+), counts AS (
+  SELECT cluster_id,
+         SUM(CASE WHEN is_delta = 0 THEN 1 ELSE 0 END) AS n_base,
+         SUM(is_delta) AS n_delta
+  FROM allm GROUP BY cluster_id
+)
+SELECT CAST(c.cluster_id AS INTEGER) AS cluster_id,
+       CAST(k.n_base AS BIGINT) AS n_base,
+       CAST(k.n_delta AS BIGINT) AS n_delta,
+       CAST(FLOOR({sqd_drift} * 1000000000) AS BIGINT) AS drift_nu,
+       CAST(FLOOR({sqd_drift} * 1000000000) AS BIGINT) > {_STALE_DRIFT_NU} AS is_stale
+FROM {cf} c
+JOIN rc r ON r.cluster_id = c.cluster_id
+JOIN counts k ON k.cluster_id = c.cluster_id
+ORDER BY cluster_id
+"""
+    )
+
+
+@query("semantic_index_staleness", oracle=_duck_semantic_staleness())
+def semantic_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-STALENESS report for the persisted semantic index —
+    the maintenance signal that tells an operator when streamed
+    appends have drifted the cluster geometry enough that
+    re-clustering (a fresh store build) is due: per cluster, the
+    member counts (base vs appended delta) and the squared-L2 drift
+    between the PERSISTED centroid and the centroid RECOMPUTED over
+    the merged membership (base ∪ delta), in integer nanounits via
+    the exact Lloyd update arithmetic (floor-microunit dimension sums
+    / n — so both engines agree bit-for-bit). `is_stale` flips when
+    drift exceeds _STALE_DRIFT_NU.
+
+    Scale shape: one pass over the merged members (per-(cluster,dim)
+    partial sums — map-side combining aggregate over slim rows), a
+    broadcast join against the tiny centroid table; the index is
+    never rewritten. The oracle re-derives the persisted store AND
+    the recomputed centroids from the raw corpus."""
+    from vector_search_ner_spark.functions.vector import to_double_array
+    from vector_search_ner_spark.sources.semdedup_index import (
+        assign_members_frame,
+        semantic_index_store,
+    )
+
+    members, centroids = semantic_index_store(spark, sf_dir, _IVF_N_CENT, _LLOYD_ITER, 10, 5)
+    emb = load_table(spark, sf_dir, "embeddings")
+    shard = emb.where(F.col("vec_id") % 10 == 5).select(
+        F.col("vec_id").alias("doc_id"), to_double_array(F.col("embedding")).alias("v")
+    )
+    delta = assign_members_frame(shard, centroids)
+    merged = members.select("doc_id", "v", "cluster_id").withColumn(
+        "is_delta", F.lit(0)
+    ).unionByName(
+        delta.select("doc_id", "v", "cluster_id").withColumn("is_delta", F.lit(1))
+    )
+    dims = merged.select(
+        "cluster_id", "is_delta", F.posexplode("v").alias("pos", "x")
+    )
+    rsum = dims.groupBy("cluster_id", "pos").agg(
+        F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rc = rsum.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda t: t["s"].cast("double") / (t["n"].cast("double") * 1000000.0),
+        ).alias("rcen")
+    )
+    counts = merged.groupBy("cluster_id").agg(
+        F.sum(F.when(F.col("is_delta") == 0, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum("is_delta").cast("long").alias("n_delta"),
+    )
+    sq = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    drift = F.floor(sq(F.col("centroid"), F.col("rcen")) * 1000000000).cast("long")
+    return (
+        centroids.join(rc, "cluster_id")
+        .join(counts, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_base",
+            "n_delta",
+            drift.alias("drift_nu"),
+            (drift > F.lit(_STALE_DRIFT_NU)).alias("is_stale"),
+        )
+        .orderBy("cluster_id")
+    )

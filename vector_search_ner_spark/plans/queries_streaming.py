@@ -293,3 +293,75 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The O(delta) index-append that keeps dedup_incremental_vs_index
     serving against a fresh index."""
     return se.stream_index_ingest(spark, sf_dir)
+
+
+def _semantic_append_oracle() -> str:
+    from vector_search_ner_spark.functions.text import duck_stable_long_hash
+    from vector_search_ner_spark.plans.queries_mlops import (
+        _LLOYD_ITER,
+        _LLOYD_SQD,
+        _duck_lloyd_ctes,
+    )
+
+    cf = f"c{_LLOYD_ITER}"
+    sqd_m = _LLOYD_SQD.format(a="m.v", b="c.centroid")
+    sqd_s = _LLOYD_SQD.format(a="s.v", b="c.centroid")
+    mh = duck_stable_long_hash(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(u AS VARCHAR)"
+    )
+    ch = duck_stable_long_hash(
+        "array_to_string(list_transform(centroid, "
+        "x -> CAST(CAST(FLOOR(x * 1000000) AS BIGINT) AS VARCHAR)), ',')"
+    )
+    return (
+        _duck_lloyd_ctes(corpus_where="(vec_id % 10) <> 5")
+        + f""",
+shard AS (
+  SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE (vec_id % 10) = 5
+), sa AS (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT s.doc_id, s.v, c.cluster_id, row_number() OVER (
+      PARTITION BY s.doc_id ORDER BY {sqd_s}, c.cluster_id) AS rn
+    FROM shard s CROSS JOIN {cf} c
+  ) WHERE rn = 1
+), allm AS (
+  SELECT m.doc_id, m.cluster_id,
+         CAST(FLOOR({sqd_m} * 1000000) AS BIGINT) AS u
+  FROM af m JOIN {cf} c ON m.cluster_id = c.cluster_id
+  UNION ALL
+  SELECT m.doc_id, m.cluster_id,
+         CAST(FLOOR({sqd_m} * 1000000) AS BIGINT) AS u
+  FROM sa m JOIN {cf} c ON m.cluster_id = c.cluster_id
+), ms AS (
+  SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(doc_id) AS BIGINT) AS sid_sum,
+         bit_xor({mh}) AS content_xor
+  FROM allm GROUP BY cluster_id
+), cs AS (
+  SELECT -1 AS cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(cluster_id) AS BIGINT) AS sid_sum,
+         bit_xor({ch}) AS content_xor
+  FROM {cf}
+)
+SELECT * FROM (SELECT * FROM ms UNION ALL SELECT * FROM cs)
+ORDER BY cluster_id
+"""
+    )
+
+
+@query("stream_semantic_index_append", oracle=_semantic_append_oracle())
+def stream_semantic_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online maintenance of the persisted SEMANTIC cluster index —
+    the embedding-space twin of stream_index_ingest: the new shard
+    streams in, each micro-batch assigns to the persisted centroids
+    (broadcast) and appends idempotent batch_id=N member deltas; the
+    MERGED index (base ∪ delta) must equal the batch derivation from
+    the raw corpus — per-cluster member counts, doc_id sums, and
+    bit_xor checksums over 'doc_id:u' geometry hashes, plus a
+    centroid-checksum row. Appended members carry a beyond-cap rank
+    sentinel until the next compaction (conservative: they are
+    dedup targets, never comparison sources)."""
+    return se.stream_semantic_index_append(spark, sf_dir)

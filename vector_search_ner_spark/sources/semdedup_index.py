@@ -128,3 +128,91 @@ def semantic_index_store(
                 if old != os.path.basename(path):
                     shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
     return spark.read.parquet(members_path), spark.read.parquet(centroids_path)
+
+
+# delta members appended by the streaming path carry this rank
+# sentinel: until the next compaction recomputes within-cluster
+# centrality ranks over the merged generation, appended members are
+# BEYOND every probe cap by definition (they can be dropped against
+# the index, but never act as comparison sources — the conservative
+# direction).
+DELTA_RANK_SENTINEL = 1 << 62
+
+
+def assign_members_frame(shard: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign a shard of (doc_id, v double-array) vectors to the
+    PERSISTED centroids (broadcast — tiny) and attach the microunit
+    centroid distance `u`, yielding rows in the member-table schema
+    with the delta rank sentinel. Shared by the streaming append and
+    the staleness report, and the exact arithmetic the store build and
+    its DuckDB oracle use (argmin by squared L2, cluster_id
+    tie-break)."""
+    from pyspark.sql import Window
+
+    sq = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sc = shard.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", sq(F.col("v"), F.col("centroid"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("cdist", "cluster_id")
+    return (
+        sc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "v",
+            F.floor(F.col("cdist") * 1000000).cast("long").alias("u"),
+            F.lit(DELTA_RANK_SENTINEL).alias("rn"),
+            "cluster_id",
+        )
+    )
+
+
+def semantic_index_summary_frame(members: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Canonical content summary of a semantic cluster index: per
+    cluster the member count, doc_id sum, and a bit_xor checksum over
+    stable hashes of 'doc_id:u' (u = microunit centroid distance —
+    any drift in a member's vector-to-centroid geometry flips the
+    checksum), plus a cluster_id=-1 row checksumming the centroids
+    themselves (microunit-floored, dimension-ordered stringification —
+    engine-neutral doubles). A DuckDB oracle re-deriving the same
+    summary from the raw corpus certifies the persisted/streamed index
+    content bit-for-bit, the exact contract index_summary_frame gives
+    the near-dup store."""
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    mem = (
+        members.select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "doc_id",
+            stable_long_hash(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.col("u").cast("string"))
+            ).alias("__h"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("doc_id").cast("long").alias("sid_sum"),
+            F.expr("bit_xor(__h)").alias("content_xor"),
+        )
+    )
+    cent = centroids.select(
+        F.col("cluster_id").cast("long").alias("cid"),
+        stable_long_hash(
+            F.array_join(
+                F.transform(
+                    F.col("centroid"), lambda x: F.floor(x * 1000000).cast("string")
+                ),
+                ",",
+            )
+        ).alias("__h"),
+    ).agg(
+        F.lit(-1).cast("int").alias("cluster_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("cid").cast("long").alias("sid_sum"),
+        F.expr("bit_xor(__h)").alias("content_xor"),
+    )
+    return mem.unionByName(cent).orderBy("cluster_id")

@@ -574,3 +574,82 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ner_spark.sources.neardup_index import index_summary_frame
 
     return index_summary_frame(bands, shingles)
+
+
+def stream_semantic_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE MAINTENANCE of the persisted SEMANTIC cluster index
+    (sources/semdedup_index.py) — the embedding-space twin of
+    stream_index_ingest: new vectors arrive as a stream (the
+    vec_id%10==5 shard, split over 2 micro-batches), each micro-batch
+    assigns them to the PERSISTED Lloyd centroids (broadcast; the
+    SAME assign_members_frame arithmetic the batch probe uses) and
+    APPENDS the member rows as idempotent batch_id=N delta
+    generations. Appended members carry the DELTA_RANK_SENTINEL: they
+    can be deduplicated AGAINST, but never act as comparison sources
+    under a rank cap until the next compaction recomputes centrality
+    ranks — the conservative direction. The returned frame is the
+    canonical content summary of the MERGED index (base ∪ delta) via
+    semantic_index_summary_frame — per cluster the member count,
+    doc_id sum, and a bit_xor checksum over 'doc_id:u' hashes, plus a
+    cluster_id=-1 centroid-checksum row — and the oracle re-derives
+    the identical summary from the raw corpus (filtered-corpus Lloyd
+    unroll + shard assignment), so a lost batch, a duplicated replay,
+    or any centroid/geometry drift flips a checksum. O(delta) per
+    micro-batch; the corpus-sized index is never rewritten."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.functions.vector import to_double_array
+    from vector_search_ner_spark.sources.semdedup_index import (
+        assign_members_frame,
+        semantic_index_store,
+        semantic_index_summary_frame,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(base, "semdedup_append_src")
+    delta = os.path.join(base, "semdedup_append_delta")
+    ckpt = os.path.join(base, "semdedup_append_ckpt_tmp")
+    # self-contained run: wipe delta AND checkpoint at entry (a stale
+    # offset log over a wiped delta dir would replay nothing)
+    shutil.rmtree(delta, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    members0, centroids = semantic_index_store(spark, sf_dir, 16, 2, 10, 5)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shard = emb.where(F.col("vec_id") % 10 == 5).select(
+        F.col("vec_id").alias("doc_id"),
+        to_double_array(F.col("embedding")).alias("v"),
+    )
+    shard.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(shard.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        assign_members_frame(bdf, centroids).write.mode("overwrite").parquet(
+            os.path.join(delta, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    merged = members0.unionByName(
+        spark.read.parquet(delta).drop("batch_id").select(*members0.columns)
+    )
+    return semantic_index_summary_frame(merged, centroids)
