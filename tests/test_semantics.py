@@ -2171,6 +2171,29 @@ def test_pretrain_corpus_e2e_roster_invariants(spark, sf_dir):
             assert r.offset is None and r.n_tokens is None
 
 
+def test_bpe_train_hand_computed(spark):
+    """Hand-computed BPE trace pinning the trainer's exact semantics
+    (the oracle proves Spark==DuckDB; this proves both == the paper's
+    algorithm): corpus 'aaab aaab ab' → words aaab(freq 2), ab(1).
+
+    round 1: pair counts aa=4 (POSITIONAL count: 'a a a b' has two
+      (a,a) positions × freq 2), ab=3 → merge (a,a); application is
+      GREEDY left-to-right, so 'a a a b' → 'aa a b' (the aa-run case);
+    round 2: (aa,a)=2, (a,b)=3 → merge (a,b) — and the boundary
+      anchor matters: 'a' inside the new 'aa' symbol must not match;
+    round 3: (aa,ab)=2 beats nothing else → the multi-char merge."""
+    from vector_search_ner_spark.plans.queries_dataprep import bpe_train_frame
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r.round, r.sym_a, r.sym_b, r.pair_count)
+        for r in bpe_train_frame(docs, 3).collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+
 def test_checkpoint_mode_queries_agree_across_modes(spark, sf_dir, tmp_path):
     """Every query whose dataflow routes through session.cut_lineage
     must return IDENTICAL results under all three checkpoint modes —

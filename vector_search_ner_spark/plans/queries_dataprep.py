@@ -1186,3 +1186,140 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("selected", F.col("sel_rank") <= _DSIR_TOPK)
         .orderBy("doc_id")
     )
+
+
+# -- tokenizer induction: the iterative BPE trainer ---------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _duck_bpe_train() -> str:
+    parts = [
+        """w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), v0 AS (
+  SELECT '  ' || array_to_string(
+           list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)),
+           '  ') || '  ' AS seg, freq
+  FROM w0
+)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM (SELECT string_split(trim(seg), '  ') AS s, freq FROM {prev})
+        WHERE len(s) >= 2)
+  GROUP BY a, b
+), m{r} AS (
+  SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+), v{r} AS (
+  SELECT replace(seg, ' ' || m.a || '  ' || m.b || ' ',
+                 ' ' || m.a || m.b || ' ') AS seg, freq
+  FROM {prev} CROSS JOIN m{r} m
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, n AS pair_count FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY round\n"
+    )
+
+
+@query("bpe_train_merges", oracle=_duck_bpe_train())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016) — the
+    full trainer, not just bpe_top_merges' first counting round: per
+    round, count adjacent symbol pairs across the vocabulary weighted
+    by word frequency, adopt the most frequent pair as the round's
+    merge rule (ties broken lexicographically — fully deterministic),
+    apply it everywhere, and repeat. Emits the learned merge table
+    (round, sym_a, sym_b, pair_count).
+
+    Merge application is a single string replace over a DELIMITED
+    segmentation encoding: symbols joined by two spaces with two-space
+    padding, and rule (a,b) rewrites ' a␣␣b ' -> ' ab ' — the single
+    flanking spaces are consumed as boundary anchors (a pair can never
+    match inside a larger symbol) while the outer spaces survive to
+    keep the invariant, and left-to-right non-overlapping replace()
+    semantics (identical in Spark and DuckDB) give exactly BPE's
+    greedy merge order, including the aa-run case. No per-row loops,
+    no UDFs — every round is built-in exprs.
+
+    Scale shape (100 TB): the corpus is scanned ONCE (word-frequency
+    hash agg); every training round then runs over the VOCABULARY
+    relation (distinct words — orders of magnitude smaller), as one
+    weighted pair hash-agg (map-side combining), one global top-1
+    (TakeOrderedAndProject, never a sort), and one map-only replace.
+    The chosen rule joins back by broadcast; each round's vocab frame
+    is lineage-cut (the Lloyd/CC iterative discipline — no collect,
+    the rule stays a 1-row broadcast frame). The oracle unrolls all
+    {n} rounds as CTEs and matches bit-for-bit."""
+    return bpe_train_frame(load_table(spark, sf_dir, "documents"), _BPE_ROUNDS)
+
+
+def bpe_train_frame(docs: DataFrame, rounds: int) -> DataFrame:
+    """The BPE training loop over an explicit (text) frame — shared by
+    the registered query and the hand-computed semantics test."""
+    from vector_search_ner_spark.session import cut_lineage
+
+    wf = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = cut_lineage(
+        wf.select(
+            F.concat(
+                F.lit("  "),
+                F.array_join(
+                    F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+                    "  ",
+                ),
+                F.lit("  "),
+            ).alias("seg"),
+            "freq",
+        )
+    )
+    merges = None
+    for r in range(1, rounds + 1):
+        syms = vocab.select(
+            F.split(F.trim(F.col("seg")), "  ").alias("s"), "freq"
+        ).where(F.size("s") >= 2)
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr("transform(sequence(1, size(s) - 1), i -> struct(s[i - 1] AS a, s[i] AS b))")
+            ).alias("p"),
+        )
+        best = cut_lineage(
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+        )
+        rule = best.select(
+            F.lit(r).alias("round"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.col("n").alias("pair_count"),
+        )
+        merges = rule if merges is None else merges.unionByName(rule)
+        vocab = cut_lineage(
+            vocab.crossJoin(F.broadcast(best)).select(
+                F.replace(
+                    F.col("seg"),
+                    F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("seg"),
+                "freq",
+            )
+        )
+    return merges.orderBy("round")
