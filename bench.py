@@ -91,6 +91,13 @@ HEADLINE = [
     "dsir_importance_select",
     "dedup_index_compact",
     "dedup_semantic_incremental",
+    # round-9 additions: the curation flagship (every rung in one
+    # plan), the iterative BPE trainer, and the semantic-index
+    # staleness report (stream_semantic_index_append stays out per the
+    # stream_* convention; it is fully oracle-checked in the registry)
+    "pretrain_corpus_e2e",
+    "bpe_train_merges",
+    "semantic_index_staleness",
 ]
 
 

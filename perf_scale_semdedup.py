@@ -292,6 +292,47 @@ def main() -> None:
             }
         )
     )
+
+    # sixth leg — the greedy sweep's CHAIN-DEPTH vs threshold probe
+    # (round 9): the frontier loop's round count equals the longest
+    # undecided dependency chain. At the shipped T=0.4 that is ~2-3;
+    # an aggressive threshold on a redundant corpus lengthens chains
+    # (every doc similar to its predecessor), and this probe
+    # documents the knob's failure edge — how fast driver rounds grow
+    # as T drops — before a user finds it. Edge/target counts are
+    # reported alongside so the O(similar-docs) loop-state claim is
+    # measurable at each threshold.
+    from vector_search_ner_spark.plans.queries_mlops import (
+        _semdedup_members,
+        _semdedup_edges,
+        greedy_sweep_fixpoint,
+    )
+
+    table = spark.read.parquet(os.path.join(root, "scale1", "embeddings.parquet"))
+    j = _semdedup_members(table, n_cent=16, n_iter=2)
+    probe = {}
+    for t in (0.4, 0.25, 0.15, 0.05):
+        t0 = time.perf_counter()
+        edges = _semdedup_edges(j, cap=1024, t=t)
+        n_edges = edges.count()
+        n_targets = edges.select("b_id").distinct().count()
+        _, rounds = greedy_sweep_fixpoint(edges)
+        probe[f"t{t}"] = {
+            "n_edges": n_edges,
+            "n_targets": n_targets,
+            "sweep_rounds": rounds,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "semdedup_scaling",
+                "leg": "semdedup_greedy_chain_depth_vs_threshold",
+                "base_sf_dir": base_sf,
+                "thresholds": probe,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -1660,16 +1660,46 @@ def semantic_prune_greedy_frame(
     n_cent: int = _IVF_N_CENT,
     n_iter: int = _LLOYD_ITER,
     cap: int = _SEMDEDUP_CAP,
+    t: float = _SEMDEDUP_T,
 ) -> DataFrame:
     """The greedy-kept sweep dataflow (see dedup_semantic_prune_greedy)
-    with the cluster count as a parameter — shared by the registered
-    query and the constructed-fixture divergence test. The a-side rank
-    cap bounds the edge extraction at O(c*cap) per cluster (see
+    with the cluster count, rank cap, and similarity threshold as
+    parameters — shared by the registered query, the constructed-
+    fixture divergence test, and the chain-depth probe. The a-side
+    rank cap bounds the edge extraction at O(c*cap) per cluster (see
     _SEMDEDUP_CAP); it also bounds the sweep's dependency-chain depth
     at cap, since only capped-rank members can be edge SOURCES."""
+    j = _semdedup_members(emb, n_cent, n_iter)
+    edges = _semdedup_edges(j, cap, t)
+    tstat, _rounds = greedy_sweep_fixpoint(edges)
+    inc = edges.groupBy("b_id").agg(F.count(F.lit(1)).cast("int").alias("__deg"))
+    # no broadcast hints on the verdict joins: the target/degree
+    # frames are similar-docs-sized, which at aggressive thresholds is
+    # a large corpus fraction — the 8 GB broadcast ceiling would make
+    # a forced hint fail exactly when dedup matters most. AQE
+    # broadcasts them when they are actually small.
+    return (
+        j.select("doc_id", "cluster_id")
+        .join(tstat, "doc_id", "left")
+        .join(inc.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.coalesce(F.col("st"), F.lit(1)) == 2).alias("dropped"),
+            (F.coalesce(F.col("__deg"), F.lit(0)) > 0).alias("dropped_conservative"),
+            F.coalesce(F.col("__deg"), F.lit(0)).alias("n_earlier_similar"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _semdedup_edges(j: DataFrame, cap: int, t: float) -> DataFrame:
+    """The earlier-similar edge relation over a (doc_id, cluster_id,
+    v, u, rn) member frame: within-cluster pairs with the a-side rank
+    cap, filtered to cosine > t. Lineage-cut (consumed by the sweep
+    loop, the degree aggregate, and the chain-depth probe)."""
     from vector_search_ner_spark.functions.vector import cosine_similarity
 
-    j = _semdedup_members(emb, n_cent, n_iter)
     a = j.where(F.col("rn") <= F.lit(cap)).select(
         F.col("cluster_id").alias("a_cl"), F.col("doc_id").alias("a_id"),
         F.col("v").alias("av"), F.col("u").alias("au"),
@@ -1678,33 +1708,42 @@ def semantic_prune_greedy_frame(
         F.col("cluster_id").alias("b_cl"), F.col("doc_id").alias("b_id"),
         F.col("v").alias("bv"), F.col("u").alias("bu"),
     )
-    edges = cut_lineage(
+    return cut_lineage(
         a.join(
             b,
             (F.col("a_cl") == F.col("b_cl"))
             & ((F.col("au") < F.col("bu"))
                | ((F.col("au") == F.col("bu")) & (F.col("a_id") < F.col("b_id")))),
         )
-        .where(cosine_similarity(F.col("av"), F.col("bv")) > F.lit(_SEMDEDUP_T))
+        .where(cosine_similarity(F.col("av"), F.col("bv")) > F.lit(t))
         .select("a_id", "b_id")
     )
-    # Loop state is O(SIMILAR docs), not O(corpus): only edge TARGETS
-    # (docs with an incoming earlier-similar edge) can be dropped, so
-    # only they carry a mutable status (0 = undecided, 1 = kept,
-    # 2 = dropped); every non-target is kept by definition at round
-    # zero and never enters the loop. At a sane threshold the target
-    # set is a small fraction of the corpus, so the per-round
-    # checkpoint materializes a near-dup-sized frame, not a
-    # corpus-sized one.
+
+
+def greedy_sweep_fixpoint(edges: DataFrame) -> tuple[DataFrame, int]:
+    """The driver-gated frontier fixpoint of the greedy-kept sweep
+    over an (a_id, b_id) earlier-similar edge relation. Returns the
+    decided status frame (doc_id, st: 1=kept, 2=dropped — edge
+    TARGETS only; non-targets are kept by round zero and never enter
+    the loop) and the number of frontier rounds it took — rounds =
+    the longest undecided dependency chain, the quantity the
+    chain-depth probe reports as a function of the threshold.
+
+    Loop state is O(SIMILAR docs), not O(corpus): at a sane threshold
+    the target set is a small fraction of the corpus, so the
+    per-round checkpoint materializes a near-dup-sized frame, not a
+    corpus-sized one."""
     tstat = cut_lineage(
         edges.select(F.col("b_id").alias("doc_id")).distinct().select(
             "doc_id", F.lit(0).alias("st")
         ),
         allow_persist=False,
     )
+    rounds = 0
     for _ in range(1000):  # bound >= max chain depth; loop exits on fixpoint
         if tstat.where(F.col("st") == 0).count() == 0:
             break
+        rounds += 1
         # a-side status lookup: a non-target source is KEPT by round
         # zero; targets read their tracked status
         a_st = F.coalesce(F.col("st"), F.lit(1))
@@ -1741,25 +1780,7 @@ def semantic_prune_greedy_frame(
                 f"greedy sweep did not converge: {undecided} undecided "
                 "members after the round cap"
             )
-    inc = edges.groupBy("b_id").agg(F.count(F.lit(1)).cast("int").alias("__deg"))
-    # no broadcast hints on the verdict joins: the target/degree
-    # frames are similar-docs-sized, which at aggressive thresholds is
-    # a large corpus fraction — the 8 GB broadcast ceiling would make
-    # a forced hint fail exactly when dedup matters most. AQE
-    # broadcasts them when they are actually small.
-    return (
-        j.select("doc_id", "cluster_id")
-        .join(tstat, "doc_id", "left")
-        .join(inc.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "cluster_id",
-            (F.coalesce(F.col("st"), F.lit(1)) == 2).alias("dropped"),
-            (F.coalesce(F.col("__deg"), F.lit(0)) > 0).alias("dropped_conservative"),
-            F.coalesce(F.col("__deg"), F.lit(0)).alias("n_earlier_similar"),
-        )
-        .orderBy("doc_id")
-    )
+    return tstat, rounds
 
 
 def _duck_semdedup_incremental() -> str:

@@ -68,28 +68,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-8 rotation. Surface = 223 registered queries, all of them
-    # driver-sampled at least once by r07 (cumulative 218 green). This
-    # window front-loads the 5 queries REWORKED this round from
-    # rows-only into bound-verdict FULL oracles (each now computes its
-    # approximate AND exact side in Spark and emits oracle-derivable
-    # values plus boolean bound verdicts — the `ann_bq_recall_report`
-    # pattern), including sketch_distinct_quantiles, r07's only red
-    # (driver canonicalizer crash on its former array column; output
-    # is now all-scalar, and tests/test_registry.py pins the no
-    # complex-typed-output-columns invariant registry-wide). Positions
+    # Round-9 rotation. Surface = 231 registered queries, every one
+    # with a full DuckDB value-hash oracle; by r08 all prior 227 had
+    # been driver-sampled at least once with every latest verdict
+    # green (CORRECTNESS_r08 = 50/50). This window front-loads the 4
+    # NEW queries and the 5 whose code or oracle CHANGED this round
+    # (the SemDeDup giant-cluster rank cap touched all three sweep
+    # variants and bumped the semantic store to v2; dedup_index_compact
+    # got the keyed delta staging + empty-shard guard;
+    # stream_index_ingest got the entry checkpoint wipe). Positions
     # after this list backfill with already-green registration-order
     # queries as re-confirms.
-    "sketch_distinct_quantiles",
-    "sketch_hll_union",
-    "sketch_freq_items",
-    "ann_ivf_topk",
-    "ann_lsh_similarity_join",
-    # new full-oracle operators this round
+    "pretrain_corpus_e2e",
+    "stream_semantic_index_append",
+    "semantic_index_staleness",
+    "bpe_train_merges",
+    "dedup_semantic_prune",
     "dedup_semantic_prune_greedy",
-    "dsir_importance_select",
-    "dedup_index_compact",
     "dedup_semantic_incremental",
+    "dedup_index_compact",
+    "stream_index_ingest",
 ]
 
 
