@@ -98,6 +98,11 @@ HEADLINE = [
     "pretrain_corpus_e2e",
     "bpe_train_merges",
     "semantic_index_staleness",
+    # round-9 late additions: the BPE corpus encoder (train-once
+    # vocabulary join shape) and the int8 SQ search tier (the ladder's
+    # 4x rung gets its query path)
+    "bpe_encode_corpus",
+    "ann_sq_adc_topk",
 ]
 
 

@@ -12,6 +12,8 @@ summary row (and any >1.5x mover vs the previous round's pass) to
 PERF.md.
 
 Run:  python perf_full_surface.py > FULLSURFACE_r{N}.json
+Compare (movers vs a prior round, printed to stderr so the JSON line
+stays clean):  python perf_full_surface.py FULLSURFACE_r{N-1}.json
 """
 
 from __future__ import annotations
@@ -71,6 +73,24 @@ def main() -> None:
             }
         )
     )
+    # round-over-round movers: single-run timings swing 2-4x below ~1s
+    # from CPU steal alone, so compare only queries that were >=1s in
+    # either round and flag ratio >1.5x either direction
+    if len(sys.argv) > 1 and os.path.exists(sys.argv[1]):
+        prev = json.load(open(sys.argv[1]))["queries"]
+        movers = []
+        for name, t in timings.items():
+            p = prev.get(name, -1.0)
+            if p <= 0 or t <= 0 or max(p, t) < 1.0:
+                continue
+            ratio = t / p
+            if ratio > 1.5 or ratio < 1 / 1.5:
+                movers.append((ratio, name, p, t))
+        print(f"MOVERS vs {sys.argv[1]} (>1.5x, either dir, >=1s):", file=sys.stderr)
+        for ratio, name, p, t in sorted(movers, reverse=True):
+            print(f"  {name}: {p:.2f}s -> {t:.2f}s ({ratio:.2f}x)", file=sys.stderr)
+        if not movers:
+            print("  none", file=sys.stderr)
     spark.stop()
 
 

@@ -668,3 +668,16 @@ def test_semantic_incremental_scans_persisted_index(spark):
     assert len(index_scans) >= 2, p
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_sq_topk_broadcasts_codes_and_group_limits(spark):
+    """SQ int8 search must mirror the BQ tier's physical contract:
+    (a) the query-code batch and the candidate list broadcast (the
+    corpus code table and the full-vector table never shuffle for
+    candidate generation), (b) the per-query candidate cut is the
+    WindowGroupLimit partial top-k, (c) no CartesianProduct — the
+    8-row query side rides a BroadcastNestedLoopJoin."""
+    p = _plan(spark, "ann_sq_adc_topk")
+    assert "BroadcastExchange" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p

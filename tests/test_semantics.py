@@ -1523,16 +1523,29 @@ def test_hamming_band_pairs_width_guard(spark):
     deterministically on both attempts, so the retry cannot mask a
     product bug — and the deliberate-failure check asserts on the
     guard MESSAGE, not only the exception class, so it cannot
-    accidentally pass on an unrelated transient abort."""
+    accidentally pass on an unrelated transient abort.
+
+    Root cause of the residual flake (found in this round's run #2,
+    failing at the pytest.raises line itself): the SAME guard failure
+    surfaces as two DIFFERENT Python types depending on which task
+    error the driver reports first — PySpark's exception converter
+    turns a recognized `org.apache.spark.SparkRuntimeException` into
+    `pyspark.errors...SparkRuntimeException` (hiding the
+    Py4JJavaError), but when the stage abort wraps it in a generic
+    `SparkException` the original `Py4JJavaError` re-raises. Which
+    wrapping wins is load/scheduling-dependent. Both ARE the guard
+    firing with the guard's message, so the test accepts either type
+    and keeps the message match as the real assertion."""
     import pytest
     from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
 
     from vector_search_ner_spark.operators.neardup import hamming_band_pairs
 
     def collect_retry(df):
         try:
             return df.collect()
-        except Py4JJavaError:
+        except (Py4JJavaError, PySparkException):
             return df.collect()
 
     fits = spark.createDataFrame(
@@ -1544,7 +1557,9 @@ def test_hamming_band_pairs_width_guard(spark):
     wide = spark.createDataFrame(
         [(1, 1 << 40), (2, (1 << 40) + 1)], "sid long, fp long"
     )
-    with pytest.raises(Py4JJavaError, match="banded .*-bit range"):
+    with pytest.raises(
+        (Py4JJavaError, PySparkException), match="banded .*-bit range"
+    ):
         hamming_band_pairs(wide, max_hamming=2).collect()
     # widening the banded range via fp_bits restores correctness
     rows = collect_retry(hamming_band_pairs(wide, max_hamming=2, fp_bits=41))
@@ -1566,6 +1581,21 @@ def test_bq_recall_floor(spark):
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert len(rows) == 8
     assert mean_recall >= 0.6, f"BQ mean recall@10 too low: {mean_recall}"
+
+
+def test_sq_recall_floor(spark):
+    """The SQ int8 tier sits highest on the compressed ladder's recall
+    curve (64 codes x 8 bits vs PQ's 8x4 and BQ's 64x1): with
+    overfetch=30 the deterministic path measures mean recall@10 = 1.0
+    at sf0.01 — int8 is near-lossless at this scale. Floor at 0.9
+    leaves headroom for fixture regeneration only; the path has no
+    randomness. Pinned to sf0.01 like the BQ floor."""
+    from vector_search_ner_spark.plans.queries_pq import ann_sq_recall_report
+
+    rows = ann_sq_recall_report(spark, "/root/testdata/sf0.01").collect()
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert len(rows) == 8
+    assert mean_recall >= 0.9, f"SQ mean recall@10 too low: {mean_recall}"
 
 
 def test_bq_encode_matches_numpy(spark):
@@ -2192,6 +2222,50 @@ def test_bpe_train_hand_computed(spark):
         for r in bpe_train_frame(docs, 3).collect()
     ]
     assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+
+def test_bpe_encode_hand_computed(spark):
+    """Hand-computed encode trace continuing test_bpe_train's corpus:
+    after round 3 the vocabulary segmentations are aaab -> [aaab] (the
+    chain a,a -> aa; a,b -> ab; aa,ab -> aaab collapses it to one
+    token) and ab -> [ab]; after only round 2 aaab -> [aa, ab]. The
+    per-doc stats must reflect exactly those splits, proving the
+    encoder consumes the trained vocabulary rather than recomputing
+    anything per occurrence."""
+    from vector_search_ner_spark.plans.queries_dataprep import _bpe_train_loop
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "ab aaab")],
+        "doc_id long, text string",
+    )
+
+    def stats(rounds):
+        _m, vocab = _bpe_train_loop(docs, rounds)
+        from pyspark.sql import functions as F
+
+        enc = vocab.select(
+            "w", F.size(F.split(F.trim("seg"), "  ")).alias("n_tok")
+        )
+        dw = docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w")
+        ).where(F.col("w") != "")
+        rows = (
+            dw.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_tok").alias("n_tokens"),
+                F.sum(F.length("w")).alias("n_chars"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        return [(r.doc_id, r.n_words, r.n_tokens, r.n_chars) for r in rows]
+
+    # round 3: every word is a single token
+    assert stats(3) == [(1, 3, 3, 10), (2, 2, 2, 6)]
+    # round 2: aaab splits as [aa, ab] (2 tokens), ab stays [ab] (1)
+    assert stats(2) == [(1, 3, 5, 10), (2, 2, 3, 6)]
 
 
 def test_checkpoint_mode_queries_agree_across_modes(spark, sf_dir, tmp_path):

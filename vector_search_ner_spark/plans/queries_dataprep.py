@@ -19,6 +19,10 @@
   * `quality_score_calibrate`— per-source exact percentile
                                normalization before global thresholds;
   * `bpe_top_merges`         — one BPE tokenizer-training count round;
+  * `bpe_train_merges` / `bpe_encode_corpus` — the full iterative BPE
+                               trainer and the corpus encoder that
+                               applies the learned merges (vocabulary
+                               encoded once, corpus tokenized by join);
   * `k_anonymity_audit`      — quasi-identifier release gate;
   * `drift_psi_orders`       — PSI drift monitor between snapshots;
   * `profile_correlations`   — exact Pearson screen from decimal
@@ -1193,14 +1197,20 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _duck_bpe_train() -> str:
+def _duck_bpe_ctes(carry_word: bool) -> list[str]:
+    """The shared BPE-training CTE chain. With carry_word the vocabulary
+    relations v0..vN keep the original word `w` alongside its evolving
+    segmentation, so the encoder oracle can join documents back to the
+    final per-word token split; without it the strings are byte-identical
+    to the r9 trainer oracle."""
+    wcol = "w, " if carry_word else ""
     parts = [
-        """w0 AS (
+        f"""w0 AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
   WHERE w <> '' GROUP BY w
 ), v0 AS (
-  SELECT '  ' || array_to_string(
+  SELECT {wcol}'  ' || array_to_string(
            list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)),
            '  ') || '  ' AS seg, freq
   FROM w0
@@ -1218,17 +1228,48 @@ def _duck_bpe_train() -> str:
 ), m{r} AS (
   SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
 ), v{r} AS (
-  SELECT replace(seg, ' ' || m.a || '  ' || m.b || ' ',
+  SELECT {wcol}replace(seg, ' ' || m.a || '  ' || m.b || ' ',
                  ' ' || m.a || m.b || ' ') AS seg, freq
   FROM {prev} CROSS JOIN m{r} m
 )"""
         )
+    return parts
+
+
+def _duck_bpe_train() -> str:
+    parts = _duck_bpe_ctes(carry_word=False)
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, a AS sym_a, b AS sym_b, n AS pair_count FROM m{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY round\n"
+    )
+
+
+def _duck_bpe_encode() -> str:
+    parts = _duck_bpe_ctes(carry_word=True)
+    parts.append(
+        f"""enc AS (
+  SELECT w, CAST(len(string_split(trim(seg), '  ')) AS BIGINT) AS n_tok
+  FROM v{_BPE_ROUNDS}
+), dw AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(enc.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars
+FROM dw JOIN enc USING (w)
+WHERE dw.w <> ''
+GROUP BY dw.doc_id
+ORDER BY doc_id
+"""
     )
 
 
@@ -1267,6 +1308,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_train_frame(docs: DataFrame, rounds: int) -> DataFrame:
     """The BPE training loop over an explicit (text) frame — shared by
     the registered query and the hand-computed semantics test."""
+    merges, _vocab = _bpe_train_loop(docs, rounds)
+    return merges.orderBy("round")
+
+
+def _bpe_train_loop(docs: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
+    """Run `rounds` of BPE training and return BOTH artifacts: the merge
+    table (round, sym_a, sym_b, pair_count) and the final vocabulary
+    (w, seg, freq) with every word's trained segmentation — the trainer
+    consumes the first, the corpus encoder the second. The word rides
+    through each round's map-only replace so the encoder never has to
+    re-derive it (same device as the DuckDB oracle's carry_word CTEs)."""
     from vector_search_ner_spark.session import cut_lineage
 
     wf = (
@@ -1277,6 +1329,7 @@ def bpe_train_frame(docs: DataFrame, rounds: int) -> DataFrame:
     )
     vocab = cut_lineage(
         wf.select(
+            "w",
             F.concat(
                 F.lit("  "),
                 F.array_join(
@@ -1314,6 +1367,7 @@ def bpe_train_frame(docs: DataFrame, rounds: int) -> DataFrame:
         merges = rule if merges is None else merges.unionByName(rule)
         vocab = cut_lineage(
             vocab.crossJoin(F.broadcast(best)).select(
+                "w",
                 F.replace(
                     F.col("seg"),
                     F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
@@ -1322,4 +1376,47 @@ def bpe_train_frame(docs: DataFrame, rounds: int) -> DataFrame:
                 "freq",
             )
         )
-    return merges.orderBy("round")
+    return merges, vocab
+
+
+@query("bpe_encode_corpus", oracle=_duck_bpe_encode())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the WHOLE corpus — the
+    encode half of tokenizer induction (train = bpe_train_merges; this
+    completes the surface: a user trains merges, then tokenizes the
+    corpus with them). Emits per-document tokenization stats
+    (n_words, n_tokens, n_chars): n_tokens is the document's length
+    under the learned tokenizer, n_chars/n_tokens its compression
+    ratio — the quantities a pretraining-budget planner actually needs.
+
+    Scale shape (100 TB): the expensive object — the trained
+    segmentation — is computed once over the VOCABULARY (distinct
+    words, orders of magnitude smaller than the corpus), never per
+    occurrence: `_bpe_train_loop` carries each word through the
+    rounds' map-only replaces, and the corpus is then tokenized by a
+    single hash join of the exploded (doc_id, w) stream against that
+    (w, n_tok) relation — no broadcast hint on the vocab (at corpus
+    scale it can exceed the 8 GB broadcast ceiling; AQE may still
+    elect one when it is small) — followed by one map-side-combining
+    per-doc aggregate. Integer arithmetic end-to-end, so the DuckDB
+    oracle (the same CTE chain with the word carried through) matches
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = _bpe_train_loop(docs, _BPE_ROUNDS)
+    enc = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seg")), "  ")).cast("long").alias("n_tok"),
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        dw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

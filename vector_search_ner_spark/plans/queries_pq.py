@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_ner_spark.functions.vector import duck_cosine
-from vector_search_ner_spark.operators import bq, pq
+from vector_search_ner_spark.operators import bq, pq, sq
 from vector_search_ner_spark.operators.knn import knn_join
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.sources.catalog import load_table
@@ -255,6 +255,117 @@ def ann_bq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id"
     )
     hits = exact_top.join(bq_top, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit")
+    )
+    return (
+        exact_top.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+# ------------------------------------------------------- scalar quantization
+
+_SQ_K = 10
+_SQ_OVERFETCH = 30
+
+
+@query("ann_sq_adc_topk", oracle=sq.duck_sq_topk_sql(_N_QUERIES, _SQ_K, _SQ_OVERFETCH))
+def ann_sq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ (int8) approximate top-k — the search path for the ladder's
+    4x tier (storage: `embedding_quantize_int8`), the shape Faiss SQ8 /
+    Milvus IVF_SQ8 ship. One global symmetric scale makes the ADC PURE
+    INTEGER (sum of squared code diffs — monotone in quantized L2), so
+    candidate order is bit-reproducible with no rounding device; the
+    exact cosine rescore of the 3k over-fetch repairs the quantization
+    tail. Unlike the IVF tier (KMeans internals -> bound verdict), every
+    stage here re-derives in SQL: a FULL value oracle over the final
+    (query_id, doc_id, score, rank). Scale/encode/candidates/rescore
+    shapes per operators/sq.py — corpus never shuffles; full vectors
+    read only for the broadcast candidate list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq.sq_adc_topk(queries, emb, _SQ_K, _SQ_OVERFETCH)
+
+
+@query(
+    "ann_sq_recall_report",
+    oracle=f"""
+WITH {sq.duck_sq_codes_cte(_N_QUERIES)}, cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {sq.duck_sq_adc("q.q_codes", "c.sq_codes")}, c.doc_id
+           ) AS rn
+    FROM codes c CROSS JOIN q
+  ) WHERE rn <= {_SQ_OVERFETCH}
+), sq_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT cand.query_id, cand.doc_id,
+           row_number() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY round({duck_cosine("q.query_vec", "d.embedding")}, 6) DESC,
+                      cand.doc_id
+           ) AS rank
+    FROM cand
+    JOIN codes d ON cand.doc_id = d.doc_id
+    JOIN q ON cand.query_id = q.query_id
+  ) WHERE rank <= {_SQ_K}
+), exact_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {duck_cosine("q.query_vec", "c.embedding")} DESC, c.doc_id
+           ) AS rank
+    FROM codes c CROSS JOIN q
+  ) WHERE rank <= {_SQ_K}
+), hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS n_hit
+  FROM exact_top e JOIN sq_top b
+    ON e.query_id = b.query_id AND e.doc_id = b.doc_id
+  GROUP BY e.query_id
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS INTEGER) AS n_exact,
+       COALESCE(ANY_VALUE(h.n_hit), 0) AS n_hit,
+       ROUND(COALESCE(ANY_VALUE(h.n_hit), 0) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+FROM exact_top e LEFT JOIN hits h ON e.query_id = h.query_id
+GROUP BY e.query_id
+""",
+)
+def ann_sq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SQ int8 path against exact cosine ground truth,
+    per query — completing the eval discipline across the whole ladder
+    (exact / IVF / PQ / BQ / SQ all have a recall report or bound
+    verdict): the 4x tier's recall cost is a measured, fully-oracled
+    number. The int8 tier sits highest on the recall curve of the
+    compressed tiers (64 codes of 8 bits vs PQ's 8 of 4, BQ's 64 of 1),
+    so its report anchors the ladder's quality axis."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sq_top = sq.sq_adc_topk(queries, emb, _SQ_K, _SQ_OVERFETCH).select(
+        "query_id", "doc_id"
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact_top = knn_join(queries, docs, k=_SQ_K, metric="cosine").select(
+        "query_id", "doc_id"
+    )
+    hits = exact_top.join(sq_top, ["query_id", "doc_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_hit")
     )
     return (
