@@ -103,6 +103,14 @@ HEADLINE = [
     # 4x rung gets its query path)
     "bpe_encode_corpus",
     "ann_sq_adc_topk",
+    # round-9 final additions: the IR-metric tier eval (MRR/nDCG/
+    # recall over the SQ+BQ tiers), hard-negative mining (BM25 ∖
+    # exact-cosine with semi-hard margin), and per-language tokenizer
+    # fertility (stream_quality_gate stays out per the stream_*
+    # convention; it is fully oracle-checked in the registry)
+    "ann_tier_eval_ndcg",
+    "mine_hard_negatives",
+    "bpe_fertility_by_lang",
 ]
 
 

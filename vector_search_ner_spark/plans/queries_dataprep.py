@@ -1420,3 +1420,65 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _duck_bpe_fertility() -> str:
+    from vector_search_ner_spark.plans.queries_text import _duck_lang_scripted
+
+    return f"""
+WITH stats AS ({_duck_bpe_encode()}),
+lang AS (
+  SELECT doc_id, {_duck_lang_scripted()} AS lang_pred FROM documents
+)
+SELECT l.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(s.n_tokens) AS DOUBLE) / SUM(s.n_words), 6) AS fertility,
+       ROUND(CAST(SUM(s.n_chars) AS DOUBLE) / SUM(s.n_tokens), 6) AS chars_per_token
+FROM stats s JOIN lang l ON s.doc_id = l.doc_id
+GROUP BY l.lang_pred
+ORDER BY l.lang_pred
+"""
+
+
+@query("bpe_fertility_by_lang", oracle=_duck_bpe_fertility())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — tokens-per-word and
+    chars-per-token of the trained BPE tokenizer, split by the quality
+    gate's language prediction: the cross-lingual compression report a
+    tokenizer team reads before fixing a vocabulary (high fertility on
+    a language = that language pays more sequence positions per word —
+    the standard multilingual-tokenizer equity metric). Composes two
+    already-oracled families: the per-doc encode stats
+    (`bpe_encode_corpus`) and the gate's language router
+    (`doc_language_quality_gate`), joined on doc_id and reduced to one
+    row per language.
+
+    Scale: the vocabulary-sized trainer and the corpus-sized encode
+    join are bpe_encode_corpus's shapes unchanged; the language
+    expression is map-only on the same documents scan; the final agg
+    is map-side-combining on a handful of language keys. Integer
+    numerators/denominators summed exactly, ONE division per metric
+    then round(6) — bit-equal across engines."""
+    from vector_search_ner_spark.plans.queries_text import quality_gate_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = bpe_encode_corpus(spark, sf_dir)
+    lang = quality_gate_frame(docs).select("doc_id", "lang_pred")
+    return (
+        stats.join(lang, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang_pred")
+    )

@@ -382,3 +382,192 @@ def ann_sq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------------------ tier IR eval
+
+# nDCG discount table as INTEGER MICROUNIT LITERALS (round(1e12 /
+# log2(pos+1))): log2 is not bit-identical across the JVM and DuckDB's
+# libm, so neither engine computes it — both consume these constants,
+# making every DCG sum a pure integer fold (the bm25_topk device).
+_EVAL_DISC = [
+    1000000000000, 630929753571, 500000000000, 430676558073, 386852807235,
+    356207187108, 333333333333, 315464876786, 301029995664, 289064826318,
+]
+_EVAL_K = 10
+# ideal DCG for the graded ladder rel(pos)=11-pos, pos=1..10
+_EVAL_IDCG = sum((11 - p) * _EVAL_DISC[p - 1] for p in range(1, _EVAL_K + 1))
+
+
+def _duck_tier_eval() -> str:
+    disc_rows = ",\n         ".join(
+        f"({p}, CAST({_EVAL_DISC[p-1]} AS BIGINT))" for p in range(1, _EVAL_K + 1)
+    )
+    return f"""
+WITH sc AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+         / {float(sq.SQ_LEVELS)} AS sq_scale
+  FROM embeddings
+), codes AS (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / sq_scale) AS BIGINT))
+           AS sq_codes,
+         {bq.duck_bq_word("embedding", bq.WORD_BITS)} AS bq_hi,
+         {bq.duck_bq_word("embedding", 0)} AS bq_lo,
+         embedding
+  FROM embeddings CROSS JOIN sc
+), q AS (
+  SELECT doc_id AS query_id, sq_codes AS q_codes, bq_hi AS q_hi,
+         bq_lo AS q_lo, embedding AS query_vec
+  FROM codes WHERE doc_id < {_N_QUERIES}
+), exact_top AS (
+  SELECT query_id, doc_id, 11 - rank AS rel FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {duck_cosine("q.query_vec", "c.embedding")} DESC, c.doc_id
+           ) AS rank
+    FROM codes c CROSS JOIN q
+  ) WHERE rank <= {_EVAL_K}
+), sq_cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {sq.duck_sq_adc("q.q_codes", "c.sq_codes")}, c.doc_id
+           ) AS rn
+    FROM codes c CROSS JOIN q
+  ) WHERE rn <= {_SQ_OVERFETCH}
+), sq_top AS (
+  SELECT query_id, doc_id, pos FROM (
+    SELECT sq_cand.query_id, sq_cand.doc_id,
+           row_number() OVER (
+             PARTITION BY sq_cand.query_id
+             ORDER BY round({duck_cosine("q.query_vec", "d.embedding")}, 6) DESC,
+                      sq_cand.doc_id
+           ) AS pos
+    FROM sq_cand
+    JOIN codes d ON sq_cand.doc_id = d.doc_id
+    JOIN q ON sq_cand.query_id = q.query_id
+  ) WHERE pos <= {_EVAL_K}
+), bq_cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY bit_count(xor(c.bq_hi, q.q_hi))
+                    + bit_count(xor(c.bq_lo, q.q_lo)), c.doc_id
+           ) AS rn
+    FROM codes c CROSS JOIN q
+  ) WHERE rn <= {_BQ_OVERFETCH}
+), bq_top AS (
+  SELECT query_id, doc_id, pos FROM (
+    SELECT bq_cand.query_id, bq_cand.doc_id,
+           row_number() OVER (
+             PARTITION BY bq_cand.query_id
+             ORDER BY round({duck_cosine("q.query_vec", "d.embedding")}, 6) DESC,
+                      bq_cand.doc_id
+           ) AS pos
+    FROM bq_cand
+    JOIN codes d ON bq_cand.doc_id = d.doc_id
+    JOIN q ON bq_cand.query_id = q.query_id
+  ) WHERE pos <= {_EVAL_K}
+), tiers AS (
+  SELECT 'sq' AS tier, query_id, doc_id, CAST(pos AS INTEGER) AS pos FROM sq_top
+  UNION ALL
+  SELECT 'bq' AS tier, query_id, doc_id, CAST(pos AS INTEGER) AS pos FROM bq_top
+), disc(pos, disc_micro) AS (
+  VALUES {disc_rows}
+), perq AS (
+  SELECT t.tier, t.query_id,
+         SUM(COALESCE(e.rel, 0) * d.disc_micro) AS dcg_micro,
+         MIN(CASE WHEN e.rel > 0 THEN t.pos END) AS first_pos,
+         SUM(CASE WHEN e.rel > 0 THEN 1 ELSE 0 END) AS n_hit
+  FROM tiers t
+  JOIN disc d ON t.pos = d.pos
+  LEFT JOIN exact_top e ON t.query_id = e.query_id AND t.doc_id = e.doc_id
+  GROUP BY t.tier, t.query_id
+)
+SELECT tier,
+       ROUND(SUM(CASE WHEN first_pos IS NULL THEN CAST(0 AS BIGINT)
+                      ELSE CAST(ROUND(1000000000000 / first_pos) AS BIGINT) END)
+             / (COUNT(*) * 1e12), 6) AS mrr,
+       ROUND(SUM(dcg_micro) / (COUNT(*) * CAST({_EVAL_IDCG} AS DOUBLE)), 6) AS ndcg,
+       ROUND(SUM(n_hit) / (COUNT(*) * {float(_EVAL_K)}), 6) AS recall
+FROM perq GROUP BY tier ORDER BY tier
+"""
+
+
+@query("ann_tier_eval_ndcg", oracle=_duck_tier_eval())
+def ann_tier_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard IR metric family — MRR@10, nDCG@10 (graded
+    relevance rel=11-rank of the exact cosine top-10), recall@10 —
+    computed for the SQL-derivable compressed tiers (SQ int8, BQ sign
+    bits) against exact ground truth, one row per tier. Complements
+    the per-tier recall reports with the rank-position-weighted
+    metrics an IR practitioner actually tunes on (IVF/PQ keep their
+    own recall/bound reports; their quantizers' KMeans internals are
+    covered by bound verdicts instead).
+
+    Determinism: the log2 discount table is embedded as integer
+    microunit LITERALS in both engines (libm log2 is not bit-portable)
+    so every DCG accumulation is an exact integer sum; MRR microunits
+    likewise; each metric ends in ONE division of identical operands
+    then round(6) — bit-equal across engines.
+
+    Scale: both tier legs reuse the production candidate shapes
+    (broadcast query codes, WindowGroupLimit cuts); the eval adds only
+    K-sized joins and aggregates on top — the eval itself is never the
+    bottleneck, so this can run as a continuous quality monitor next
+    to the serving path at full corpus scale."""
+    from vector_search_ner_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact = knn_join(queries, docs, k=_EVAL_K, metric="cosine").select(
+        "query_id", "doc_id", (F.lit(11) - F.col("rank")).cast("int").alias("rel")
+    )
+    sq_top = sq.sq_adc_topk(queries, emb, _EVAL_K, _SQ_OVERFETCH).select(
+        F.lit("sq").alias("tier"), "query_id", "doc_id", F.col("rank").alias("pos")
+    )
+    bq_top = bq.bq_hamming_topk(queries, emb, _EVAL_K, _BQ_OVERFETCH).select(
+        F.lit("bq").alias("tier"), "query_id", "doc_id", F.col("rank").alias("pos")
+    )
+    disc = F.array(*[F.lit(d).cast("long") for d in _EVAL_DISC])
+    scored = (
+        sq_top.unionByName(bq_top)
+        .join(exact, ["query_id", "doc_id"], "left")
+        .select(
+            "tier",
+            "query_id",
+            "pos",
+            F.coalesce(F.col("rel"), F.lit(0)).cast("long").alias("rel"),
+            F.element_at(disc, F.col("pos")).alias("disc_micro"),
+        )
+    )
+    perq = scored.groupBy("tier", "query_id").agg(
+        F.sum(F.col("rel") * F.col("disc_micro")).alias("dcg_micro"),
+        F.min(F.when(F.col("rel") > 0, F.col("pos"))).alias("first_pos"),
+        F.sum((F.col("rel") > 0).cast("int")).alias("n_hit"),
+    )
+    mrr_micro = F.when(F.col("first_pos").isNull(), F.lit(0).cast("long")).otherwise(
+        F.round(F.lit(10**12) / F.col("first_pos")).cast("long")
+    )
+    return (
+        perq.select("tier", "dcg_micro", "n_hit", mrr_micro.alias("mrr_micro"))
+        .groupBy("tier")
+        .agg(
+            F.round(F.sum("mrr_micro") / (F.count(F.lit(1)) * F.lit(1e12)), 6).alias("mrr"),
+            F.round(
+                F.sum("dcg_micro") / (F.count(F.lit(1)) * F.lit(float(_EVAL_IDCG))), 6
+            ).alias("ndcg"),
+            F.round(
+                F.sum("n_hit") / (F.count(F.lit(1)) * F.lit(float(_EVAL_K))), 6
+            ).alias("recall"),
+        )
+        .orderBy("tier")
+    )

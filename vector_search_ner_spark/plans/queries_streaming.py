@@ -239,6 +239,22 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.stream_pii_scrub(spark, sf_dir)
 
 
+def _quality_gate_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_text import QUALITY_GATE_ORACLE
+
+    return QUALITY_GATE_ORACLE
+
+
+@query("stream_quality_gate", oracle=_quality_gate_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-at-ingest: the batch `doc_language_quality_gate`
+    expressions applied per micro-batch as documents land (stateless
+    map-only stream — the keep/drop verdict exists before the doc ever
+    hits the lake, so rejects never cost a second scan). Shares the
+    batch oracle verbatim: streaming == batch, bit-for-bit."""
+    return se.stream_quality_gate(spark, sf_dir)
+
+
 def _index_ingest_oracle() -> str:
     from vector_search_ner_spark.functions.text import duck_stable_long_hash
     from vector_search_ner_spark.operators import neardup as nd

@@ -857,7 +857,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TOPK = 10
 
 
-def _duck_bm25() -> str:
+def _duck_bm25(topk: int = _BM25_TOPK) -> str:
     terms = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
     return f"""
 WITH qterms(query_id, term) AS (VALUES {terms}),
@@ -899,7 +899,7 @@ SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rn
   FROM scored
-) WHERE rn <= {_BM25_TOPK}
+) WHERE rn <= {topk}
 """
 
 
@@ -1385,9 +1385,7 @@ def _duck_boilerplate() -> str:
     )
 
 
-@query(
-    "doc_language_quality_gate",
-    oracle=f"""
+QUALITY_GATE_ORACLE = f"""
 SELECT doc_id,
        {_duck_script()} AS script,
        {_duck_lang_scripted()} AS lang_pred,
@@ -1398,8 +1396,10 @@ SELECT doc_id,
         AND ({_duck_boilerplate()}) <= {_BP_CAP}) AS keep
 FROM documents
 ORDER BY doc_id
-""",
-)
+"""
+
+
+@query("doc_language_quality_gate", oracle=QUALITY_GATE_ORACLE)
 def doc_language_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/C4-style pretraining quality gate — the per-doc filter a
     crawl passes through before tokenization: ① charset-class script
@@ -1425,6 +1425,16 @@ def doc_language_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 5.3 s at sf0.1; the signal-staged shape measured 1.92 s;
     this count-staged shape goes further (the lang CASE referenced the
     code-profile count three times)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_gate_frame(docs).orderBy("doc_id")
+
+
+def quality_gate_frame(docs: DataFrame) -> DataFrame:
+    """The gate over an explicit (doc_id, text) frame — shared verbatim
+    by the batch query above and the ingest-time streaming twin
+    (streaming/events.py stream_quality_gate), so both surfaces carry
+    the IDENTICAL oracle. Map-only: works unchanged on a streaming
+    frame (no shuffle, no watermark, no state)."""
     from vector_search_ner_spark.operators.textstats import (
         LANG_MARKERS,
         boilerplate_ratio_tokens,
@@ -1437,7 +1447,6 @@ def doc_language_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_tokens,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "text", word_tokens(F.col("text")).alias("__w"))
     hits = toks.select(
         "doc_id",
@@ -1481,4 +1490,126 @@ def doc_language_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("quality") >= 0.5)
             & (F.col("bp_ratio") <= _BP_CAP)
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------- hard-neg mining
+
+_MINE_BM25_K = 20
+_MINE_POS_K = 10
+_MINE_MARGIN = 0.05
+
+
+def _duck_mine_hard_negatives() -> str:
+    from vector_search_ner_spark.functions.vector import duck_cosine
+
+    return f"""
+WITH kw AS ({_duck_bm25(_MINE_BM25_K)}),
+qv AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 3
+), cos_all AS (
+  SELECT q.query_id, d.vec_id AS doc_id,
+         round({duck_cosine("q.query_vec", "d.embedding")}, 6) AS cos_sim
+  FROM embeddings d CROSS JOIN qv q
+), pos AS (
+  SELECT query_id, doc_id, cos_sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rn
+    FROM cos_all
+  ) WHERE rn <= {_MINE_POS_K}
+), pos_floor AS (
+  SELECT query_id, MIN(cos_sim) AS floor_sim FROM pos GROUP BY query_id
+)
+SELECT k.query_id, k.doc_id,
+       k.rank AS bm25_rank, k.score AS bm25_score,
+       c.cos_sim,
+       (c.cos_sim <= f.floor_sim - {_MINE_MARGIN}) AS semi_hard
+FROM kw k
+ANTI JOIN pos p ON k.query_id = p.query_id AND k.doc_id = p.doc_id
+JOIN cos_all c ON c.query_id = k.query_id AND c.doc_id = k.doc_id
+JOIN pos_floor f ON f.query_id = k.query_id
+ORDER BY k.query_id, bm25_rank
+"""
+
+
+@query("mine_hard_negatives", oracle=_duck_mine_hard_negatives())
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for retrieval-model training (the
+    sentence-transformers / DPR recipe): candidates a LEXICAL retriever
+    ranks highly (BM25 top-{20}) that are NOT semantic positives (exact
+    cosine top-{10}) are exactly the confusable examples a bi-encoder
+    must learn to push away. Emits per (query, negative) the BM25
+    rank/score, the true cosine, and the SEMI-HARD flag (cosine at
+    least the margin below the weakest positive — Schroff et al.'s
+    semi-hard band; negatives inside the margin are likely unlabeled
+    positives and poison training).
+
+    Scale shape: the positive set is the exact-kNN leg the pipeline
+    already computes (one corpus scan; ranked on round(cos,6) with
+    doc_id tie-break so both engines agree); everything downstream is
+    K-sized — the BM25 candidate list anti-joins the positives and
+    only the ~q*k surviving negatives ever read their full vectors
+    (broadcast candidate list onto the vector table, the rescore
+    pattern). BM25's own shape is bm25_rank's: microunit-exact,
+    map-side-combining aggs, broadcast stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    kw = bm25_rank(docs, qterms, topk=_MINE_BM25_K).select(
+        "query_id",
+        "doc_id",
+        F.col("rank").alias("bm25_rank"),
+        F.col("score").alias("bm25_score"),
+    )
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from vector_search_ner_spark.functions.vector import cosine_similarity
+    from vector_search_ner_spark.operators.knn import topk_per_query
+
+    cos_all = (
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                cosine_similarity(F.col("query_vec"), F.col("embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    pos = topk_per_query(
+        cos_all, _MINE_POS_K, "query_id", "cos_sim", "doc_id", ascending=False
+    ).select("query_id", "doc_id", "cos_sim")
+    floor = pos.groupBy("query_id").agg(F.min("cos_sim").alias("floor_sim"))
+    neg = kw.join(pos.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
+    # only the surviving negatives read their vectors: broadcast the
+    # K-sized candidate list onto the vector table (rescore pattern)
+    neg_scored = (
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        .join(F.broadcast(neg), "doc_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            "bm25_score",
+            F.round(
+                cosine_similarity(F.col("query_vec"), F.col("embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return (
+        neg_scored.join(F.broadcast(floor), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            "bm25_score",
+            "cos_sim",
+            (F.col("cos_sim") <= F.col("floor_sim") - _MINE_MARGIN).alias("semi_hard"),
+        )
+        .orderBy("query_id", "bm25_rank")
+    )

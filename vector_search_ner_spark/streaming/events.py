@@ -482,6 +482,27 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(pii_scrub_frame(stream), "append")
 
 
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY GATE AT INGEST — the CCNet/C4-style language/quality/
+    boilerplate verdict computed as documents land, so a downstream
+    lakehouse can partition on `keep` (or drop rejects) without a
+    second pass over the raw crawl: documents arrive as a stream and
+    the IDENTICAL map-only gate expressions as the batch
+    `doc_language_quality_gate` (plans.queries_text.quality_gate_frame)
+    project each micro-batch — stateless, no watermark, no shuffle, so
+    ingest throughput is the parquet scan rate. Oracle = the batch
+    gate over the same corpus (streaming == batch, bit-for-bit)."""
+    from vector_search_ner_spark.plans.queries_text import quality_gate_frame
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _run_to_memory(quality_gate_frame(stream), "append")
+
+
 def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE MAINTENANCE of the persisted shingle/minhash dedup index
     (sources/neardup_index.py) — the op a daily-ingest pipeline runs
