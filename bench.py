@@ -111,6 +111,12 @@ HEADLINE = [
     "ann_tier_eval_ndcg",
     "mine_hard_negatives",
     "bpe_fertility_by_lang",
+    # the Matryoshka tier and the CCNet surprisal terciles (the
+    # temperature-mixture weights run on a languages-sized frame —
+    # sub-second and flat, so they stay out of the wall-clock
+    # headline; fully oracle-checked in the registry)
+    "ann_mrl_topk",
+    "doc_surprisal_buckets",
 ]
 
 

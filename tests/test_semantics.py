@@ -2365,3 +2365,79 @@ def test_semantic_index_store_retires_stale_generations(spark, tmp_path):
     assert len(gens2) == 1 and gens2 != gens1
     assert members2.count() > n1
     assert members2.where("doc_id % 10 = 5").count() == 0
+
+
+def test_mrl_recall_floor(spark):
+    """The Matryoshka truncated-dimension tier is declared-approximate:
+    pin its measured accuracy as a floor. The fixture's hashing
+    embedder spreads information uniformly (NOT MRL-trained — the
+    tier's worst case), so with the first 32 of 64 dims and
+    overfetch=60 the deterministic path measures mean recall@10 =
+    0.775 at sf0.01; floor at 0.65 leaves headroom for fixture
+    regeneration only — the path has no randomness. Pinned to sf0.01
+    like the BQ/SQ floors."""
+    from vector_search_ner_spark.plans.queries_pq import ann_mrl_recall_report
+
+    rows = ann_mrl_recall_report(spark, "/root/testdata/sf0.01").collect()
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert len(rows) == 8
+    assert mean_recall >= 0.65, f"MRL mean recall@10 too low: {mean_recall}"
+
+
+def test_mrl_truncation_is_prefix(spark):
+    """mrl_truncate must return exactly the FIRST d' coordinates in
+    order — Matryoshka semantics depend on the prefix, not any d'
+    subset. Checked against a hand-built frame."""
+    from vector_search_ner_spark.operators.mrl import mrl_truncate
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])], "vec_id long, embedding array<double>"
+    )
+    got = mrl_truncate(df, dims=4).collect()[0]
+    assert got.doc_id == 1
+    assert got.mrl_vec == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_surprisal_buckets_tercile_law(spark):
+    """Within every language the head/middle/tail split must be a
+    PARTITION into near-equal thirds: sizes differ by at most 1, and
+    every head doc's surprisal <= every tail doc's (monotone buckets).
+    Structural invariants the value-hash oracle implies but a reader
+    shouldn't have to derive."""
+    from vector_search_ner_spark.plans.queries_dataprep import doc_surprisal_buckets
+
+    rows = doc_surprisal_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang_pred, []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        sizes = {b: sum(1 for r in rs if r.ccnet_bucket == b)
+                 for b in ("head", "middle", "tail")}
+        assert sum(sizes.values()) == len(rs)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        heads = [r.avg_surprisal_bits for r in rs if r.ccnet_bucket == "head"]
+        tails = [r.avg_surprisal_bits for r in rs if r.ccnet_bucket == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails), lang
+
+
+def test_mixture_temperature_monotone(spark):
+    """Temperature flattening's defining laws on the output frame:
+    sample weights form a distribution (sum ~= 1 up to rounding), the
+    LARGEST language is down-weighted (boost <= 1) and the SMALLEST
+    up-weighted (boost >= 1), and raw-share order is preserved (alpha
+    rescales, never reorders)."""
+    from vector_search_ner_spark.plans.queries_dataprep import (
+        mixture_temperature_weights,
+    )
+
+    rows = mixture_temperature_weights(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 2
+    total_w = sum(r.sample_weight for r in rows)
+    assert abs(total_w - 1.0) < 1e-4
+    by_share = sorted(rows, key=lambda r: r.p_raw)
+    assert by_share[0].boost >= 1.0
+    assert by_share[-1].boost <= 1.0
+    weights = [r.sample_weight for r in by_share]
+    assert weights == sorted(weights)

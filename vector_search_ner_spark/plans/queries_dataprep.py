@@ -60,9 +60,7 @@ def _floor_log2(c) -> object:
     return F.length(F.bin(c)) - 1
 
 
-@query(
-    "doc_lm_surprisal",
-    oracle=f"""
+LM_SURPRISAL_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {duck_stable_long_hash("unnest(string_split(trim(text), ' '))")} AS th
   FROM documents
@@ -81,8 +79,10 @@ SELECT doc_id,
        ROUND(SUM(bits) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_surprisal_bits,
        SUM(bits) / CAST(COUNT(*) AS DOUBLE) <= {_FLUENT_BITS} AS is_fluent
 FROM scored GROUP BY doc_id
-""",
-)
+"""
+
+
+@query("doc_lm_surprisal", oracle=LM_SURPRISAL_ORACLE)
 def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality filter (the CCNet/Gopher perplexity-filter
     shape, no external model): train a unigram LM on the corpus itself
@@ -1479,6 +1479,172 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
             ).alias("chars_per_token"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+# -- CCNet perplexity bucketing ----------------------------------------------
+
+
+def _duck_surprisal_buckets() -> str:
+    from vector_search_ner_spark.plans.queries_text import _duck_lang_scripted
+
+    return f"""
+WITH s AS ({LM_SURPRISAL_ORACLE}),
+lang AS (
+  SELECT doc_id, {_duck_lang_scripted()} AS lang_pred FROM documents
+), rk AS (
+  SELECT s.doc_id, l.lang_pred, s.n_tokens, s.avg_surprisal_bits,
+         row_number() OVER (
+           PARTITION BY l.lang_pred
+           ORDER BY s.avg_surprisal_bits, s.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY l.lang_pred) AS n
+  FROM s JOIN lang l ON s.doc_id = l.doc_id
+)
+SELECT doc_id, lang_pred, n_tokens, avg_surprisal_bits,
+       CASE ((rn - 1) * 3) // n
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS ccnet_bucket
+FROM rk ORDER BY doc_id
+"""
+
+
+@query("doc_surprisal_buckets", oracle=_duck_surprisal_buckets())
+def doc_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's HEAD/MIDDLE/TAIL language-model bucketing (Wenzek et
+    al. 2020) — the step between scoring and filtering: within each
+    language, rank documents by mean LM surprisal and cut the ranking
+    into terciles. CCNet keeps head+middle for pretraining and treats
+    tail as the low-quality reject pile; bucketing instead of a single
+    global threshold is what stops the filter from preferentially
+    deleting whichever language the LM models worst. Composes two
+    already-oracled families: `doc_lm_surprisal` (integer-bit
+    surprisal) and the quality gate's language router.
+
+    Determinism: ranks order by (avg_surprisal_bits, doc_id) — the avg
+    is one division of identical integers so both engines sort the
+    same doubles — and the tercile is PURE INTEGER arithmetic
+    ((rn-1)*3 integer-div n in {0,1,2}), no float thresholds at all.
+
+    Scale: one window shuffle partitioned by language. A language is a
+    coarse partition at 100 TB, so like quality_score_calibrate you
+    sub-bucket heavy languages by score range and offset the ranks
+    (the dataset_pack_sequences bucket-prefix-sum device); the tercile
+    arithmetic is unchanged under that rewrite."""
+    from vector_search_ner_spark.plans.queries_text import quality_gate_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = doc_lm_surprisal(spark, sf_dir).select(
+        "doc_id", "n_tokens", "avg_surprisal_bits"
+    )
+    lang = quality_gate_frame(docs).select("doc_id", "lang_pred")
+    w = Window.partitionBy("lang_pred").orderBy("avg_surprisal_bits", "doc_id")
+    rk = (
+        s.join(lang, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang_pred")))
+    )
+    return rk.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        "avg_surprisal_bits",
+        F.when(F.expr("((rn - 1) * 3) div n") == 0, F.lit("head"))
+        .when(F.expr("((rn - 1) * 3) div n") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ccnet_bucket"),
+    ).orderBy("doc_id")
+
+
+# -- temperature-based multilingual mixture weights ---------------------------
+
+
+def _duck_mixture_temperature() -> str:
+    from vector_search_ner_spark.plans.queries_text import _duck_lang_scripted
+
+    return f"""
+WITH lang AS (
+  SELECT doc_id, {_duck_lang_scripted()} AS lang_pred,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+), per_lang AS (
+  SELECT lang_pred,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM lang GROUP BY lang_pred
+), tot AS (
+  SELECT SUM(n_tokens) AS t FROM per_lang
+), w AS (
+  SELECT p.lang_pred, p.n_docs, p.n_tokens,
+         CAST(FLOOR(sqrt(CAST(p.n_tokens AS DOUBLE) / t.t) * 1000000000000) AS BIGINT) AS w_u
+  FROM per_lang p CROSS JOIN tot t
+), ws AS (
+  SELECT SUM(w_u) AS sw FROM w
+)
+SELECT w.lang_pred, w.n_docs, w.n_tokens,
+       ROUND(CAST(w.n_tokens AS DOUBLE) / t.t, 6) AS p_raw,
+       ROUND(CAST(w.w_u AS DOUBLE) / ws.sw, 6) AS sample_weight,
+       ROUND((CAST(w.w_u AS DOUBLE) / ws.sw) / (CAST(w.n_tokens AS DOUBLE) / t.t), 4)
+         AS boost
+FROM w CROSS JOIN tot t CROSS JOIN ws
+ORDER BY w.lang_pred
+"""
+
+
+@query("mixture_temperature_weights", oracle=_duck_mixture_temperature())
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED multilingual sampling weights — the XLM /
+    mT5 recipe for balancing a multilingual pretraining mix: raw
+    token-share p_i per language is exponentiated to p_i^alpha and
+    renormalized, so low-resource languages are up-sampled (boost > 1)
+    without drowning the high-resource ones. alpha = 0.5 (XLM's
+    setting) is chosen deliberately: p^0.5 == sqrt(p), and IEEE-754
+    requires sqrt to be CORRECTLY ROUNDED — unlike pow/exp/ln, both
+    engines produce the bit-identical weight, no libm drift possible.
+    Weights floor to integer trillionths before the normalizing sum
+    (the drift_psi_orders device) so accumulation is exact integer
+    arithmetic; each output metric is ONE division of identical
+    operands then round.
+
+    Scale: per-language token totals are one map-side-combining agg;
+    everything after operates on the languages-sized frame (broadcast
+    scalars) — nothing data-sized shuffles."""
+    from vector_search_ner_spark.plans.queries_text import quality_gate_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens")
+    )
+    lang = quality_gate_frame(docs).select("doc_id", "lang_pred").join(toks, "doc_id")
+    per_lang = lang.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("long").alias("t"))
+    w = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "w_u",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("t"))
+            * F.lit(10**12)
+        ).cast("long"),
+    )
+    ws = w.agg(F.sum("w_u").alias("sw"))
+    return (
+        w.crossJoin(F.broadcast(ws))
+        .select(
+            "lang_pred",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias("p_raw"),
+            F.round(F.col("w_u").cast("double") / F.col("sw"), 6).alias(
+                "sample_weight"
+            ),
+            F.round(
+                (F.col("w_u").cast("double") / F.col("sw"))
+                / (F.col("n_tokens").cast("double") / F.col("t")),
+                4,
+            ).alias("boost"),
         )
         .orderBy("lang_pred")
     )

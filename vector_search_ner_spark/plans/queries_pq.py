@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_ner_spark.functions.vector import duck_cosine
-from vector_search_ner_spark.operators import bq, pq, sq
+from vector_search_ner_spark.operators import bq, mrl, pq, sq
 from vector_search_ner_spark.operators.knn import knn_join
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.sources.catalog import load_table
@@ -570,4 +570,112 @@ def ann_tier_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("tier")
+    )
+
+
+# ----------------------------------------------------- Matryoshka tier
+
+_MRL_K = 10
+_MRL_OVERFETCH = 60
+
+
+@query("ann_mrl_topk", oracle=mrl.duck_mrl_topk_sql(_N_QUERIES, _MRL_K, _MRL_OVERFETCH))
+def ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncated-dimension search — the DIMENSION axis of
+    the compression ladder (operators/mrl.py): candidates ranked by
+    cosine over the first 32 of 64 coordinates (2x fewer bytes
+    scanned, the MRL/text-embedding-3 `dimensions` recipe), then exact
+    full-width cosine re-rank of the over-fetched broadcast candidate
+    list. Completes the ladder's axes: per-dim precision (SQ int8, PQ
+    4-bit, BQ 1-bit) and now dim COUNT — each with candidate
+    generation + exact rescore and a FULL value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return mrl.mrl_topk(queries, emb, _MRL_K, _MRL_OVERFETCH)
+
+
+@query(
+    "ann_mrl_recall_report",
+    oracle=f"""
+WITH {mrl.duck_mrl_cte(_N_QUERIES)}, cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, t.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({duck_cosine("q.q_vec", "t.mrl_vec")}, 6) DESC,
+                      t.doc_id
+           ) AS rn
+    FROM trunc t CROSS JOIN q
+  ) WHERE rn <= {_MRL_OVERFETCH}
+), mrl_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT cand.query_id, cand.doc_id,
+           row_number() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY round({duck_cosine("q.query_vec", "d.embedding")}, 6) DESC,
+                      cand.doc_id
+           ) AS rank
+    FROM cand
+    JOIN trunc d ON cand.doc_id = d.doc_id
+    JOIN q ON cand.query_id = q.query_id
+  ) WHERE rank <= {_MRL_K}
+), exact_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, t.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {duck_cosine("q.query_vec", "t.embedding")} DESC, t.doc_id
+           ) AS rank
+    FROM trunc t CROSS JOIN q
+  ) WHERE rank <= {_MRL_K}
+), hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS n_hit
+  FROM exact_top e JOIN mrl_top b
+    ON e.query_id = b.query_id AND e.doc_id = b.doc_id
+  GROUP BY e.query_id
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS INTEGER) AS n_exact,
+       COALESCE(ANY_VALUE(h.n_hit), 0) AS n_hit,
+       ROUND(COALESCE(ANY_VALUE(h.n_hit), 0) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+FROM exact_top e LEFT JOIN hits h ON e.query_id = h.query_id
+GROUP BY e.query_id
+""",
+)
+def ann_mrl_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the Matryoshka prefix-search path against exact
+    full-width cosine ground truth, per query — the eval that tells
+    you whether THIS corpus's embeddings front-load enough information
+    for the truncated tier (MRL-trained embedders do; a PCA-rotated or
+    random-basis embedding would not, and this report is how you find
+    out before shipping the 4x scan saving)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mrl_top = mrl.mrl_topk(queries, emb, _MRL_K, _MRL_OVERFETCH).select(
+        "query_id", "doc_id"
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact_top = knn_join(queries, docs, k=_MRL_K, metric="cosine").select(
+        "query_id", "doc_id"
+    )
+    hits = exact_top.join(mrl_top, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit")
+    )
+    return (
+        exact_top.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+        )
     )
