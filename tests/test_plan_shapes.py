@@ -403,6 +403,9 @@ def test_registry_wide_no_cartesian_product(spark, sf_dir):
         "pysink_jsonl_roundtrip",
         "vecstore_open_scan",
         "vecstore_incremental_upsert",
+        # opens three persisted stores (vecstore + neardup + semantic
+        # index), so construction triggers _SUCCESS-gated builds
+        "gdpr_delete_cascade",
     }
     offenders = []
     for name, fn in queries.items():

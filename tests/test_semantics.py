@@ -2441,3 +2441,25 @@ def test_mixture_temperature_monotone(spark):
     assert by_share[-1].boost <= 1.0
     weights = [r.sample_weight for r in by_share]
     assert weights == sorted(weights)
+
+
+def test_gdpr_cascade_consistency(spark):
+    """Cross-surface consistency laws of the delete cascade: the
+    vector store mirrors the raw table 1:1 (same before/deleted), the
+    band table is exactly 4 posting rows per indexed doc (N_BANDS), and
+    every surface's before = deleted + after. Run at sf0.01 where the
+    deletion slice is non-empty."""
+    from vector_search_ner_spark.plans.queries_dataprep import gdpr_delete_cascade
+
+    rows = {r.surface: r for r in
+            gdpr_delete_cascade(spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {"documents", "vecstore", "neardup_shingles",
+                         "neardup_bands", "semdedup_members"}
+    for r in rows.values():
+        assert r.rows_before == r.rows_deleted + r.rows_after, r
+    assert rows["documents"].rows_deleted > 0
+    d, v = rows["documents"], rows["vecstore"]
+    assert (d.rows_before, d.rows_deleted) == (v.rows_before, v.rows_deleted)
+    sh, b = rows["neardup_shingles"], rows["neardup_bands"]
+    assert b.rows_before == 4 * sh.rows_before
+    assert b.rows_deleted == 4 * sh.rows_deleted

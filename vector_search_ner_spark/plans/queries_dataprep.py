@@ -1648,3 +1648,172 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_pred")
     )
+
+
+# -- GDPR / right-to-be-forgotten delete cascade -------------------------------
+
+_GDPR_MOD, _GDPR_REM = 89, 7  # deterministic deletion set: doc_id % 89 == 7
+
+
+def _duck_gdpr_cascade() -> str:
+    def xor_key(expr: str) -> str:
+        return f"COALESCE(bit_xor({duck_stable_long_hash(expr)}), 0)"
+
+    return f"""
+WITH surv_docs AS (
+  SELECT doc_id, md5(text) AS tmd5 FROM documents
+  WHERE doc_id % {_GDPR_MOD} != {_GDPR_REM}
+), n_docs AS (SELECT COUNT(*) AS n FROM documents),
+nd_before AS (
+  SELECT COUNT(*) AS n FROM documents WHERE doc_id % 10 != 5
+), nd_surv AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 10 != 5 AND doc_id % {_GDPR_MOD} != {_GDPR_REM}
+), sem_before AS (
+  SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 10 != 5
+), sem_surv AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % 10 != 5 AND vec_id % {_GDPR_MOD} != {_GDPR_REM}
+)
+SELECT surface, rows_before, rows_deleted, rows_after, survivor_xor FROM (
+  SELECT 'documents' AS surface,
+         CAST(n_docs.n AS BIGINT) AS rows_before,
+         CAST(n_docs.n - (SELECT COUNT(*) FROM surv_docs) AS BIGINT) AS rows_deleted,
+         CAST((SELECT COUNT(*) FROM surv_docs) AS BIGINT) AS rows_after,
+         (SELECT {xor_key("'doc:' || doc_id || ':' || tmd5")} FROM surv_docs)
+           AS survivor_xor
+  FROM n_docs
+  UNION ALL
+  SELECT 'vecstore',
+         CAST(n_docs.n AS BIGINT),
+         CAST(n_docs.n - (SELECT COUNT(*) FROM surv_docs) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM surv_docs) AS BIGINT),
+         (SELECT {xor_key("'vec:' || doc_id || ':' || tmd5")} FROM surv_docs)
+  FROM n_docs
+  UNION ALL
+  SELECT 'neardup_shingles',
+         CAST(nd_before.n AS BIGINT),
+         CAST(nd_before.n - (SELECT COUNT(*) FROM nd_surv) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM nd_surv) AS BIGINT),
+         (SELECT {xor_key("'sh:' || doc_id")} FROM nd_surv)
+  FROM nd_before
+  UNION ALL
+  SELECT 'neardup_bands',
+         CAST(4 * nd_before.n AS BIGINT),
+         CAST(4 * (nd_before.n - (SELECT COUNT(*) FROM nd_surv)) AS BIGINT),
+         CAST(4 * (SELECT COUNT(*) FROM nd_surv) AS BIGINT),
+         (SELECT COALESCE(bit_xor({duck_stable_long_hash("'band:' || b.band || ':' || s.doc_id")}), 0)
+          FROM nd_surv s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b)
+  FROM nd_before
+  UNION ALL
+  SELECT 'semdedup_members',
+         CAST(sem_before.n AS BIGINT),
+         CAST(sem_before.n - (SELECT COUNT(*) FROM sem_surv) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM sem_surv) AS BIGINT),
+         (SELECT {xor_key("'sem:' || vec_id")} FROM sem_surv)
+  FROM sem_before
+) ORDER BY surface
+"""
+
+
+@query("gdpr_delete_cascade", oracle=_duck_gdpr_cascade())
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN delete cascade — the governance op every
+    lakehouse eventually runs: a deletion set (here the deterministic
+    doc_id % 89 == 7 slice playing the role of the legal request)
+    must vanish not just from the RAW table but from every
+    DERIVED surface that memorized those documents: the persisted
+    vector store (sources/vecstore.py), the near-dup shingle/band
+    index (sources/neardup_index.py, both tables), and the semantic
+    cluster index (sources/semdedup_index.py). Emits the audit roster
+    a compliance reviewer signs: per surface, rows before / deleted /
+    after plus a bit_xor content checksum over the SURVIVOR keys (doc
+    ids bound to text md5 where the surface stores text) — so a
+    surface that silently retained a deleted row, or deleted too much,
+    hash-diverges. The oracle re-derives every surface's survivor set
+    from the raw corpus and the deletion predicate alone, so it also
+    certifies the stores' membership (their content bytes are each
+    certified by their own store oracles).
+
+    Scale shape: the deletion set is request-sized — it BROADCASTS
+    into anti-joins against each store scan; no store shuffles, each
+    contributes one map-side-combining aggregate row. The actual
+    rewrite at 100 TB is each store's write-then-swap generation
+    machinery (already built: vecstore/neardup/semdedup generations);
+    this query is the decision + certification layer above it.
+
+    Reference parity: the reference's only deletion story is the
+    destructive full rebuild (reset_collection, build_vectorstore.py);
+    this is the surgical per-request form with an audit trail.
+    """
+    from vector_search_ner_spark.sources.neardup_index import shingle_index_store
+    from vector_search_ner_spark.sources.semdedup_index import semantic_index_store
+    from vector_search_ner_spark.sources.vecstore import doc_vector_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    del_ids = docs.where(F.col("doc_id") % _GDPR_MOD == _GDPR_REM).select("doc_id")
+
+    vec = doc_vector_store(spark, sf_dir).select("doc_id", "text")
+    bands, shingles = shingle_index_store(spark, sf_dir, 10, 5)
+    # same (n_cent, n_iter) as dedup_semantic_incremental / the stream
+    # append, so this opens the EXISTING generation instead of building
+    # a parallel one
+    members, _cents = semantic_index_store(spark, sf_dir, 16, 2, 10, 5)
+
+    def audit(
+        surface: str, frame: DataFrame, id_col: str, key: object
+    ) -> DataFrame:
+        # rows_before is a scalar per surface (store sizes are known at
+        # plan time anyway); one count per surface is request-metadata
+        # cost, not a data-sized collect
+        before = frame.count()
+        surv = frame.join(
+            F.broadcast(del_ids.withColumnRenamed("doc_id", id_col)),
+            id_col,
+            "left_anti",
+        )
+        return (
+            surv.select(stable_long_hash(key).alias("__k"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.coalesce(F.expr("bit_xor(__k)"), F.lit(0))
+                .cast("long")
+                .alias("survivor_xor"),
+            )
+            .select(
+                F.lit(surface).alias("surface"),
+                F.lit(before).cast("long").alias("rows_before"),
+                (F.lit(before) - F.col("__n")).cast("long").alias("rows_deleted"),
+                F.col("__n").cast("long").alias("rows_after"),
+                "survivor_xor",
+            )
+        )
+
+    doc_key = F.concat(F.lit("doc:"), F.col("doc_id"), F.lit(":"), F.md5(F.col("text")))
+    vec_key = F.concat(F.lit("vec:"), F.col("doc_id"), F.lit(":"), F.md5(F.col("text")))
+    rosters = [
+        audit("documents", docs.select("doc_id", "text"), "doc_id", doc_key),
+        audit("vecstore", vec, "doc_id", vec_key),
+        audit(
+            "neardup_shingles",
+            shingles.select("sid"),
+            "sid",
+            F.concat(F.lit("sh:"), F.col("sid")),
+        ),
+        audit(
+            "neardup_bands",
+            bands.select("sid", "band"),
+            "sid",
+            F.concat(F.lit("band:"), F.col("band"), F.lit(":"), F.col("sid")),
+        ),
+        audit(
+            "semdedup_members",
+            members.select(F.col("doc_id")),
+            "doc_id",
+            F.concat(F.lit("sem:"), F.col("doc_id")),
+        ),
+    ]
+    out = rosters[0]
+    for r in rosters[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("surface")
