@@ -117,6 +117,12 @@ HEADLINE = [
     # headline; fully oracle-checked in the registry)
     "ann_mrl_topk",
     "doc_surprisal_buckets",
+    # the BPE vocab-size tuning curve (gdpr_delete_cascade and
+    # stream_gdpr_tombstones stay out: the cascade's timed cost is
+    # dominated by whether its three stores already exist — its
+    # honest number is the perf_scale_gdpr.py probe; streams stay out
+    # per the stream_* convention)
+    "bpe_compression_curve",
 ]
 
 

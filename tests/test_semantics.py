@@ -2463,3 +2463,19 @@ def test_gdpr_cascade_consistency(spark):
     sh, b = rows["neardup_shingles"], rows["neardup_bands"]
     assert b.rows_before == 4 * sh.rows_before
     assert b.rows_deleted == 4 * sh.rows_deleted
+
+
+def test_bpe_curve_monotone(spark):
+    """The compression curve's defining laws: round 0 is the
+    character-level baseline (tokens == chars), token counts are
+    non-increasing in the merge round (a merge can only shrink
+    segmentations), and n_words/n_chars are round-invariant."""
+    from vector_search_ner_spark.plans.queries_dataprep import bpe_compression_curve
+
+    rows = bpe_compression_curve(spark, "/root/testdata/sf0.001").collect()
+    assert [r.round for r in rows] == list(range(6))
+    assert rows[0].n_tokens == rows[0].n_chars
+    toks = [r.n_tokens for r in rows]
+    assert all(a >= b for a, b in zip(toks, toks[1:])), toks
+    assert len({r.n_words for r in rows}) == 1
+    assert len({r.n_chars for r in rows}) == 1

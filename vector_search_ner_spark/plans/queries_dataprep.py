@@ -1312,13 +1312,18 @@ def bpe_train_frame(docs: DataFrame, rounds: int) -> DataFrame:
     return merges.orderBy("round")
 
 
-def _bpe_train_loop(docs: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
+def _bpe_train_loop(
+    docs: DataFrame, rounds: int, round_frames: list | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Run `rounds` of BPE training and return BOTH artifacts: the merge
     table (round, sym_a, sym_b, pair_count) and the final vocabulary
     (w, seg, freq) with every word's trained segmentation — the trainer
     consumes the first, the corpus encoder the second. The word rides
     through each round's map-only replace so the encoder never has to
-    re-derive it (same device as the DuckDB oracle's carry_word CTEs)."""
+    re-derive it (same device as the DuckDB oracle's carry_word CTEs).
+    If `round_frames` is passed, the (already lineage-cut) vocabulary
+    frame AFTER each round r = 0..rounds is appended to it — the
+    compression-curve query reads corpus totals off these."""
     from vector_search_ner_spark.session import cut_lineage
 
     wf = (
@@ -1341,6 +1346,8 @@ def _bpe_train_loop(docs: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]
             "freq",
         )
     )
+    if round_frames is not None:
+        round_frames.append(vocab)
     merges = None
     for r in range(1, rounds + 1):
         syms = vocab.select(
@@ -1376,6 +1383,8 @@ def _bpe_train_loop(docs: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]
                 "freq",
             )
         )
+        if round_frames is not None:
+            round_frames.append(vocab)
     return merges, vocab
 
 
@@ -1746,12 +1755,23 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     destructive full rebuild (reset_collection, build_vectorstore.py);
     this is the surgical per-request form with an audit trail.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    del_ids = docs.where(F.col("doc_id") % _GDPR_MOD == _GDPR_REM).select("doc_id")
+    return gdpr_cascade_frame(spark, sf_dir, del_ids)
+
+
+def gdpr_cascade_frame(
+    spark: SparkSession, sf_dir: str, del_ids: DataFrame
+) -> DataFrame:
+    """The cascade audit over an EXPLICIT deletion-id frame — shared by
+    the batch query above and the streaming tombstone-log twin
+    (streaming/events.py stream_gdpr_tombstones), so both surfaces
+    carry the IDENTICAL oracle."""
     from vector_search_ner_spark.sources.neardup_index import shingle_index_store
     from vector_search_ner_spark.sources.semdedup_index import semantic_index_store
     from vector_search_ner_spark.sources.vecstore import doc_vector_store
 
     docs = load_table(spark, sf_dir, "documents")
-    del_ids = docs.where(F.col("doc_id") % _GDPR_MOD == _GDPR_REM).select("doc_id")
 
     vec = doc_vector_store(spark, sf_dir).select("doc_id", "text")
     bands, shingles = shingle_index_store(spark, sf_dir, 10, 5)
@@ -1817,3 +1837,78 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rosters[1:]:
         out = out.unionByName(r)
     return out.orderBy("surface")
+
+
+# -- BPE compression curve -----------------------------------------------------
+
+
+def _duck_bpe_curve() -> str:
+    parts = _duck_bpe_ctes(carry_word=True)
+    union = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS round,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(string_split(trim(seg), '  '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(freq * length(w)) AS BIGINT) AS n_chars
+FROM v{r}"""
+        for r in range(0, _BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(round AS INTEGER) AS round, n_words, n_tokens, n_chars,
+       ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+FROM ({union}) ORDER BY round
+"""
+    )
+
+
+@query("bpe_compression_curve", oracle=_duck_bpe_curve())
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's VOCAB-SIZE TUNING CURVE — corpus compression
+    after each BPE training round r = 0..5: total corpus tokens,
+    fertility (tokens per word), and chars-per-token under the
+    segmentation as it stood after round r. Round 0 is the
+    character-level baseline; each added merge rule monotonically
+    shrinks the corpus (a merge can only reduce symbol counts), and
+    the curve's flattening is how a tokenizer team picks vocab size —
+    the nprobe/overfetch tuning-curve discipline applied to tokenizer
+    induction.
+
+    The key identity that makes this corpus-free: corpus tokens at
+    round r = SUM over the VOCABULARY of freq(w) x len(seg_r(w)) — the
+    word-frequency relation already carries every corpus occurrence,
+    so the whole 6-point curve reads off the vocab-sized round frames
+    the trainer already materializes (lineage-cut per round, the
+    Lloyd/CC discipline); the corpus itself is scanned exactly once,
+    for the frequencies. Integer sums end-to-end, one division per
+    ratio then round(6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames: list = []
+    _merges, _vocab = _bpe_train_loop(docs, _BPE_ROUNDS, round_frames=frames)
+    out = None
+    for r, v in enumerate(frames):
+        row = v.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(
+                F.col("freq") * F.size(F.split(F.trim(F.col("seg")), "  "))
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.col("freq") * F.length("w")).cast("long").alias("n_chars"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "round",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("round")

@@ -381,3 +381,20 @@ def stream_semantic_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel until the next compaction (conservative: they are
     dedup targets, never comparison sources)."""
     return se.stream_semantic_index_append(spark, sf_dir)
+
+
+def _gdpr_cascade_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_dataprep import _duck_gdpr_cascade
+
+    return _duck_gdpr_cascade()
+
+
+@query("stream_gdpr_tombstones", oracle=_gdpr_cascade_oracle())
+def stream_gdpr_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-at-ingest: GDPR requests arrive as a stream, each
+    micro-batch logged as an idempotent batch_id=N tombstone
+    generation (the lakehouse deletion-vector pattern — the physical
+    rewrite defers to each store's compaction); the cascade audit over
+    the merged log equals the batch `gdpr_delete_cascade` bit-for-bit
+    and shares its oracle verbatim."""
+    return se.stream_gdpr_tombstones(spark, sf_dir)

@@ -674,3 +674,68 @@ def stream_semantic_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(delta).drop("batch_id").select(*members0.columns)
     )
     return semantic_index_summary_frame(merged, centroids)
+
+
+def stream_gdpr_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR deletion requests as a STREAM — the lakehouse
+    deletion-vector pattern: requests arrive continuously (here the
+    doc_id % 89 == 7 slice split over 2 micro-batches), each
+    micro-batch is logged immediately as an idempotent batch_id=N
+    TOMBSTONE generation (overwrite-by-batch-id, the foreachBatch
+    discipline every sink here shares), and the physical rewrite of
+    each store is deferred to its own write-then-swap compaction.
+    After the stream drains, the cascade audit runs with the MERGED
+    tombstone log as the deletion set — bit-for-bit equal to the
+    batch `gdpr_delete_cascade`, whose oracle this query shares
+    verbatim: a lost request batch, a duplicated replay, or any drift
+    between the streamed log and the batch predicate hash-diverges.
+    At cluster scale the log is request-sized, so logging is O(batch)
+    and the audit cost is the store scans (measured flat-ish at 10x
+    corpus in perf_scale_gdpr.py)."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.plans.queries_dataprep import (
+        _GDPR_MOD,
+        _GDPR_REM,
+        gdpr_cascade_frame,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(base, "gdpr_req_src")
+    log = os.path.join(base, "gdpr_tombstones")
+    ckpt = os.path.join(base, "gdpr_ckpt_tmp")
+    shutil.rmtree(log, ignore_errors=True)
+    # checkpoint wiped WITH the log dir (the stream_index_ingest
+    # lifecycle): each harness run is self-contained
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    requests = docs.where(F.col("doc_id") % _GDPR_MOD == _GDPR_REM).select("doc_id")
+    requests.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(requests.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def log_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(os.path.join(log, f"batch_id={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(log_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    tombstones = spark.read.parquet(log).select("doc_id").distinct()
+    return gdpr_cascade_frame(spark, sf_dir, tombstones)
