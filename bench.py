@@ -123,6 +123,7 @@ HEADLINE = [
     # honest number is the perf_scale_gdpr.py probe; streams stay out
     # per the stream_* convention)
     "bpe_compression_curve",
+    "ann_filtered_prepost_eval",
 ]
 
 

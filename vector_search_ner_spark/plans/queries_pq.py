@@ -679,3 +679,178 @@ def ann_mrl_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------ filtered-ANN eval
+
+_FILT_MOD = 7  # metadata filter stand-in: doc_id % 7 == 0 (~14% pass)
+_FILT_K = 10
+_FILT_PRE_OVERFETCH = 30
+_FILT_POST_K = 30  # the post-filter recipe's unfiltered cut (k * 3)
+_FILT_POST_OVERFETCH = 60
+
+
+def _duck_filtered_prepost() -> str:
+    return f"""
+WITH {bq.duck_bq_codes_cte()}, q AS (
+  SELECT doc_id AS query_id, bq_hi AS q_hi, bq_lo AS q_lo, embedding AS query_vec
+  FROM codes WHERE doc_id < {_N_QUERIES}
+), fc AS (
+  SELECT * FROM codes WHERE doc_id % {_FILT_MOD} = 0
+), exact_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {duck_cosine("q.query_vec", "c.embedding")} DESC, c.doc_id
+           ) AS rank
+    FROM fc c CROSS JOIN q
+  ) WHERE rank <= {_FILT_K}
+), pre_cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY bit_count(xor(c.bq_hi, q.q_hi))
+                    + bit_count(xor(c.bq_lo, q.q_lo)), c.doc_id
+           ) AS rn
+    FROM fc c CROSS JOIN q
+  ) WHERE rn <= {_FILT_PRE_OVERFETCH}
+), pre_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT pre_cand.query_id, pre_cand.doc_id,
+           row_number() OVER (
+             PARTITION BY pre_cand.query_id
+             ORDER BY round({duck_cosine("q.query_vec", "d.embedding")}, 6) DESC,
+                      pre_cand.doc_id
+           ) AS rank
+    FROM pre_cand
+    JOIN codes d ON pre_cand.doc_id = d.doc_id
+    JOIN q ON pre_cand.query_id = q.query_id
+  ) WHERE rank <= {_FILT_K}
+), post_cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY bit_count(xor(c.bq_hi, q.q_hi))
+                    + bit_count(xor(c.bq_lo, q.q_lo)), c.doc_id
+           ) AS rn
+    FROM codes c CROSS JOIN q
+  ) WHERE rn <= {_FILT_POST_OVERFETCH}
+), post_unfiltered AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT post_cand.query_id, post_cand.doc_id,
+           row_number() OVER (
+             PARTITION BY post_cand.query_id
+             ORDER BY round({duck_cosine("q.query_vec", "d.embedding")}, 6) DESC,
+                      post_cand.doc_id
+           ) AS rank
+    FROM post_cand
+    JOIN codes d ON post_cand.doc_id = d.doc_id
+    JOIN q ON post_cand.query_id = q.query_id
+  ) WHERE rank <= {_FILT_POST_K}
+), post_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn
+    FROM post_unfiltered WHERE doc_id % {_FILT_MOD} = 0
+  ) WHERE rn <= {_FILT_K}
+), pre_hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS n
+  FROM exact_top e JOIN pre_top p
+    ON e.query_id = p.query_id AND e.doc_id = p.doc_id
+  GROUP BY e.query_id
+), post_hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS n
+  FROM exact_top e JOIN post_top p
+    ON e.query_id = p.query_id AND e.doc_id = p.doc_id
+  GROUP BY e.query_id
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS INTEGER) AS n_exact,
+       COALESCE(ANY_VALUE(pr.n), 0) AS pre_hits,
+       ROUND(COALESCE(ANY_VALUE(pr.n), 0) / CAST(COUNT(*) AS DOUBLE), 4) AS pre_recall,
+       COALESCE(ANY_VALUE(po.n), 0) AS post_hits,
+       ROUND(COALESCE(ANY_VALUE(po.n), 0) / CAST(COUNT(*) AS DOUBLE), 4) AS post_recall
+FROM exact_top e
+LEFT JOIN pre_hits pr ON e.query_id = pr.query_id
+LEFT JOIN post_hits po ON e.query_id = po.query_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@query("ann_filtered_prepost_eval", oracle=_duck_filtered_prepost())
+def ann_filtered_prepost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search, PRE- vs POST-filter — the design
+    question every production vector store answers (Qdrant/Milvus
+    filtered search; the reference's v1 pipeline post-filters and its
+    v2 pre-filters, SURVEY §2.2): with a metadata predicate passing
+    ~1/7 of the corpus, rank-then-filter (take the unfiltered ANN
+    top k*3, then apply the filter — the v1 recipe) loses exactly the
+    relevant docs the filter would have kept, while filter-then-rank
+    runs the SAME BQ tier over the filtered code table and recovers
+    them. Emits per query the recall of BOTH strategies against the
+    exact filtered ground truth, so the flaw is a measured number
+    (pre >= post on every fixture query), not a docstring claim.
+
+    Scale: the pre-filter leg is the production shape — the filter is
+    a pushable predicate on the code-table scan (partition/rowgroup
+    pruning at 100 TB), the Hamming candidate stage then touches only
+    surviving codes; the post-filter leg scans everything and still
+    loses recall — the eval quantifies what that buys you."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    filt = emb.where(F.col("vec_id") % _FILT_MOD == 0)
+    fdocs = filt.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact_top = knn_join(queries, fdocs, k=_FILT_K, metric="cosine").select(
+        "query_id", "doc_id"
+    )
+    pre_top = bq.bq_hamming_topk(queries, filt, _FILT_K, _FILT_PRE_OVERFETCH).select(
+        "query_id", "doc_id"
+    )
+    from vector_search_ner_spark.operators.knn import topk_per_query
+
+    post_unf = bq.bq_hamming_topk(
+        queries, emb, _FILT_POST_K, _FILT_POST_OVERFETCH
+    ).select("query_id", "doc_id", "rank")
+    post_top = topk_per_query(
+        post_unf.where(F.col("doc_id") % _FILT_MOD == 0).withColumnRenamed(
+            "rank", "orig_rank"
+        ),
+        _FILT_K,
+        "query_id",
+        "orig_rank",
+        "doc_id",
+        ascending=True,
+    ).select("query_id", "doc_id")
+    pre_hits = exact_top.join(pre_top, ["query_id", "doc_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("int").alias("pre_n"))
+    post_hits = exact_top.join(post_top, ["query_id", "doc_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("int").alias("post_n"))
+    return (
+        exact_top.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_exact"))
+        .join(pre_hits, "query_id", "left")
+        .join(post_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("pre_n"), F.lit(0)).cast("int").alias("pre_hits"),
+            F.round(
+                F.coalesce(F.col("pre_n"), F.lit(0)) / F.col("n_exact").cast("double"),
+                4,
+            ).alias("pre_recall"),
+            F.coalesce(F.col("post_n"), F.lit(0)).cast("int").alias("post_hits"),
+            F.round(
+                F.coalesce(F.col("post_n"), F.lit(0)) / F.col("n_exact").cast("double"),
+                4,
+            ).alias("post_recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -68,10 +68,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-9 rotation. Surface = 245 registered queries, every one
+    # Round-9 rotation. Surface = 246 registered queries, every one
     # with a full DuckDB value-hash oracle; by r08 all prior 227 had
     # been driver-sampled at least once with every latest verdict
-    # green (CORRECTNESS_r08 = 50/50). This window front-loads the 18
+    # green (CORRECTNESS_r08 = 50/50). This window front-loads the 19
     # NEW queries and the 5 whose code or oracle CHANGED this round
     # (the SemDeDup giant-cluster rank cap touched all three sweep
     # variants and bumped the semantic store to v2; dedup_index_compact
@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: list[str] = [
     "gdpr_delete_cascade",
     "bpe_compression_curve",
     "stream_gdpr_tombstones",
+    "ann_filtered_prepost_eval",
     "dedup_semantic_prune",
     "dedup_semantic_prune_greedy",
     "dedup_semantic_incremental",
