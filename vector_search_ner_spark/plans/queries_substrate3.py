@@ -275,20 +275,28 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     any group with more than ~100 rows). All output columns are scalar:
     the driver's pandas canonicalizer cannot hash array cells (the r07
     `qty_p50_p95` crash), and tests/test_registry.py now pins that
-    invariant registry-wide."""
+    invariant registry-wide.
+
+    Physical shape: the exact COUNT(DISTINCT) lives in its OWN
+    aggregation, joined back on the 3-row group key. Mixing it into the
+    sketch agg forces Catalyst's Expand rewrite, which re-keys the
+    partial aggregation on (group, partkey) — ~20k groups — and every
+    one of those carries a full accuracy-10000 QuantileSummaries buffer
+    through the shuffle (measured 25s at sf0.1 vs ~1s split; at 100 TB
+    the mixed form is a non-starter). Also one array-argument
+    percentile/percentile_approx buffer each instead of four scalar
+    buffers over the same column."""
     l = load_table(spark, sf_dir, "lineitem")
-    agg = l.groupBy("l_returnflag").agg(
+    sketches = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("ap50"),
-        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("ap95"),
-        F.expr("percentile(l_quantity, 0.48)").alias("p50_lo"),
-        F.expr("percentile(l_quantity, 0.52)").alias("p50_hi"),
-        F.expr("percentile(l_quantity, 0.93)").alias("p95_lo"),
-        F.expr("percentile(l_quantity, 0.97)").alias("p95_hi"),
+        F.expr("percentile_approx(l_quantity, array(0.5D, 0.95D), 10000)").alias("ap"),
+        F.expr("percentile(l_quantity, array(0.48D, 0.52D, 0.93D, 0.97D))").alias("ex"),
     )
-    return agg.select(
+    exact = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts")
+    )
+    return sketches.join(F.broadcast(exact), "l_returnflag").select(
         "l_returnflag",
         "n",
         "exact_parts",
@@ -296,8 +304,8 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
             <= 0.10 * F.col("exact_parts")
         ).alias("acd_within_bound"),
-        F.col("ap50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_bounds"),
-        F.col("ap95").between(F.col("p95_lo"), F.col("p95_hi")).alias("p95_in_bounds"),
+        F.col("ap")[0].between(F.col("ex")[0], F.col("ex")[1]).alias("p50_in_bounds"),
+        F.col("ap")[1].between(F.col("ex")[2], F.col("ex")[3]).alias("p95_in_bounds"),
     )
 
 

@@ -103,6 +103,12 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_semantic_incremental",
     "dedup_index_compact",
     "stream_index_ingest",
+    # late-r9 changes: the mixed distinct+sketch aggregation was split
+    # (Expand was re-keying 20k partial groups each carrying a full
+    # QuantileSummaries buffer through the shuffle — 19s -> 1s at
+    # sf0.1); output identical, oracle unchanged, but the plan moved
+    # so the driver re-confirms it.
+    "sketch_distinct_quantiles",
 ]
 
 
