@@ -124,6 +124,15 @@ HEADLINE = [
     # per the stream_* convention)
     "bpe_compression_curve",
     "ann_filtered_prepost_eval",
+    # round-9 last wave: the explicit Bloom runtime prefilter (the
+    # zero-fact-shuffle semi-join shape), the Count-Min heavy-hitter
+    # grid, and the in-engine perceptron quality-classifier trainer
+    # (the privacy trio — l_diversity/anonymize/dp counts — runs on
+    # customer-group-sized aggregates, sub-second and flat, so it
+    # stays out of the wall-clock headline; fully oracle-checked)
+    "join_bloom_prefilter",
+    "sketch_countmin_topk",
+    "quality_classifier_perceptron",
 ]
 
 

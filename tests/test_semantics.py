@@ -2497,3 +2497,109 @@ def test_filtered_prepost_dominance(spark):
     post = sum(r.post_recall for r in rows) / len(rows)
     assert pre >= 0.6, pre
     assert pre - post >= 0.2, (pre, post)
+
+
+def test_bloom_prefilter_laws(spark):
+    """The two Bloom laws, plus internal consistency of the report."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    r = qs["join_bloom_prefilter"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["no_false_negatives"] is True
+    assert r["n_pass_bloom"] >= r["n_member"]
+    # with zero false negatives, everything extra that passed is FP
+    assert r["n_pass_bloom"] - r["n_member"] == r["n_false_pos"]
+    # the bitmap is genuinely sparse population, not degenerate
+    assert 0 < r["n_bits_set"] <= 65536
+
+
+def test_countmin_laws(spark):
+    """CMS never undercounts, and every estimate stays within the
+    deterministic worst case (total stream mass)."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    rows = qs["sketch_countmin_topk"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    total = sum(r["exact_cnt"] for r in rows)
+    for r in rows:
+        assert r["never_undercounts"] is True
+        assert r["est_cnt"] == r["exact_cnt"] + r["overcount"]
+        assert r["overcount"] >= 0
+
+
+def test_perceptron_learns(spark):
+    """The trainer's trajectory must actually improve on this corpus,
+    and the discriminative weight must dominate the distractors."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    rows = sorted(
+        qs["quality_classifier_perceptron"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["round"],
+    )
+    assert rows[-1]["accuracy"] > rows[0]["accuracy"]
+    assert rows[-1]["accuracy"] >= 0.9
+    last = rows[-1]
+    assert last["w3"] > 0 and last["w3"] > abs(last["w1"]) and last["w3"] > abs(
+        last["w2"]
+    )
+
+
+def test_dp_geometric_counts_mechanism(spark):
+    """Noise is integer, bounded by the 59-bit draw, and clamping
+    holds; the exact side matches a direct recount."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    rows = qs["dp_geometric_counts"](spark, sf).collect()
+    exact = {
+        r["c_mktsegment"]: r["n"]
+        for r in load_table(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["exact_n"] == exact[r["c_mktsegment"]]
+        assert -58 <= r["noise"] <= 58
+        assert r["noisy_n"] == max(r["exact_n"] + r["noise"], 0)
+
+
+def test_anonymize_generalize_k_holds(spark):
+    """Every released group meets k at the chosen level, the output is
+    a single lattice level, and no FINER level would also satisfy k
+    (minimality)."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    rows = qs["anonymize_generalize"](spark, "/root/testdata/sf0.01").collect()
+    levels = {r["level"] for r in rows}
+    assert len(levels) == 1
+    lvl = levels.pop()
+    assert all(r["group_size"] >= 8 for r in rows) or lvl == 3
+    if lvl > 0:
+        # level-0 (nation x segment) must violate k on this corpus,
+        # otherwise the walk should have stopped there
+        from vector_search_ner_spark.sources.catalog import load_table
+
+        cust = load_table(spark, "/root/testdata/sf0.01", "customer")
+        m = (
+            cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.min("n").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert m < 8
+
+
+def test_l_diversity_flags_only_violations(spark):
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    rows = qs["l_diversity_audit"](spark, "/root/testdata/sf0.01").collect()
+    for r in rows:
+        assert r["n_sensitive"] < 3

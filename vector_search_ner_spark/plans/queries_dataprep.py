@@ -493,6 +493,203 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- governance: l-diversity audit -------------------------------------------
+# k-anonymity alone does not stop attribute disclosure: a group of 8
+# identical quasi-identifiers whose SENSITIVE attribute is also
+# identical leaks that attribute for every member. l-diversity
+# (Machanavajjhala et al., "l-Diversity: Privacy Beyond k-Anonymity",
+# ICDE 2006) additionally requires >= l distinct sensitive values per
+# QI group.
+
+_L_DIV = 3
+_SENS_BAND = 2500  # account-balance band width used as the sensitive attr
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT CAST(floor(c_acctbal / {_SENS_BAND}) AS INTEGER))
+            AS INTEGER) AS n_sensitive
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(DISTINCT CAST(floor(c_acctbal / {_SENS_BAND}) AS INTEGER))
+       < {_L_DIV}
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribute-disclosure companion to `k_anonymity_audit`:
+    groups by the same quasi-identifiers (nation x market segment) and
+    flags every group carrying fewer than l = _L_DIV DISTINCT values of
+    the sensitive attribute (the account-balance band) — groups where
+    an attacker who re-identifies the group learns the member's balance
+    band regardless of k. One map-side-combining hash agg with a
+    count-distinct (Expand keyed on QI+band — band cardinality is ~5 so
+    the expanded key space stays group-sized) and a post-agg filter;
+    nothing here grows with corpus size except the one shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / _SENS_BAND).cast("int")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(band).cast("int").alias("n_sensitive"),
+        )
+        .where(F.col("n_sensitive") < _L_DIV)
+    )
+
+
+# -- governance: seeded geometric (discrete-Laplace) DP counts ---------------
+# The two-sided geometric mechanism (Ghosh/Roughgarden/Sundararajan,
+# "Universally Utility-Maximizing Privacy Mechanisms", STOC 2009): for
+# count queries, noise ~ two-sided Geometric(1/2) gives epsilon = ln 2
+# differential privacy and is INTEGER-valued, so the whole query stays
+# integer-exact. Randomness here is SEEDED from a stable hash of the
+# group key so the query is deterministic and oracle-checkable (the
+# house discipline for every stochastic operator); a production release
+# would swap the seed for true randomness — the mechanism, the
+# epsilon accounting, and the plan shape are what this query pins.
+
+_DP_SEED = "dpgeo1|"
+
+
+@query(
+    "dp_geometric_counts",
+    oracle=f"""
+WITH g AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS exact_n,
+         {duck_stable_long_hash(f"'{_DP_SEED}' || c_mktsegment")} AS h
+  FROM customer GROUP BY c_mktsegment
+), n AS (
+  SELECT c_mktsegment, exact_n,
+         CAST((CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END)
+              * (58 - (length(bin((h // 2) | 1)) - 1)) AS BIGINT) AS noise
+  FROM g
+)
+SELECT c_mktsegment, exact_n, noise,
+       GREATEST(exact_n + noise, 0) AS noisy_n,
+       0.6931 AS epsilon
+FROM n
+""",
+)
+def dp_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-segment customer counts
+    via the geometric mechanism: noise = sign * G where G ~
+    Geometric(1/2) (P[G=i] = 2^-(i+1)), giving epsilon = ln 2 ≈ 0.6931
+    for a sensitivity-1 count. G is drawn integer-exactly from the
+    seeded hash — the number of leading zero bits of a uniform 59-bit
+    value IS a Geometric(1/2) draw: G = 58 - floor_log2((h/2) | 1) —
+    so no transcendental functions, no float drift, and the oracle
+    replays the identical draw. Negative noisy counts clamp to 0
+    (post-processing preserves DP). Scale shape: one hash agg; the
+    noise is a per-GROUP scalar expression, so cost is O(groups) on
+    top of the count itself."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("exact_n"))
+    h = stable_long_hash(F.concat(F.lit(_DP_SEED), F.col("c_mktsegment")))
+    sign = F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    geo = F.lit(58) - (F.length(F.bin(F.expr("h div 2").bitwiseOR(F.lit(1)))) - 1)
+    n = g.withColumn("h", h).select(
+        "c_mktsegment",
+        "exact_n",
+        (sign * geo).cast("long").alias("noise"),
+    )
+    return n.select(
+        "c_mktsegment",
+        "exact_n",
+        "noise",
+        F.greatest(F.col("exact_n") + F.col("noise"), F.lit(0).cast("long")).alias(
+            "noisy_n"
+        ),
+        F.lit(0.6931).alias("epsilon"),
+    )
+
+
+# -- governance: k-anonymity ENFORCEMENT via a generalization ladder ---------
+# `k_anonymity_audit` reports violations; this operator FIXES them the
+# way Samarati's original k-anonymity construction does (Samarati,
+# "Protecting Respondents' Identities in Microdata Release", TKDE
+# 2001): walk a fixed generalization lattice — (nation, segment) ->
+# (region, segment) -> (region, *) -> (*, *) — and release at the
+# FIRST level where every QI group reaches k (global recoding).
+
+_GEN_LEVELS = 4
+
+
+@query(
+    "anonymize_generalize",
+    oracle=f"""
+WITH base AS (
+  SELECT n.n_name, r.r_name, c.c_mktsegment
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), legs AS (
+  SELECT 0 AS level, n_name AS qi_geo, c_mktsegment AS qi_seg,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM base GROUP BY n_name, c_mktsegment
+  UNION ALL
+  SELECT 1, r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT)
+  FROM base GROUP BY r_name, c_mktsegment
+  UNION ALL
+  SELECT 2, r_name, '*', CAST(COUNT(*) AS BIGINT)
+  FROM base GROUP BY r_name
+  UNION ALL
+  SELECT 3, '*', '*', CAST(COUNT(*) AS BIGINT) FROM base
+), chosen AS (
+  SELECT COALESCE(MIN(level), {_GEN_LEVELS - 1}) AS lvl
+  FROM (SELECT level, MIN(group_size) AS m FROM legs GROUP BY level)
+  WHERE m >= {_K_ANON}
+)
+SELECT CAST(level AS INTEGER) AS level, qi_geo, qi_seg, group_size
+FROM legs WHERE level = (SELECT lvl FROM chosen)
+""",
+)
+def anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT: emit the released QI table at the
+    minimal generalization level where the smallest group reaches
+    k = _K_ANON. Ladder: level 0 = (nation, segment), 1 = (region,
+    segment), 2 = (region, *), 3 = (*, *) — level 3 always satisfies
+    any k <= |table| and is the declared fallback, so the walk never
+    dead-ends. Scale shape: ONE pass builds all four candidate
+    aggregations (each a map-side-combining hash agg over broadcast
+    dim joins; the coarser levels are group-count-sized); the
+    level-selection minimum is computed over the tiny per-level
+    aggregates and broadcast back as a 1-row join — the raw table is
+    scanned once and never re-shuffled per level."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_name", "r_name", "c_mktsegment")
+    )
+    star = F.lit("*")
+    legs = None
+    for level, (geo, seg) in enumerate(
+        [
+            (F.col("n_name"), F.col("c_mktsegment")),
+            (F.col("r_name"), F.col("c_mktsegment")),
+            (F.col("r_name"), star),
+            (star, star),
+        ]
+    ):
+        leg = base.groupBy(geo.alias("qi_geo"), seg.alias("qi_seg")).agg(
+            F.count(F.lit(1)).alias("group_size")
+        )
+        leg = leg.select(F.lit(level).cast("int").alias("level"), "*")
+        legs = leg if legs is None else legs.unionByName(leg)
+    mins = legs.groupBy("level").agg(F.min("group_size").alias("m"))
+    chosen = mins.where(F.col("m") >= _K_ANON).agg(
+        F.coalesce(F.min("level"), F.lit(_GEN_LEVELS - 1)).alias("lvl")
+    )
+    return legs.join(
+        F.broadcast(chosen), legs.level == chosen.lvl
+    ).select("level", "qi_geo", "qi_seg", "group_size")
+
+
 # -- bigram LM with unigram backoff ------------------------------------------
 
 _BACKOFF_BITS = 4  # penalty bits charged when falling back to the unigram
@@ -1912,3 +2109,159 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     ).orderBy("round")
+
+
+# -- model-based quality filtering: batch perceptron trainer ------------------
+# The modern curation stack does not ship rule gates to 100 TB — it
+# distills them (or a small labeled set) into a cheap linear model and
+# scores the corpus with that (the FineWeb-Edu / DCLM "classifier
+# filtering" stage). This operator trains the model INSIDE the engine:
+# a batch perceptron (Rosenblatt update, lr=1) whose features and
+# labels are integer-quantized, so every training round is one
+# map-side-combining aggregation of integer gradient sums — exact,
+# order-independent, and replayable CTE-for-CTE by the oracle. The
+# teacher label is the rule-based quality gate's majority vote
+# (>= 2 of the 3 quality bands), re-derived in integer arithmetic.
+
+_PCT_ROUNDS = 5
+_PCT_PERMILLE = 60  # teacher threshold: stopword permille at the corpus median
+
+
+def _pct_feat_sql() -> str:
+    from vector_search_ner_spark.plans.queries_text import _duck_marker_hits
+    from vector_search_ner_spark.operators.textstats import LANG_MARKERS
+
+    n_tok = "len(string_split(trim(text), ' '))"
+    n_chr = "length(text)"
+    en = _duck_marker_hits(LANG_MARKERS["en"])
+    return f"""
+  SELECT CASE WHEN 1000 * ({en}) >= {_PCT_PERMILLE} * {n_tok} THEN 1 ELSE 0 END AS y,
+         1 AS x0,
+         LEAST({n_tok} // 8, 8) AS x1,
+         LEAST((2 * ({n_chr} - {n_tok} + 1)) // {n_tok}, 24) AS x2,
+         LEAST((1000 * ({en})) // {n_tok}, 250) - {_PCT_PERMILLE} AS x3
+  FROM documents
+"""
+
+
+def _pct_oracle() -> str:
+    ctes = [f"feat AS ({_pct_feat_sql()})", "n AS (SELECT COUNT(*) AS n FROM feat)"]
+    ctes.append("w0 AS (SELECT 0 AS w0, 0 AS w1, 0 AS w2, 0 AS w3)")
+    for t in range(1, _PCT_ROUNDS + 1):
+        p = t - 1
+        margin = f"w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+        err = f"f.y - (CASE WHEN {margin} >= 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"""u{t} AS (
+  SELECT SUM(({err}) * f.x0) AS d0, SUM(({err}) * f.x1) AS d1,
+         SUM(({err}) * f.x2) AS d2, SUM(({err}) * f.x3) AS d3,
+         SUM(CASE WHEN ({err}) <> 0 THEN 1 ELSE 0 END) AS miss
+  FROM feat f CROSS JOIN w{p} w
+)"""
+        )
+        ctes.append(
+            f"w{t} AS (SELECT w.w0 + u.d0 AS w0, w.w1 + u.d1 AS w1,"
+            f" w.w2 + u.d2 AS w2, w.w3 + u.d3 AS w3, u.miss"
+            f" FROM u{t} u CROSS JOIN w{p} w)"
+        )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {t} AS round, CAST(miss AS BIGINT) AS n_misclassified,"
+        f" CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1,"
+        f" CAST(w2 AS BIGINT) AS w2, CAST(w3 AS BIGINT) AS w3,"
+        f" ROUND(1.0 - miss / CAST((SELECT n FROM n) AS DOUBLE), 4) AS accuracy"
+        f" FROM w{t}"
+        for t in range(1, _PCT_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + legs
+
+
+@query("quality_classifier_perceptron", oracle=_pct_oracle())
+def quality_classifier_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear quality classifier in-engine and report the
+    training trajectory: _PCT_ROUNDS batch-perceptron rounds over
+    integer-quantized text features (token-count bucket, doubled mean
+    word length, CENTERED stopword-permille, bias), teacher-labeled by
+    the stopword-density gate at the corpus median (ratio >= 0.060,
+    a pure integer comparison — the `quality_score` band family's
+    discriminative member on this corpus; the other two bands are
+    constant here and serve as distractor features the trainer must
+    learn to ignore). Output per round: misclassified count (before
+    that round's update), the updated weight vector, and training
+    accuracy — the boundary is linearly separable in x3, so the
+    trajectory converges and the distractor weights stay near zero.
+
+    Why a perceptron and not logistic regression: the update is
+    INTEGER (err in {-1,0,+1} times integer features, lr=1), so each
+    round is one exact map-side-combining aggregation with no
+    transcendental functions — bit-identical across engines and
+    partition orders, where a sigmoid's float gradient would drift.
+    Scale shape: the feature projection computes once
+    (localCheckpoint), each round is one O(corpus) integer agg
+    producing a 1-row weight frame that broadcasts into the next
+    round (lineage cut per round — the Lloyd/BPE iterative
+    discipline); rounds = _PCT_ROUNDS, so the full train is
+    _PCT_ROUNDS linear passes, embarrassingly scalable. Inference on
+    new data is the margin sign — a map-only projection."""
+    from vector_search_ner_spark.operators.textstats import (
+        LANG_MARKERS,
+        marker_hits_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    staged = docs.select(
+        F.size(toks).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chr"),
+        marker_hits_tokens(toks, LANG_MARKERS["en"]).alias("en"),
+    )
+    feat = staged.select(
+        F.when(1000 * F.col("en") >= _PCT_PERMILLE * F.col("n_tok"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.least(F.expr("n_tok div 8"), F.lit(8)).cast("long").alias("x1"),
+        F.least(
+            F.expr("(2 * (n_chr - n_tok + 1)) div n_tok"), F.lit(24)
+        )
+        .cast("long")
+        .alias("x2"),
+        (F.least(F.expr("(1000 * en) div n_tok"), F.lit(250)) - _PCT_PERMILLE)
+        .cast("long")
+        .alias("x3"),
+    ).localCheckpoint(eager=False)
+    n = feat.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w{i}") for i in range(4)]
+    )
+    out = None
+    for t in range(1, _PCT_ROUNDS + 1):
+        j = feat.crossJoin(F.broadcast(w))
+        margin = sum(F.col(f"w{i}") * F.col(f"x{i}") for i in range(4))
+        err = F.col("y") - F.when(margin >= 0, 1).otherwise(0)
+        upd = j.agg(
+            *[F.sum(err * F.col(f"x{i}")).alias(f"d{i}") for i in range(4)],
+            F.sum(F.when(err != 0, 1).otherwise(0)).cast("long").alias("miss"),
+        )
+        neww = upd.crossJoin(F.broadcast(w)).select(
+            *[(F.col(f"w{i}") + F.col(f"d{i}")).cast("long").alias(f"w{i}") for i in range(4)],
+            "miss",
+        )
+        # lineage cut per round: the weight frame is 1 row, but without
+        # the checkpoint round t's logical plan embeds rounds 1..t-1
+        # combinatorially (the documented unrolled-composition hazard)
+        neww = neww.localCheckpoint(eager=True)
+        row = neww.crossJoin(F.broadcast(n)).select(
+            F.lit(t).cast("int").alias("round"),
+            F.col("miss").alias("n_misclassified"),
+            "w0",
+            "w1",
+            "w2",
+            "w3",
+            F.round(1.0 - F.col("miss") / F.col("n").cast("double"), 4).alias(
+                "accuracy"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+        w = neww.select("w0", "w1", "w2", "w3")
+    return out

@@ -509,3 +509,266 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit total-last sort key: do not rely on 'TOTAL' collating
     # after ISO dates in whatever locale/format the day strings take
     return per_day.unionByName(total).orderBy((F.col("day") == "TOTAL").cast("int"), "day")
+
+
+# -- Bloom-filter semi-join prefilter -----------------------------------------
+# The runtime-filter pattern every warehouse leans on at 100 TB: hash
+# the SMALL side's join keys into a fixed-width Bloom bitmap, broadcast
+# it, and prefilter the big fact table MAP-SIDE so only probable
+# matches reach the exact join's shuffle. Spark ships an internal
+# version (spark.sql.optimizer.runtime.bloomFilter.enabled, injected
+# by Catalyst); this query implements the operator explicitly with
+# cross-engine-deterministic hashing (salted md5, the house stable
+# hash), so DuckDB re-derives the IDENTICAL bitmap and the report —
+# including the false-positive count — matches value-for-value, not
+# merely within a probabilistic bound.
+
+_BLOOM_BITS = 65536  # m (bitmap width)
+_BLOOM_K = 4  # hash probes per key
+_BLOOM_PSIZE = 10  # build-side predicate: parts with p_size < this
+
+
+def _bloom_salt(j: int) -> str:
+    return f"bloom{j}|"
+
+
+def _duck_bloom_pos(expr: str, j: int) -> str:
+    from vector_search_ner_spark.functions.text import duck_stable_long_hash
+
+    h = duck_stable_long_hash(f"'{_bloom_salt(j)}' || CAST({expr} AS VARCHAR)")
+    return f"({h} % {_BLOOM_BITS})"
+
+
+def _bloom_prefilter_oracle() -> str:
+    probe_pos = ", ".join(
+        f"{_duck_bloom_pos('l_partkey', j)} AS pos{j}" for j in range(_BLOOM_K)
+    )
+    build_union = " UNION ".join(
+        f"SELECT {_duck_bloom_pos('k', j)} AS pos FROM keys" for j in range(_BLOOM_K)
+    )
+    pass_joins = "\n".join(
+        f"  LEFT JOIN bits b{j} ON b{j}.pos = p.pos{j}" for j in range(_BLOOM_K)
+    )
+    all_set = " AND ".join(f"b{j}.pos IS NOT NULL" for j in range(_BLOOM_K))
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT p_partkey AS k FROM part WHERE p_size < {_BLOOM_PSIZE}
+), bits AS (
+  {build_union}
+), probe AS (
+  SELECT l_partkey, {probe_pos} FROM lineitem
+), checked AS (
+  SELECT p.l_partkey,
+         ({all_set}) AS bloom_pass,
+         k.k IS NOT NULL AS is_member
+  FROM probe p
+{pass_joins}
+  LEFT JOIN keys k ON k.k = p.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       ROUND(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS DOUBLE),
+             6) AS fp_rate,
+       SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END) = 0
+         AS no_false_negatives
+FROM checked
+"""
+
+
+@query("join_bloom_prefilter", oracle=_bloom_prefilter_oracle())
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter runtime prefilter for a selective semi
+    join: the build side (parts with p_size < 10) hashes each key into
+    k=4 positions of an m=65536-bit Bloom domain; the SET-BIT relation
+    (at most m rows however many keys feed it — Bloom's compression
+    contract) broadcasts, and the fact side (lineitem) checks its 4
+    positions via 4 broadcast left joins, entirely map-side: no
+    shuffle of the big table ever happens. The report certifies the
+    two Bloom laws value-exactly against the oracle's bit-identical
+    rebuild: NO false negatives (every true member passes), and the
+    measured false-positive count/rate (deterministic here because the
+    hashes are the salted-md5 house hash both engines compute).
+
+    At 100 TB the same plan holds: the set-bit relation is bounded by
+    m (tune m to the build cardinality; Spark's own injected version
+    is spark.sql.optimizer.runtime.bloomFilter.enabled — this query
+    pins the operator's semantics where the optimizer's is opaque),
+    the probe stays in whole-stage codegen, and only bloom-passing
+    rows reach the exact join. One fact-table scan, zero fact-table
+    shuffles."""
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    part = load_table(spark, sf_dir, "part")
+    keys = (
+        part.where(F.col("p_size") < _BLOOM_PSIZE)
+        .select(F.col("p_partkey").alias("k"))
+        .distinct()
+    )
+
+    def pos(col, j: int):
+        h = stable_long_hash(F.concat(F.lit(_bloom_salt(j)), col.cast("string")))
+        return F.pmod(h, F.lit(_BLOOM_BITS))
+
+    bits = None
+    for j in range(_BLOOM_K):
+        leg = keys.select(pos(F.col("k"), j).alias("pos"))
+        bits = leg if bits is None else bits.unionByName(leg)
+    bits = bits.distinct()
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    probe = l.select(
+        "l_partkey",
+        *[pos(F.col("l_partkey"), j).alias(f"pos{j}") for j in range(_BLOOM_K)],
+    )
+    checked = probe
+    for j in range(_BLOOM_K):
+        bj = F.broadcast(bits.select(F.col("pos").alias(f"b{j}")))
+        checked = checked.join(bj, checked[f"pos{j}"] == bj[f"b{j}"], "left")
+    member = F.broadcast(keys)
+    all_set = F.lit(True)
+    for j in range(_BLOOM_K):
+        all_set = all_set & F.col(f"b{j}").isNotNull()
+    checked = checked.join(member, checked.l_partkey == member.k, "left").select(
+        all_set.alias("bloom_pass"),
+        F.col("k").isNotNull().alias("is_member"),
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    report = checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("is_member").cast("long")).alias("n_member"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass_bloom"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        F.round(
+            F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("long"))
+            / F.sum((~F.col("is_member")).cast("long")).cast("double"),
+            6,
+        ).alias("fp_rate"),
+        (F.sum((F.col("is_member") & ~F.col("bloom_pass")).cast("long")) == 0).alias(
+            "no_false_negatives"
+        ),
+    )
+    return report.crossJoin(F.broadcast(n_bits)).select(
+        "n_probe",
+        "n_bits_set",
+        "n_member",
+        "n_pass_bloom",
+        "n_false_pos",
+        "fp_rate",
+        "no_false_negatives",
+    )
+
+
+# -- Count-Min sketch heavy hitters -------------------------------------------
+# The other workhorse frequency sketch (Cormode & Muthukrishnan, "An
+# Improved Data Stream Summary: The Count-Min Sketch and its
+# Applications", J. Algorithms 2005): d x w counter grid, each update
+# increments one cell per row, point estimate = MIN over rows. Never
+# undercounts; overcounts by collision mass. Deterministic salted-md5
+# row hashes make the estimates — collisions included — value-exact
+# across engines, so the oracle checks the actual estimates, not just
+# the Markov bound.
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row (deliberately small so collisions occur)
+_CMS_TOP = 20  # heavy hitters reported
+
+
+def _duck_cms_col(expr: str, j: int) -> str:
+    from vector_search_ner_spark.functions.text import duck_stable_long_hash
+
+    h = duck_stable_long_hash(f"'cms{j}|' || CAST({expr} AS VARCHAR)")
+    return f"({h} % {_CMS_W})"
+
+
+def _cms_oracle() -> str:
+    cell_union = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_duck_cms_col('k', j)} AS col, c FROM cnt"
+        for j in range(_CMS_D)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT k, c, {j} AS j, {_duck_cms_col('k', j)} AS col FROM top"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH cnt AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+), cells AS (
+  {cell_union}
+), counters AS (
+  SELECT j, col, SUM(c) AS cell FROM cells GROUP BY j, col
+), top AS (
+  SELECT k, c FROM cnt ORDER BY c DESC, k LIMIT {_CMS_TOP}
+), probes AS (
+  {probe_union}
+)
+SELECT p.k AS l_partkey, p.c AS exact_cnt,
+       CAST(MIN(co.cell) AS BIGINT) AS est_cnt,
+       CAST(MIN(co.cell) - p.c AS BIGINT) AS overcount,
+       MIN(co.cell) >= p.c AS never_undercounts
+FROM probes p JOIN counters co ON co.j = p.j AND co.col = p.col
+GROUP BY p.k, p.c
+"""
+
+
+@query("sketch_countmin_topk", oracle=_cms_oracle())
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the lineitem part-key stream, evaluated on
+    the exact top-20 heavy hitters: build the d=4 x w=256 counter grid
+    (w is deliberately much smaller than the 20k-key domain so
+    collision overcount is visibly nonzero), then point-estimate each
+    heavy hitter as the min over its d cells and report estimate,
+    exact count, overcount, and the never-undercounts law.
+
+    Scale shape: ONE exact per-key aggregation feeds both the grid and
+    the ground truth (sum-distributivity means building cells from
+    pre-aggregated counts equals per-row increments); the grid is d*w
+    rows regardless of corpus size — the whole point of the sketch —
+    and broadcasts to the probe join; top-20 plans as
+    TakeOrderedAndProject. At 100 TB you keep only the grid (shuffles
+    d*w rows) and probe ad hoc; the exact side here exists to certify
+    the estimates, same discipline as `sketch_distinct_quantiles`."""
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    def cms_col(col, j: int):
+        h = stable_long_hash(F.concat(F.lit(f"cms{j}|"), col.cast("string")))
+        return F.pmod(h, F.lit(_CMS_W))
+
+    l = load_table(spark, sf_dir, "lineitem")
+    cnt = (
+        l.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the grid, the top-k, and
+        # the probes; one shuffle, not three
+    )
+    cells = None
+    for j in range(_CMS_D):
+        leg = cnt.select(F.lit(j).alias("j"), cms_col(F.col("k"), j).alias("col"), "c")
+        cells = leg if cells is None else cells.unionByName(leg)
+    counters = cells.groupBy("j", "col").agg(F.sum("c").alias("cell"))
+    top = cnt.orderBy(F.col("c").desc(), "k").limit(_CMS_TOP)
+    probes = None
+    for j in range(_CMS_D):
+        leg = top.select(
+            "k", "c", F.lit(j).alias("j"), cms_col(F.col("k"), j).alias("col")
+        )
+        probes = leg if probes is None else probes.unionByName(leg)
+    est = (
+        probes.join(F.broadcast(counters), ["j", "col"])
+        .groupBy("k", "c")
+        .agg(F.min("cell").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        F.col("c").alias("exact_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("c")).cast("long").alias("overcount"),
+        (F.col("est_cnt") >= F.col("c")).alias("never_undercounts"),
+    )

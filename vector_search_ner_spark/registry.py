@@ -68,7 +68,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-9 rotation. Surface = 246 registered queries, every one
+    # Round-9 rotation. Surface = 252 registered queries, every one
     # with a full DuckDB value-hash oracle; by r08 all prior 227 had
     # been driver-sampled at least once with every latest verdict
     # green (CORRECTNESS_r08 = 50/50). This window front-loads the 19
@@ -109,6 +109,14 @@ _DRIVER_PRIORITY: list[str] = [
     # sf0.1); output identical, oracle unchanged, but the plan moved
     # so the driver re-confirms it.
     "sketch_distinct_quantiles",
+    # late-r9 NEW queries (privacy governance, runtime-filter/sketch
+    # substrate, model-based quality filtering) — all full-oracle.
+    "l_diversity_audit",
+    "dp_geometric_counts",
+    "anonymize_generalize",
+    "join_bloom_prefilter",
+    "sketch_countmin_topk",
+    "quality_classifier_perceptron",
 ]
 
 
