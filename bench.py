@@ -133,6 +133,10 @@ HEADLINE = [
     "join_bloom_prefilter",
     "sketch_countmin_topk",
     "quality_classifier_perceptron",
+    # the held-out tokenizer eval (trains the vocab on the 90% shard —
+    # real iterative work; dataset_length_buckets is a sub-second
+    # 4-group agg and stays out of the wall-clock headline)
+    "bpe_heldout_oov",
 ]
 
 

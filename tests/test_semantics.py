@@ -2603,3 +2603,55 @@ def test_l_diversity_flags_only_violations(spark):
     rows = qs["l_diversity_audit"](spark, "/root/testdata/sf0.01").collect()
     for r in rows:
         assert r["n_sensitive"] < 3
+
+
+def test_bpe_heldout_oov_counts_unseen_words(spark):
+    """On a constructed corpus where the held-out shard contains words
+    absent from training, the OOV accounting must fire; on the fixture
+    corpus (closed vocabulary) it must report zero OOV."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_dataprep import bpe_heldout_frame
+
+    docs = spark.createDataFrame(
+        # doc_id % 10 == 7 is held out; 'zz qq' never occur in training
+        [
+            (1, "the table row the table row"),
+            (2, "the row batch the row batch"),
+            (3, "table batch the table batch"),
+            (7, "the table zz qq row"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bpe_heldout_frame(docs).collect()
+    total_oov = sum(r["n_oov"] for r in rows)
+    total_words = sum(r["n_words"] for r in rows)
+    assert total_words == 5
+    assert total_oov == 2  # zz, qq unseen in training
+    # fixture corpus: closed vocab -> zero OOV, nonzero coverage stats
+    qs, _ = registry.collect()
+    fix = qs["bpe_heldout_oov"](spark, "/root/testdata/sf0.01").collect()
+    assert fix and all(r["n_oov"] == 0 for r in fix)
+    assert all(r["fertility_covered"] and r["fertility_covered"] > 1 for r in fix)
+
+
+def test_length_buckets_partition_and_waste(spark):
+    """Buckets partition the corpus, pad_to is a true max, and the
+    waste ratio is exactly 1 - real/padded."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    rows = sorted(
+        qs["dataset_length_buckets"](spark, sf).collect(), key=lambda r: r["bucket"]
+    )
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_tokens"] <= r["n_docs"] * r["pad_to"]
+        expected = round(1.0 - r["n_tokens"] / (r["n_docs"] * r["pad_to"]), 6)
+        assert abs(r["pad_waste"] - expected) < 1e-9
+        assert r["n_batches"] >= 1 and r["docs_per_batch"] >= 1
+    # monotone pad_to across buckets (they are length quantiles)
+    pads = [r["pad_to"] for r in rows]
+    assert pads == sorted(pads)

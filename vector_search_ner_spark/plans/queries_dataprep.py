@@ -1394,17 +1394,18 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _duck_bpe_ctes(carry_word: bool) -> list[str]:
+def _duck_bpe_ctes(carry_word: bool, source: str = "documents") -> list[str]:
     """The shared BPE-training CTE chain. With carry_word the vocabulary
     relations v0..vN keep the original word `w` alongside its evolving
     segmentation, so the encoder oracle can join documents back to the
     final per-word token split; without it the strings are byte-identical
-    to the r9 trainer oracle."""
+    to the r9 trainer oracle. `source` swaps the training relation (the
+    held-out OOV eval trains on a shard, not the full corpus)."""
     wcol = "w, " if carry_word else ""
     parts = [
         f"""w0 AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM {source})
   WHERE w <> '' GROUP BY w
 ), v0 AS (
   SELECT {wcol}'  ' || array_to_string(
@@ -2265,3 +2266,212 @@ def quality_classifier_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame
         out = row if out is None else out.unionByName(row)
         w = neww.select("w0", "w1", "w2", "w3")
     return out
+
+
+# -- tokenizer eval: held-out OOV / coverage ----------------------------------
+# The missing third leg of the tokenizer-induction discipline (train =
+# bpe_train_merges, tune = bpe_compression_curve, equity =
+# bpe_fertility_by_lang): a vocabulary fixed on TRAINING data must be
+# judged on text it has never seen. Train on the 90% shard, evaluate
+# word-level coverage and fertility on the held-out 10%.
+
+_BPE_HELDOUT_MOD = 10
+_BPE_HELDOUT_REM = 7
+
+
+def _duck_bpe_heldout_oov() -> str:
+    from vector_search_ner_spark.plans.queries_text import _duck_lang_scripted
+
+    parts = [
+        f"""train AS (
+  SELECT * FROM documents
+  WHERE doc_id % {_BPE_HELDOUT_MOD} <> {_BPE_HELDOUT_REM}
+), heldout AS (
+  SELECT * FROM documents
+  WHERE doc_id % {_BPE_HELDOUT_MOD} = {_BPE_HELDOUT_REM}
+)"""
+    ]
+    parts.extend(_duck_bpe_ctes(carry_word=True, source="train"))
+    parts.append(
+        f"""enc AS (
+  SELECT w, CAST(len(string_split(trim(seg), '  ')) AS BIGINT) AS n_tok
+  FROM v{_BPE_ROUNDS}
+), hw AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM heldout
+), lang AS (
+  SELECT doc_id, {_duck_lang_scripted()} AS lang_pred FROM heldout
+), scored AS (
+  SELECT l.lang_pred, hw.w, enc.n_tok
+  FROM hw JOIN lang l ON hw.doc_id = l.doc_id
+  LEFT JOIN enc ON enc.w = hw.w
+  WHERE hw.w <> ''
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate,
+       ROUND(SUM(COALESCE(n_tok, 0)) /
+             CAST(NULLIF(SUM(CASE WHEN n_tok IS NOT NULL THEN 1 ELSE 0 END), 0)
+                  AS DOUBLE), 6) AS fertility_covered
+FROM scored GROUP BY lang_pred ORDER BY lang_pred
+"""
+    )
+
+
+@query("bpe_heldout_oov", oracle=_duck_bpe_heldout_oov())
+def bpe_heldout_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out tokenizer evaluation: train the BPE vocabulary on the
+    90% shard (doc_id % 10 != 7), then measure WORD-level coverage on
+    the unseen 10% — per predicted language: held-out word count, OOV
+    count (words with no trained segmentation), OOV rate, and
+    fertility over the covered words. This is the eval a tokenizer
+    team runs before freezing a vocab: in-corpus fertility
+    (`bpe_fertility_by_lang`) flatters the tokenizer because every
+    word was seen in training; the held-out OOV rate is what inference
+    on fresh data will actually hit (a production tokenizer byte-falls
+    back on OOV — the rate here prices how often that slow path
+    fires).
+
+    Scale shape: identical to `bpe_encode_corpus` with the train/eval
+    split pushed into the scans (both shards read the same parquet
+    once each, predicate in the scan); the held-out stream LEFT-joins
+    the vocabulary-sized (w, n_tok) relation so misses survive as
+    NULLs; language routing and the final per-language agg are the
+    fertility query's shapes. Integer sums, two divisions, round(6)."""
+    return bpe_heldout_frame(load_table(spark, sf_dir, "documents"))
+
+
+def bpe_heldout_frame(docs: DataFrame) -> DataFrame:
+    """The held-out OOV eval over an explicit (doc_id, text) frame —
+    shared by the registered query and the synthetic-OOV semantics
+    test (the fixture corpus has a closed vocabulary, so the NULL/OOV
+    leg only fires on constructed input)."""
+    from vector_search_ner_spark.plans.queries_text import quality_gate_frame
+
+    is_held = F.pmod(F.col("doc_id"), F.lit(_BPE_HELDOUT_MOD)) == _BPE_HELDOUT_REM
+    train = docs.where(~is_held)
+    heldout = docs.where(is_held)
+    _merges, vocab = _bpe_train_loop(train, _BPE_ROUNDS)
+    enc = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seg")), "  ")).cast("long").alias("n_tok"),
+    )
+    hw = heldout.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).where(F.col("w") != "")
+    lang = quality_gate_frame(heldout).select("doc_id", "lang_pred")
+    scored = hw.join(lang, "doc_id").join(enc, "w", "left")
+    covered = F.when(F.col("n_tok").isNotNull(), 1).otherwise(0)
+    return (
+        scored.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(1 - covered).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(1 - covered) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("oov_rate"),
+            F.round(
+                F.sum(F.coalesce(F.col("n_tok"), F.lit(0)))
+                / F.nullif(F.sum(covered), F.lit(0)).cast("double"),
+                6,
+            ).alias("fertility_covered"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+# -- sequence-length bucketing for padded batching ----------------------------
+# `dataset_pack_sequences` is the concatenate-and-split packing used
+# for decoder pretraining; LENGTH BUCKETING is the other batching
+# regime (encoder/seq2seq fine-tuning, where documents must not be
+# split or concatenated): group docs into length quantiles and pad
+# each batch only to its bucket's max — the report prices the padding
+# waste each bucket still pays.
+
+_LB_BUDGET = 2048  # padded tokens per batch
+
+
+@query(
+    "dataset_length_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+), q AS (
+  SELECT quantile_cont(n_tok, 0.25) AS q1, quantile_cont(n_tok, 0.5) AS q2,
+         quantile_cont(n_tok, 0.75) AS q3
+  FROM toks
+), b AS (
+  SELECT CASE WHEN n_tok <= q.q1 THEN 0 WHEN n_tok <= q.q2 THEN 1
+              WHEN n_tok <= q.q3 THEN 2 ELSE 3 END AS bucket, n_tok
+  FROM toks CROSS JOIN q
+), s AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(MAX(n_tok) AS BIGINT) AS pad_to
+  FROM b GROUP BY bucket
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_docs, n_tokens, pad_to,
+       CAST(GREATEST({_LB_BUDGET} // pad_to, 1) AS BIGINT) AS docs_per_batch,
+       CAST(CEIL(n_docs / CAST(GREATEST({_LB_BUDGET} // pad_to, 1) AS DOUBLE))
+            AS BIGINT) AS n_batches,
+       ROUND(1.0 - n_tokens / CAST(n_docs * pad_to AS DOUBLE), 6) AS pad_waste
+FROM s ORDER BY bucket
+""",
+)
+def dataset_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quantile bucketing for padded batch assembly: split the
+    corpus at its exact token-count quartiles, and per bucket report
+    size, total real tokens, the bucket's pad-to length (its max),
+    docs per batch under the _LB_BUDGET padded-token budget, batch
+    count, and the padding-waste ratio the bucket still pays (1 -
+    real/padded). Bucketing by length is what keeps padding waste at
+    the per-bucket spread instead of the corpus-wide spread — the
+    standard batching regime when documents cannot be packed
+    (`dataset_pack_sequences` covers the regime where they can).
+
+    Scale shape: one map-only token count, ONE exact-percentile
+    aggregate (array-argument percentile — a single buffer, the
+    `sketch_distinct_quantiles` discipline) broadcast back as a 1-row
+    frame, then one map-side-combining agg on 4 bucket keys. At 100 TB
+    the exact percentile is the only heavy stage and degrades
+    gracefully to percentile_approx without changing the contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok")
+    )
+    q = toks.agg(
+        F.expr("percentile(n_tok, array(0.25D, 0.5D, 0.75D))").alias("q")
+    ).select(F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3"))
+    b = toks.crossJoin(F.broadcast(q)).select(
+        F.when(F.col("n_tok") <= F.col("q1"), 0)
+        .when(F.col("n_tok") <= F.col("q2"), 1)
+        .when(F.col("n_tok") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+        "n_tok",
+    )
+    s = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.max("n_tok").cast("long").alias("pad_to"),
+    )
+    dpb = F.greatest(F.expr(f"{_LB_BUDGET} div pad_to"), F.lit(1)).cast("long")
+    return s.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "pad_to",
+        dpb.alias("docs_per_batch"),
+        F.ceil(F.col("n_docs") / dpb.cast("double")).cast("long").alias("n_batches"),
+        F.round(
+            1.0 - F.col("n_tokens") / (F.col("n_docs") * F.col("pad_to")).cast("double"),
+            6,
+        ).alias("pad_waste"),
+    ).orderBy("bucket")

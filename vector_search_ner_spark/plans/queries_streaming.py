@@ -398,3 +398,22 @@ def stream_gdpr_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merged log equals the batch `gdpr_delete_cascade` bit-for-bit
     and shares its oracle verbatim."""
     return se.stream_gdpr_tombstones(spark, sf_dir)
+
+
+def _cms_shared_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_substrate3 import _cms_oracle
+
+    return _cms_oracle()
+
+
+@query("stream_countmin_ingest", oracle=_cms_shared_oracle())
+def stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min grid maintained INCREMENTALLY at ingest (3
+    micro-batches, stateful complete-mode aggregation) then probed for
+    the exact top-20 heavy hitters — CMS's additive state is what
+    makes it the streaming frequency sketch (`sketch_hll_union` plays
+    the same card for distinct counts). Shares the batch
+    `sketch_countmin_topk` oracle verbatim: the streamed grid, its
+    collision overcounts included, must equal the batch grid
+    bit-for-bit."""
+    return se.stream_countmin_ingest(spark, sf_dir)

@@ -718,6 +718,16 @@ GROUP BY p.k, p.c
 """
 
 
+def cms_cell_col(col, j: int):
+    """The j-th CMS row's cell index for a key column — shared by the
+    batch grid build, the probe, and the streaming ingest twin (the
+    grids must be bit-identical for the shared oracle to hold)."""
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    h = stable_long_hash(F.concat(F.lit(f"cms{j}|"), col.cast("string")))
+    return F.pmod(h, F.lit(_CMS_W))
+
+
 @query("sketch_countmin_topk", oracle=_cms_oracle())
 def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over the lineitem part-key stream, evaluated on
@@ -735,12 +745,7 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. At 100 TB you keep only the grid (shuffles
     d*w rows) and probe ad hoc; the exact side here exists to certify
     the estimates, same discipline as `sketch_distinct_quantiles`."""
-    from vector_search_ner_spark.functions.text import stable_long_hash
-
-    def cms_col(col, j: int):
-        h = stable_long_hash(F.concat(F.lit(f"cms{j}|"), col.cast("string")))
-        return F.pmod(h, F.lit(_CMS_W))
-
+    cms_col = cms_cell_col
     l = load_table(spark, sf_dir, "lineitem")
     cnt = (
         l.groupBy(F.col("l_partkey").alias("k"))

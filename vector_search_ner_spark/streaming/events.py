@@ -739,3 +739,86 @@ def stream_gdpr_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tombstones = spark.read.parquet(log).select("doc_id").distinct()
     return gdpr_cascade_frame(spark, sf_dir, tombstones)
+
+
+def stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN GRID MAINTAINED AT INGEST — the property that makes
+    CMS the streaming frequency sketch: cell increments are additive,
+    so a stateful streaming aggregation over micro-batches converges
+    to exactly the batch-built grid. The lineitem key stream is staged
+    into 3 part files (maxFilesPerTrigger=1 -> 3 micro-batches; the
+    staging dir is rebuilt every run, so fixture regeneration can
+    never leave a stale source), each row fans out to its _CMS_D cells
+    map-side, and a complete-mode streaming count aggregates the grid
+    across batches. The heavy-hitter probe then reads the STREAMED
+    grid: estimates — collision overcount included — must equal the
+    batch `sketch_countmin_topk` bit-for-bit, so the twins share one
+    oracle. At cluster scale this is the always-on ingest profiler:
+    d*w integers of state regardless of stream volume, no watermark
+    needed (pure additive state)."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.plans.queries_substrate3 import (
+        _CMS_D,
+        _CMS_TOP,
+        cms_cell_col,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(
+        base, "cms_ingest_src", sf_dir.strip("/").replace("/", "_")
+    )
+    keys = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    shutil.rmtree(src, ignore_errors=True)
+    keys.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(keys.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    cells = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_cell_col(F.col("l_partkey"), j).alias("col"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.j", "c.col")
+    grid = cells.groupBy("j", "col").agg(F.count(F.lit(1)).alias("cell"))
+    streamed_grid = _run_to_memory(grid, "complete")
+
+    # probe the STREAMED grid exactly as the batch twin probes its own
+    cnt = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = cnt.orderBy(F.col("c").desc(), "k").limit(_CMS_TOP)
+    probes = None
+    for j in range(_CMS_D):
+        leg = top.select(
+            "k", "c", F.lit(j).alias("j"), cms_cell_col(F.col("k"), j).alias("col")
+        )
+        probes = leg if probes is None else probes.unionByName(leg)
+    est = (
+        probes.join(F.broadcast(streamed_grid), ["j", "col"])
+        .groupBy("k", "c")
+        .agg(F.min("cell").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        F.col("c").alias("exact_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("c")).cast("long").alias("overcount"),
+        (F.col("est_cnt") >= F.col("c")).alias("never_undercounts"),
+    )
