@@ -684,3 +684,25 @@ def test_sq_topk_broadcasts_codes_and_group_limits(spark):
     assert "BroadcastExchange" in p, p
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_bloom_prefilter_single_fact_scan(spark, sf_dir):
+    """The Bloom probe must be map-only over ONE scan of the fact
+    table: every bit check and the member join are broadcast hash
+    joins against lineage-cut (ExistingRDD) build relations — the
+    first version re-derived the build subtree inside each broadcast
+    (16 part scans); this pins the fix."""
+    import contextlib
+    import io
+
+    from vector_search_ner_spark.registry import collect as _collect
+
+    queries, _ = _collect()
+    df = queries["join_bloom_prefilter"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "ShuffledHashJoin" not in tree, tree

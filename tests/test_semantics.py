@@ -2655,3 +2655,62 @@ def test_length_buckets_partition_and_waste(spark):
     # monotone pad_to across buckets (they are length quantiles)
     pads = [r["pad_to"] for r in rows]
     assert pads == sorted(pads)
+
+
+def test_classifier_inference_confusion_consistency(spark):
+    """The confusion matrix partitions the corpus; derived ratios are
+    exactly their definitions; the distilled student must agree with
+    its teacher on >= 90% of this corpus."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    r = qs["quality_classifier_inference"](spark, sf).collect()[0]
+    n = load_table(spark, sf, "documents").count()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+    assert abs(r["agreement"] - round((r["tp"] + r["tn"]) / n, 6)) < 1e-9
+    if r["tp"] + r["fp"]:
+        assert abs(r["precision"] - round(r["tp"] / (r["tp"] + r["fp"]), 6)) < 1e-9
+    if r["tp"] + r["fn"]:
+        assert abs(r["recall"] - round(r["tp"] / (r["tp"] + r["fn"]), 6)) < 1e-9
+    assert r["agreement"] >= 0.9
+
+
+def test_microagg_k_and_monotone_means(spark):
+    """Every released group reaches k, the mean sits inside the group's
+    true span, and means are monotone in group index within a segment
+    (contiguous-by-value cutting)."""
+    from collections import defaultdict
+
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    rows = qs["anonymize_microagg"](spark, "/root/testdata/sf0.01").collect()
+    by_seg = defaultdict(list)
+    for r in rows:
+        assert r["group_size"] >= 8
+        assert r["lo"] <= r["released_value"] <= r["hi"]
+        by_seg[r["c_mktsegment"]].append((r["grp"], r["released_value"]))
+    for seg, pairs in by_seg.items():
+        means = [v for _, v in sorted(pairs)]
+        assert means == sorted(means), seg
+
+
+def test_mixture_budget_allocates_within_budget(spark):
+    """Integer allocation never exceeds the budget (floor division),
+    epochs is exactly alloc/available, and flattening gives the
+    rarest language the largest epoch multiplier."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_dataprep import _MTB_BUDGET
+
+    qs, _ = registry.collect()
+    rows = qs["mixture_token_budget"](spark, "/root/testdata/sf0.01").collect()
+    assert sum(r["alloc_tokens"] for r in rows) <= _MTB_BUDGET
+    # floor-division remainders are all that goes unallocated
+    assert sum(r["alloc_tokens"] for r in rows) >= _MTB_BUDGET - len(rows)
+    for r in rows:
+        assert abs(r["epochs"] - round(r["alloc_tokens"] / r["n_tokens"], 4)) < 1e-9
+        assert r["upsampled"] == (r["alloc_tokens"] > r["n_tokens"])
+    rarest = min(rows, key=lambda r: r["n_tokens"])
+    assert rarest["epochs"] == max(r["epochs"] for r in rows)

@@ -2203,6 +2203,15 @@ def quality_classifier_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame
     discipline); rounds = _PCT_ROUNDS, so the full train is
     _PCT_ROUNDS linear passes, embarrassingly scalable. Inference on
     new data is the margin sign — a map-only projection."""
+    _feat, _w, trajectory = _pct_train(spark, sf_dir)
+    return trajectory
+
+
+def _pct_train(spark: SparkSession, sf_dir: str):
+    """Shared trainer: returns (feature frame, final 1-row weight
+    frame, per-round trajectory frame) — the trajectory query reports
+    the third, the inference/confusion query scores with the first
+    two."""
     from vector_search_ner_spark.operators.textstats import (
         LANG_MARKERS,
         marker_hits_tokens,
@@ -2265,7 +2274,7 @@ def quality_classifier_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
         w = neww.select("w0", "w1", "w2", "w3")
-    return out
+    return feat, w, out
 
 
 # -- tokenizer eval: held-out OOV / coverage ----------------------------------
@@ -2475,3 +2484,302 @@ def dataset_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_waste"),
     ).orderBy("bucket")
+
+
+# -- model-based quality filtering: inference + teacher agreement -------------
+
+
+def _pct_infer_oracle() -> str:
+    ctes = [f"feat AS ({_pct_feat_sql()})", "w0 AS (SELECT 0 AS w0, 0 AS w1, 0 AS w2, 0 AS w3)"]
+    for t in range(1, _PCT_ROUNDS + 1):
+        p = t - 1
+        margin = "w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+        err = f"f.y - (CASE WHEN {margin} >= 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"""u{t} AS (
+  SELECT SUM(({err}) * f.x0) AS d0, SUM(({err}) * f.x1) AS d1,
+         SUM(({err}) * f.x2) AS d2, SUM(({err}) * f.x3) AS d3
+  FROM feat f CROSS JOIN w{p} w
+)"""
+        )
+        ctes.append(
+            f"w{t} AS (SELECT w.w0 + u.d0 AS w0, w.w1 + u.d1 AS w1,"
+            f" w.w2 + u.d2 AS w2, w.w3 + u.d3 AS w3"
+            f" FROM u{t} u CROSS JOIN w{p} w)"
+        )
+    ctes.append(
+        f"""scored AS (
+  SELECT f.y,
+         CASE WHEN w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 >= 0
+              THEN 1 ELSE 0 END AS pred
+  FROM feat f CROSS JOIN w{_PCT_ROUNDS} w
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       ROUND(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS agreement,
+       ROUND(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+             / CAST(NULLIF(SUM(pred), 0) AS DOUBLE), 6) AS precision,
+       ROUND(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+             / CAST(NULLIF(SUM(y), 0) AS DOUBLE), 6) AS recall
+FROM scored
+"""
+    )
+
+
+@query("quality_classifier_inference", oracle=_pct_infer_oracle())
+def quality_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of classifier-based filtering: score the
+    corpus with the trained perceptron's final weights and report the
+    student-vs-teacher confusion matrix (tp/fp/fn/tn), agreement rate,
+    and precision/recall of the student against the rule-gate teacher
+    — the acceptance report a curation team reads before swapping the
+    expensive teacher out of the 100 TB path. (FineWeb-Edu publishes
+    exactly this before trusting its distilled classifier.)
+
+    Scale shape: training reuses `quality_classifier_perceptron`'s
+    loop (linear integer aggs, 1-row weight frames, lineage-cut per
+    round); inference is then ONE map-only margin projection with the
+    weights cross-joined as a broadcast 1-row frame, and the confusion
+    matrix is a single map-side-combining aggregation. The whole
+    report adds one corpus pass on top of training."""
+    feat, w, _trajectory = _pct_train(spark, sf_dir)
+    scored = feat.crossJoin(F.broadcast(w)).select(
+        "y",
+        F.when(
+            sum(F.col(f"w{i}") * F.col(f"x{i}") for i in range(4)) >= 0, 1
+        )
+        .otherwise(0)
+        .alias("pred"),
+    )
+    y, p = F.col("y"), F.col("pred")
+    return scored.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+        F.round(F.sum((y == p).cast("long")) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "agreement"
+        ),
+        F.round(
+            F.sum(((y == 1) & (p == 1)).cast("long"))
+            / F.nullif(F.sum(p.cast("long")), F.lit(0)).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(((y == 1) & (p == 1)).cast("long"))
+            / F.nullif(F.sum(y.cast("long")), F.lit(0)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+# -- governance: k-member microaggregation ------------------------------------
+# The numeric-attribute counterpart of `anonymize_generalize`
+# (Domingo-Ferrer & Mateo-Sanz, "Practical Data-Oriented
+# Microaggregation for Statistical Disclosure Control", TKDE 2002):
+# instead of coarsening categorical quasi-identifiers, partition each
+# segment's records into contiguous-by-value groups of >= k and
+# release the GROUP MEAN in place of each record's value — k-anonymity
+# for the numeric column with minimal within-group variance for
+# contiguous partitioning.
+
+_MICRO_K = 8
+
+
+@query(
+    "anonymize_microagg",
+    oracle=f"""
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         row_number() OVER (
+           PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+), grouped AS (
+  SELECT c_mktsegment, c_acctbal,
+         LEAST(CAST((rn - 1) // {_MICRO_K} AS BIGINT),
+               CAST(n // {_MICRO_K} AS BIGINT) - 1) AS grp
+  FROM ranked
+)
+SELECT c_mktsegment, grp, group_size,
+       mean_cents / 100.0 AS released_value, lo, hi
+FROM (
+  SELECT c_mktsegment, grp,
+         CAST(COUNT(*) AS BIGINT) AS group_size,
+         CASE WHEN SUM(CAST(round(c_acctbal * 100) AS BIGINT)) >= 0
+              THEN (2 * SUM(CAST(round(c_acctbal * 100) AS BIGINT)) + COUNT(*))
+                   // (2 * COUNT(*))
+              ELSE -((2 * -SUM(CAST(round(c_acctbal * 100) AS BIGINT)) + COUNT(*))
+                     // (2 * COUNT(*))) END AS mean_cents,
+         MIN(c_acctbal) AS lo,
+         MAX(c_acctbal) AS hi
+  FROM grouped GROUP BY c_mktsegment, grp
+)
+""",
+)
+def anonymize_microagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-member microaggregation of account balances within each
+    market segment: rank records by value, cut into contiguous groups
+    of _MICRO_K (the final short remainder folds into the last full
+    group, so every group has >= k members — the fixed-size variant of
+    Domingo-Ferrer's MDAV), and release each group's mean (exact integer-cents arithmetic,
+    half-away-from-zero — decimal AVG hits true .xx5 boundaries
+    where engine rounding modes diverge) as the
+    anonymized value alongside its size and true span. Contiguous
+    cutting minimizes within-group variance for a 1-D attribute, so
+    the released means stay analytically useful while no individual
+    balance survives.
+
+    Scale shape: the rank is a PER-SEGMENT window (keyed, not global —
+    each segment sorts independently across the cluster, the same
+    shape as every window query here); grouping and the release agg
+    are one map-side-combining hash agg on (segment, grp). DECIMAL
+    accumulation for the mean, round(2) at the end — bit-equal across
+    engines regardless of summation order."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("n"),
+    )
+    grp = F.least(
+        F.expr(f"(rn - 1) div {_MICRO_K}").cast("long"),
+        (F.expr(f"n div {_MICRO_K}") - 1).cast("long"),
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    agg = (
+        ranked.select(
+            "c_mktsegment", "c_acctbal", grp.alias("grp"), cents.alias("cents")
+        )
+        .groupBy("c_mktsegment", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.sum("cents").alias("s"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+    # integer half-away-from-zero mean in cents: decimal AVG + round(2)
+    # lands on true .xx5 boundaries where the engines' rounding modes
+    # diverge (measured: one group at 9142.675); the cents integer is
+    # exact in both engines, and mean_cents/100.0 is the identical
+    # double on both sides
+    mean_cents = F.when(
+        F.col("s") >= 0, F.expr("(2 * s + group_size) div (2 * group_size)")
+    ).otherwise(-F.expr("(2 * -s + group_size) div (2 * group_size)"))
+    return agg.select(
+        "c_mktsegment",
+        "grp",
+        "group_size",
+        (mean_cents / 100.0).alias("released_value"),
+        "lo",
+        "hi",
+    )
+
+
+# -- mixture: token-budget allocation / epoch planner --------------------------
+
+_MTB_BUDGET = 1_000_000  # training tokens to allocate across languages
+
+
+def _duck_mixture_budget() -> str:
+    from vector_search_ner_spark.plans.queries_text import _duck_lang_scripted
+
+    return f"""
+WITH lang AS (
+  SELECT doc_id, {_duck_lang_scripted()} AS lang_pred,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+), per_lang AS (
+  SELECT lang_pred,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM lang GROUP BY lang_pred
+), tot AS (
+  SELECT SUM(n_tokens) AS t FROM per_lang
+), w AS (
+  SELECT p.lang_pred, p.n_docs, p.n_tokens,
+         CAST(FLOOR(sqrt(CAST(p.n_tokens AS DOUBLE) / t.t) * 1000000000000) AS BIGINT) AS w_u
+  FROM per_lang p CROSS JOIN tot t
+), ws AS (
+  SELECT SUM(w_u) AS sw FROM w
+)
+SELECT w.lang_pred, w.n_docs, w.n_tokens,
+       CAST((w.w_u * {_MTB_BUDGET}) // ws.sw AS BIGINT) AS alloc_tokens,
+       ROUND(((w.w_u * {_MTB_BUDGET}) // ws.sw) / CAST(w.n_tokens AS DOUBLE), 4)
+         AS epochs,
+       ((w.w_u * {_MTB_BUDGET}) // ws.sw) > w.n_tokens AS upsampled
+FROM w CROSS JOIN ws
+ORDER BY w.lang_pred
+"""
+
+
+@query("mixture_token_budget", oracle=_duck_mixture_budget())
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EPOCH PLANNER that turns mixture weights into a training
+    run: allocate a fixed token budget (_MTB_BUDGET) across languages
+    proportionally to the temperature-flattened weights
+    (`mixture_temperature_weights`, alpha=0.5), and report per
+    language the allocated tokens, the implied epochs over its
+    available data (allocated / available — the number a data-curation
+    team reads against the known repetition-degradation thresholds),
+    and whether the allocation upsamples (epochs > 1). Allocation is
+    integer micro-weight arithmetic — (w_u * B) div sum(w_u) — so the
+    split is exact, order-independent, and engine-identical; the only
+    float is the final epochs ratio, one division then round(4).
+
+    Scale shape: everything after the one corpus scan (language
+    routing + token counts, the temperature query's plan verbatim)
+    runs on a languages-sized frame — the planner itself is free."""
+    from vector_search_ner_spark.plans.queries_text import quality_gate_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = quality_gate_frame(docs).select("doc_id", "lang_pred")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens")
+    )
+    per_lang = (
+        toks.join(lang, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(F.sum("n_tokens").alias("t"))
+    w = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang_pred",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("t")) * 1_000_000_000_000
+        )
+        .cast("long")
+        .alias("w_u"),
+    )
+    ws = w.agg(F.sum("w_u").alias("sw"))
+    alloc = F.expr(f"(w_u * {_MTB_BUDGET}) div sw").cast("long")
+    return (
+        w.crossJoin(F.broadcast(ws))
+        .select(
+            "lang_pred",
+            "n_docs",
+            "n_tokens",
+            alloc.alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens").cast("double"), 4).alias("epochs"),
+            (alloc > F.col("n_tokens")).alias("upsampled"),
+        )
+        .orderBy("lang_pred")
+    )

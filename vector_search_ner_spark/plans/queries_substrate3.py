@@ -604,10 +604,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ner_spark.functions.text import stable_long_hash
 
     part = load_table(spark, sf_dir, "part")
+    # lineage-cut both build-side relations: the set-bit table feeds
+    # _BLOOM_K broadcast joins and the key set feeds the member join
+    # plus every bit leg — without the cut each broadcast re-derives
+    # the whole build subtree (first explain showed 16 part scans)
     keys = (
         part.where(F.col("p_size") < _BLOOM_PSIZE)
         .select(F.col("p_partkey").alias("k"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def pos(col, j: int):
@@ -618,7 +623,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_BLOOM_K):
         leg = keys.select(pos(F.col("k"), j).alias("pos"))
         bits = leg if bits is None else bits.unionByName(leg)
-    bits = bits.distinct()
+    bits = bits.distinct().localCheckpoint(eager=True)
 
     l = load_table(spark, sf_dir, "lineitem").select("l_partkey")
     probe = l.select(
