@@ -2714,3 +2714,19 @@ def test_mixture_budget_allocates_within_budget(spark):
         assert r["upsampled"] == (r["alloc_tokens"] > r["n_tokens"])
     rarest = min(rows, key=lambda r: r["n_tokens"])
     assert rarest["epochs"] == max(r["epochs"] for r in rows)
+
+
+def test_simhash_eval_recall_floor(spark):
+    """SimHash at hamming <= 3 must keep recalling the large majority
+    of true Jaccard pairs on the fixture (floor pinned below the
+    measured 0.88), and the report's ratios must be consistent."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    r = qs["dedup_simhash_eval_report"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["n_found"] <= min(r["n_truth"], r["n_accepted"])
+    assert r["recall"] >= 0.7
+    assert abs(r["recall"] - round(r["n_found"] / max(r["n_truth"], 1), 4)) < 1e-9
+    assert (
+        abs(r["precision"] - round(r["n_found"] / max(r["n_accepted"], 1), 4)) < 1e-9
+    )

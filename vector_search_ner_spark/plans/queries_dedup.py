@@ -1248,3 +1248,98 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = spark.read.parquet(bands_path)
     cs = spark.read.parquet(shingles_path)
     return index_summary_frame(cb, cs)
+
+
+def _duck_simhash_eval() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th
+  FROM documents WHERE doc_id < {_EVAL_N}
+), sh AS (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
+), truth AS (
+  SELECT a.sid AS doc_a, b.sid AS doc_b
+  FROM sh a JOIN sh b ON a.sid < b.sid
+  WHERE ROUND(len(list_intersect(a.hs, b.hs))
+        / CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE), 4)
+        >= {JACCARD_T}
+), fps AS (
+  SELECT doc_id AS sid, {nd.duck_simhash()} AS fp
+  FROM documents WHERE doc_id < {_EVAL_N}
+), bands AS (
+  SELECT sid, fp, b.band AS band, (fp >> (8 * b.band)) & 255 AS key
+  FROM fps, (SELECT unnest(generate_series(0, {nd.SIMHASH_BAND_BYTES - 1})) AS band) b
+), accepted AS (
+  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.sid < b.sid
+  WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+  CAST((SELECT COUNT(*) FROM accepted) AS BIGINT) AS n_accepted,
+  CAST((SELECT COUNT(*) FROM truth x JOIN accepted c
+        ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b) AS BIGINT) AS n_found,
+  ROUND((SELECT COUNT(*) FROM truth x JOIN accepted c
+         ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b)
+        / GREATEST(1.0, CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)), 4) AS recall,
+  ROUND((SELECT COUNT(*) FROM truth x JOIN accepted c
+         ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b)
+        / GREATEST(1.0, CAST((SELECT COUNT(*) FROM accepted) AS DOUBLE)), 4) AS precision
+"""
+
+
+@query("dedup_simhash_eval_report", oracle=_duck_simhash_eval())
+def dedup_simhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash QUALITY report — completes the eval symmetry of the
+    near-dup family (`dedup_lsh_eval_report` grades MinHash banding;
+    this grades the 32-bit fingerprint + hamming <= 3 proxy) against
+    the SAME exact-Jaccard ground truth on the same bounded sample:
+    how well does bit-level fingerprint distance approximate set
+    similarity on this corpus? MinHash's candidates approximate
+    Jaccard directly; SimHash approximates the TF-weighted cosine of
+    token profiles, so its precision/recall against Jaccard truth is
+    the honest cross-metric number a dedup team needs before choosing
+    the cheaper fingerprint. Both legs deterministic -> full oracle.
+    The sample pairwise join broadcasts (eval-only, never production
+    shape); production SimHash stays byte-band bucketed."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _EVAL_N)
+    sh = nd.shingle_frame(docs).localCheckpoint()
+    a, b = sh.alias("a"), sh.alias("b")
+    common = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    jac = F.round(common / (F.size("a.hs") + F.size("b.hs") - common), 4)
+    truth = (
+        a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
+        .where(jac >= JACCARD_T)
+        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
+        .localCheckpoint()
+    )
+    accepted = (
+        nd.simhash_pairs(docs, SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    found = truth.join(accepted, ["doc_a", "doc_b"], "inner")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("v"))
+    n_acc = accepted.agg(F.count(F.lit(1)).alias("v"))
+    n_found = found.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        n_truth.select(F.col("v").alias("n_truth"))
+        .crossJoin(n_acc.select(F.col("v").alias("n_accepted")))
+        .crossJoin(n_found.select(F.col("v").alias("n_found")))
+        .select(
+            "n_truth",
+            "n_accepted",
+            "n_found",
+            F.round(
+                F.col("n_found")
+                / F.greatest(F.lit(1.0), F.col("n_truth").cast("double")),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.col("n_found")
+                / F.greatest(F.lit(1.0), F.col("n_accepted").cast("double")),
+                4,
+            ).alias("precision"),
+        )
+    )
