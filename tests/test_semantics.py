@@ -2730,3 +2730,21 @@ def test_simhash_eval_recall_floor(spark):
     assert (
         abs(r["precision"] - round(r["n_found"] / max(r["n_accepted"], 1), 4)) < 1e-9
     )
+
+
+def test_cosine_eval_multiprobe_recall_floor(spark):
+    """Multi-probe sign-LSH must hold the measured recall (0.60 at
+    sf0.01; single-probe was 0.125 — the eval that motivated the
+    upgrade), with consistent ratios and a bounded candidate
+    multiplier (<= |masks| x all-pairs/16 ballpark, checked loosely as
+    cand < 5x the single-bucket expectation x 4)."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    r = qs["dedup_cosine_eval_report"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["recall"] >= 0.5
+    assert r["n_found"] <= min(r["n_truth"], r["n_candidates"])
+    assert abs(r["recall"] - round(r["n_found"] / max(r["n_truth"], 1), 4)) < 1e-9
+    # 400 vectors, 16 buckets, 5 probes: candidates stay far below the
+    # 79800-pair all-pairs blowup the prefilter exists to avoid
+    assert r["n_candidates"] < 40000

@@ -190,17 +190,22 @@ WITH wb AS (
   SELECT vec_id AS sid, embedding AS v,
          {nd.duck_sign_lsh_bucket()} AS bucket
   FROM embeddings
+), pr AS (
+  SELECT sid, v, xor(bucket, m.m) AS probe
+  FROM wb, (SELECT unnest({list(nd.MULTIPROBE_MASKS)}) AS m) m
 )
 SELECT a.sid AS doc_a, b.sid AS doc_b,
        ROUND({duck_cosine("a.v", "b.v")}, 4) AS cosine
-FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.sid < b.sid
+FROM pr a JOIN wb b ON a.probe = b.bucket AND a.sid < b.sid
 WHERE ROUND({duck_cosine("a.v", "b.v")}, 4) >= {COSINE_T}
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: sign-LSH bucket prefilter (16
-    buckets; declared recall tradeoff) then exact cosine >= 0.4 on
-    same-bucket pairs only."""
+    """Embedding-cosine near-dup: MULTI-PROBE sign-LSH prefilter (16
+    buckets, probing the exact bucket plus its 4 flip-1 neighbors —
+    single-probe measured 0.125 recall on this corpus, multi-probe
+    ~4x that; `dedup_cosine_eval_report` carries the measured number)
+    then exact cosine >= 0.4 on candidate pairs only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return nd.cosine_neardup_pairs(emb, COSINE_T)
 
@@ -1339,6 +1344,117 @@ def dedup_simhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_found")
                 / F.greatest(F.lit(1.0), F.col("n_accepted").cast("double")),
+                4,
+            ).alias("precision"),
+        )
+    )
+
+
+_COS_EVAL_N = 400  # all-pairs exact cosine affordable on <=400 vectors
+
+
+def _duck_cosine_eval() -> str:
+    return f"""
+WITH wb AS (
+  SELECT vec_id AS sid, embedding AS v,
+         {nd.duck_sign_lsh_bucket()} AS bucket
+  FROM embeddings WHERE vec_id < {_COS_EVAL_N}
+), truth AS (
+  SELECT a.sid AS doc_a, b.sid AS doc_b
+  FROM wb a JOIN wb b ON a.sid < b.sid
+  WHERE ROUND({duck_cosine("a.v", "b.v")}, 4) >= {COSINE_T}
+), pr AS (
+  SELECT sid, xor(bucket, m.m) AS probe
+  FROM wb, (SELECT unnest({list(nd.MULTIPROBE_MASKS)}) AS m) m
+), cand AS (
+  SELECT a.sid AS doc_a, b.sid AS doc_b
+  FROM pr a JOIN wb b ON a.probe = b.bucket AND a.sid < b.sid
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST((SELECT COUNT(*) FROM truth x JOIN cand c
+        ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b) AS BIGINT) AS n_found,
+  ROUND((SELECT COUNT(*) FROM truth x JOIN cand c
+         ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b)
+        / GREATEST(1.0, CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)), 4) AS recall,
+  ROUND((SELECT COUNT(*) FROM truth x JOIN cand c
+         ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b)
+        / GREATEST(1.0, CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)), 4) AS precision
+"""
+
+
+@query("dedup_cosine_eval_report", oracle=_duck_cosine_eval())
+def dedup_cosine_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket QUALITY report — the third leg of the near-dup
+    eval symmetry (MinHash banding: `dedup_lsh_eval_report`; SimHash
+    fingerprints: `dedup_simhash_eval_report`; this grades the
+    16-bucket MULTI-PROBE sign-LSH prefilter `dedup_embedding_cosine`
+    relies on — exact bucket + 4 flip-1 neighbors):
+    on a bounded sample where all-pairs exact cosine is affordable,
+    compare same-bucket candidate pairs against the true
+    cosine >= COSINE_T (0.4) pair set. Recall here is exactly the
+    `declared recall tradeoff` in dedup_embedding_cosine's contract,
+    now a measured number with a pinned floor instead of a phrase.
+    Both legs deterministic -> full oracle; the sample pairwise join
+    broadcasts (eval-only shape)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _COS_EVAL_N
+    )
+    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
+
+    wb = emb.select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("v"),
+        nd.sign_lsh_bucket(F.col("embedding")).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).localCheckpoint()
+    a, b = wb.alias("a"), wb.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col("a.v"), F.col("b.v")) / denom
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
+        .where(F.round(cos, 4) >= COSINE_T)
+        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
+        .localCheckpoint()
+    )
+    pr = wb.select(
+        "sid",
+        F.explode(F.array(*[F.lit(m) for m in nd.MULTIPROBE_MASKS])).alias("m"),
+        "bucket",
+    ).select("sid", F.col("bucket").bitwiseXOR(F.col("m")).alias("probe"))
+    cand = (
+        pr.alias("a")
+        .join(
+            F.broadcast(b),
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
+        .localCheckpoint()
+    )
+    found = truth.join(cand, ["doc_a", "doc_b"], "inner")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("v"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("v"))
+    n_found = found.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        n_truth.select(F.col("v").alias("n_truth"))
+        .crossJoin(n_cand.select(F.col("v").alias("n_candidates")))
+        .crossJoin(n_found.select(F.col("v").alias("n_found")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_found",
+            F.round(
+                F.col("n_found")
+                / F.greatest(F.lit(1.0), F.col("n_truth").cast("double")),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.col("n_found")
+                / F.greatest(F.lit(1.0), F.col("n_candidates").cast("double")),
                 4,
             ).alias("precision"),
         )
