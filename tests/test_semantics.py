@@ -2748,3 +2748,15 @@ def test_cosine_eval_multiprobe_recall_floor(spark):
     # 400 vectors, 16 buckets, 5 probes: candidates stay far below the
     # 79800-pair all-pairs blowup the prefilter exists to avoid
     assert r["n_candidates"] < 40000
+
+
+def test_stream_bloom_equals_batch(spark):
+    """The streamed Bloom report must equal the batch twin
+    bit-for-bit — the whole point of the shared oracle."""
+    from vector_search_ner_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    s_ = qs["stream_bloom_prefilter"](spark, sf).collect()[0]
+    b_ = qs["join_bloom_prefilter"](spark, sf).collect()[0]
+    assert s_.asDict() == b_.asDict()

@@ -417,3 +417,24 @@ def stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision overcounts included, must equal the batch grid
     bit-for-bit."""
     return se.stream_countmin_ingest(spark, sf_dir)
+
+
+def _bloom_shared_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_substrate3 import (
+        _bloom_prefilter_oracle,
+    )
+
+    return _bloom_prefilter_oracle()
+
+
+@query("stream_bloom_prefilter", oracle=_bloom_shared_oracle())
+def stream_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom runtime filter applied AT INGEST: fact rows stream in
+    3 micro-batches and probe the static broadcast bit relations
+    map-side (4 stream-static left joins, no stream shuffle, no
+    watermark); a complete-mode aggregation accumulates the
+    pass/member counters across batches. Shares the batch
+    `join_bloom_prefilter` oracle verbatim — the streamed report,
+    false-positive accounting included, equals the batch one
+    bit-for-bit."""
+    return se.stream_bloom_prefilter(spark, sf_dir)

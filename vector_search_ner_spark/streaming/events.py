@@ -822,3 +822,101 @@ def stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_cnt") - F.col("c")).cast("long").alias("overcount"),
         (F.col("est_cnt") >= F.col("c")).alias("never_undercounts"),
     )
+
+
+def stream_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE RUNTIME FILTER AT INGEST — the streaming half of
+    `join_bloom_prefilter`: fact rows arrive as a stream (3 staged
+    part files, maxFilesPerTrigger=1; the staging dir is rebuilt every
+    run) and each micro-batch probes the STATIC broadcast Bloom
+    relations map-side — 4 stream-static left joins for the bit checks
+    plus the member join, no stream shuffle, no watermark. A
+    complete-mode global aggregation accumulates the pass/member
+    counters across batches; the final report is assembled batch-side
+    from the streamed counters and must equal the batch twin
+    bit-for-bit (shared oracle). At cluster scale this is
+    ingress prefiltering: only bloom-passing rows proceed to the
+    expensive exact join, and the filter is a few KB of broadcast
+    state per executor."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.plans.queries_substrate3 import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        _BLOOM_PSIZE,
+        _bloom_salt,
+    )
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(
+        base, "bloom_ingest_src", sf_dir.strip("/").replace("/", "_")
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    shutil.rmtree(src, ignore_errors=True)
+    fact.repartition(3).write.mode("overwrite").parquet(src)
+
+    def pos(col, j: int):
+        h = stable_long_hash(F.concat(F.lit(_bloom_salt(j)), col.cast("string")))
+        return F.pmod(h, F.lit(_BLOOM_BITS))
+
+    part = load_table(spark, sf_dir, "part")
+    keys = (
+        part.where(F.col("p_size") < _BLOOM_PSIZE)
+        .select(F.col("p_partkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bits = None
+    for j in range(_BLOOM_K):
+        leg = keys.select(pos(F.col("k"), j).alias("pos"))
+        bits = leg if bits is None else bits.unionByName(leg)
+    bits = bits.distinct().localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema(fact.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    checked = stream.select(
+        "l_partkey",
+        *[pos(F.col("l_partkey"), j).alias(f"pos{j}") for j in range(_BLOOM_K)],
+    )
+    for j in range(_BLOOM_K):
+        bj = F.broadcast(bits.select(F.col("pos").alias(f"b{j}")))
+        checked = checked.join(bj, checked[f"pos{j}"] == bj[f"b{j}"], "left")
+    all_set = F.lit(True)
+    for j in range(_BLOOM_K):
+        all_set = all_set & F.col(f"b{j}").isNotNull()
+    checked = checked.join(
+        F.broadcast(keys), checked.l_partkey == keys.k, "left"
+    ).select(all_set.alias("bloom_pass"), F.col("k").isNotNull().alias("is_member"))
+    counters = checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("is_member").cast("long")).alias("n_member"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass_bloom"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        F.sum((~F.col("is_member")).cast("long")).alias("n_nonmember"),
+        F.sum((F.col("is_member") & ~F.col("bloom_pass")).cast("long")).alias(
+            "n_false_neg"
+        ),
+    )
+    streamed = _run_to_memory(counters, "complete")
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    return streamed.crossJoin(F.broadcast(n_bits)).select(
+        "n_probe",
+        "n_bits_set",
+        "n_member",
+        "n_pass_bloom",
+        "n_false_pos",
+        F.round(F.col("n_false_pos") / F.col("n_nonmember").cast("double"), 6).alias(
+            "fp_rate"
+        ),
+        (F.col("n_false_neg") == 0).alias("no_false_negatives"),
+    )
