@@ -2760,3 +2760,22 @@ def test_stream_bloom_equals_batch(spark):
     s_ = qs["stream_bloom_prefilter"](spark, sf).collect()[0]
     b_ = qs["join_bloom_prefilter"](spark, sf).collect()[0]
     assert s_.asDict() == b_.asDict()
+
+
+def test_minhash_estimator_error_bound(spark):
+    """The 16-perm MinHash estimate must track exact Jaccard: per-pair
+    error bounded by construction (agreement is a 16-trial binomial
+    with mean J), and the MEAN error on the fixture stays well under
+    one binomial sd (~0.12)."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    rows = qs["dedup_minhash_estimate_eval"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_agree"] <= 16
+        assert abs(r["jac_est"] - round(r["n_agree"] / 16.0, 4)) < 1e-9
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 0.08, mean_err

@@ -1459,3 +1459,86 @@ def dedup_cosine_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+_MH_EVAL_T = 0.2  # report estimator accuracy on pairs above this exact Jaccard
+
+
+def _duck_minhash_estimate() -> str:
+    mh_cols = ", ".join(
+        f"{nd.duck_minhash_sig(j, 'hs')} AS mh{j}" for j in range(nd.N_PERM)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(nd.N_PERM)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS sid, {nd.duck_token_hashes60()} AS th
+  FROM documents WHERE doc_id < {_EVAL_N}
+), sh AS (
+  SELECT sid, {nd.duck_gram_hashes60("th")} AS hs FROM t
+), sigs AS (
+  SELECT sid, hs, {mh_cols} FROM sh
+), pairs AS (
+  SELECT a.sid AS doc_a, b.sid AS doc_b,
+         ROUND(len(list_intersect(a.hs, b.hs))
+           / CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+                  AS DOUBLE), 4) AS jac_exact,
+         CAST({agree} AS INTEGER) AS n_agree
+  FROM sigs a JOIN sigs b ON a.sid < b.sid
+)
+SELECT doc_a, doc_b, jac_exact, n_agree,
+       ROUND(n_agree / {float(nd.N_PERM)}, 4) AS jac_est,
+       ROUND(ABS(jac_exact - ROUND(n_agree / {float(nd.N_PERM)}, 4)), 4) AS abs_err
+FROM pairs WHERE jac_exact >= {_MH_EVAL_T}
+"""
+
+
+@query("dedup_minhash_estimate_eval", oracle=_duck_minhash_estimate())
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy — the fourth eval leg: the banding
+    eval (`dedup_lsh_eval_report`) grades candidate generation; this
+    grades the underlying estimator itself, per pair: signature
+    agreement count over N_PERM=16 permutations vs exact Jaccard, on
+    every bounded-sample pair above Jaccard 0.2. E[agreement/N] =
+    J exactly (the MinHash identity), with binomial sd
+    sqrt(J(1-J)/16) ~ 0.12 — the per-pair abs_err column is that
+    spread, measured; the test pins the mean error under it. The
+    16-perm signature is what the persisted index stores per doc, so
+    this table is the precision contract of everything downstream.
+    Deterministic (fixed permutation constants) -> full oracle."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _EVAL_N)
+    sh = nd.shingle_frame(docs)
+    sigs = (
+        sh.withColumn(
+            "hashes", F.transform(F.col("hs"), lambda h: h % nd.MINHASH_P)
+        )
+        .select("sid", "hs", *nd.minhash_signature_cols(F.col("hashes")))
+        .localCheckpoint()
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    common = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    jac = F.round(common / (F.size("a.hs") + F.size("b.hs") - common), 4)
+    agree = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(nd.N_PERM)
+    )
+    est = F.round(F.col("n_agree") / float(nd.N_PERM), 4)
+    return (
+        a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("doc_a"),
+            F.col("b.sid").alias("doc_b"),
+            jac.alias("jac_exact"),
+            agree.cast("int").alias("n_agree"),
+        )
+        .where(F.col("jac_exact") >= _MH_EVAL_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jac_exact",
+            "n_agree",
+            est.alias("jac_est"),
+            F.round(F.abs(F.col("jac_exact") - est), 4).alias("abs_err"),
+        )
+    )
