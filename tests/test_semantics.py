@@ -2779,3 +2779,21 @@ def test_minhash_estimator_error_bound(spark):
         assert abs(r["jac_est"] - round(r["n_agree"] / 16.0, 4)) < 1e-9
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err <= 0.08, mean_err
+
+
+def test_classifier_heldout_acceptance(spark):
+    """Held-out agreement must stay high (floor under the measured
+    0.94) and the matrix must partition the held-out shard exactly."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    r = qs["quality_classifier_heldout"](spark, sf).collect()[0]
+    n_held = (
+        load_table(spark, sf, "documents")
+        .where(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
+        .count()
+    )
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n_held
+    assert r["agreement"] >= 0.85

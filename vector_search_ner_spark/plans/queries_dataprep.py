@@ -2128,7 +2128,7 @@ _PCT_ROUNDS = 5
 _PCT_PERMILLE = 60  # teacher threshold: stopword permille at the corpus median
 
 
-def _pct_feat_sql() -> str:
+def _pct_feat_sql(source: str = "documents") -> str:
     from vector_search_ner_spark.plans.queries_text import _duck_marker_hits
     from vector_search_ner_spark.operators.textstats import LANG_MARKERS
 
@@ -2141,7 +2141,7 @@ def _pct_feat_sql() -> str:
          LEAST({n_tok} // 8, 8) AS x1,
          LEAST((2 * ({n_chr} - {n_tok} + 1)) // {n_tok}, 24) AS x2,
          LEAST((1000 * ({en})) // {n_tok}, 250) - {_PCT_PERMILLE} AS x3
-  FROM documents
+  FROM {source}
 """
 
 
@@ -2207,24 +2207,23 @@ def quality_classifier_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame
     return trajectory
 
 
-def _pct_train(spark: SparkSession, sf_dir: str):
-    """Shared trainer: returns (feature frame, final 1-row weight
-    frame, per-round trajectory frame) — the trajectory query reports
-    the third, the inference/confusion query scores with the first
-    two."""
+def _pct_features(docs: DataFrame) -> DataFrame:
+    """Teacher label + integer features for a (text) frame — one
+    map-only projection, shared by the trainer and the held-out
+    scorer (a single definition so train- and eval-side features
+    cannot drift)."""
     from vector_search_ner_spark.operators.textstats import (
         LANG_MARKERS,
         marker_hits_tokens,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), " ")
     staged = docs.select(
         F.size(toks).cast("long").alias("n_tok"),
         F.length("text").cast("long").alias("n_chr"),
         marker_hits_tokens(toks, LANG_MARKERS["en"]).alias("en"),
     )
-    feat = staged.select(
+    return staged.select(
         F.when(1000 * F.col("en") >= _PCT_PERMILLE * F.col("n_tok"), 1)
         .otherwise(0)
         .cast("long")
@@ -2240,6 +2239,16 @@ def _pct_train(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("x3"),
     ).localCheckpoint(eager=False)
+
+
+def _pct_train(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None):
+    """Shared trainer: returns (feature frame, final 1-row weight
+    frame, per-round trajectory frame) — the trajectory query reports
+    the third, the inference/confusion query scores with the first
+    two; the held-out eval passes its own training shard via `docs`."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    feat = _pct_features(docs)
     n = feat.agg(F.count(F.lit(1)).cast("long").alias("n"))
     w = spark.range(1).select(
         *[F.lit(0).cast("long").alias(f"w{i}") for i in range(4)]
@@ -2782,4 +2791,115 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (alloc > F.col("n_tokens")).alias("upsampled"),
         )
         .orderBy("lang_pred")
+    )
+
+
+# -- model-based quality filtering: HELD-OUT acceptance ------------------------
+
+_PCT_HELD_MOD = 10
+_PCT_HELD_REM = 3  # disjoint from the BPE eval's held-out shard (7)
+
+
+def _pct_heldout_oracle() -> str:
+    train_src = (
+        f"(SELECT * FROM documents WHERE doc_id % {_PCT_HELD_MOD}"
+        f" <> {_PCT_HELD_REM})"
+    )
+    held_src = (
+        f"(SELECT * FROM documents WHERE doc_id % {_PCT_HELD_MOD}"
+        f" = {_PCT_HELD_REM})"
+    )
+    ctes = [
+        f"feat AS ({_pct_feat_sql(train_src)})",
+        f"held AS ({_pct_feat_sql(held_src)})",
+        "w0 AS (SELECT 0 AS w0, 0 AS w1, 0 AS w2, 0 AS w3)",
+    ]
+    for t in range(1, _PCT_ROUNDS + 1):
+        p = t - 1
+        margin = "w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+        err = f"f.y - (CASE WHEN {margin} >= 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"""u{t} AS (
+  SELECT SUM(({err}) * f.x0) AS d0, SUM(({err}) * f.x1) AS d1,
+         SUM(({err}) * f.x2) AS d2, SUM(({err}) * f.x3) AS d3
+  FROM feat f CROSS JOIN w{p} w
+)"""
+        )
+        ctes.append(
+            f"w{t} AS (SELECT w.w0 + u.d0 AS w0, w.w1 + u.d1 AS w1,"
+            f" w.w2 + u.d2 AS w2, w.w3 + u.d3 AS w3"
+            f" FROM u{t} u CROSS JOIN w{p} w)"
+        )
+    ctes.append(
+        f"""scored AS (
+  SELECT f.y,
+         CASE WHEN w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 >= 0
+              THEN 1 ELSE 0 END AS pred
+  FROM held f CROSS JOIN w{_PCT_ROUNDS} w
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       ROUND(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS agreement,
+       ROUND(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+             / CAST(NULLIF(SUM(pred), 0) AS DOUBLE), 6) AS precision,
+       ROUND(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+             / CAST(NULLIF(SUM(y), 0) AS DOUBLE), 6) AS recall
+FROM scored
+"""
+    )
+
+
+@query("quality_classifier_heldout", oracle=_pct_heldout_oracle())
+def quality_classifier_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HONEST acceptance report for the distilled quality
+    classifier: train the perceptron on the 90% shard (doc_id % 10
+    != 3 — disjoint from the BPE eval's shard) and report the
+    confusion matrix on the UNSEEN 10%. `quality_classifier_inference`
+    evaluates on the training corpus, which flatters the model the
+    way in-corpus fertility flatters a tokenizer; this is the number
+    that decides whether the distilled filter ships
+    (`bpe_heldout_oov` is the same protocol for the tokenizer). One
+    shared feature projection (`_pct_features`) serves both shards,
+    so train- and eval-side features cannot drift; training is the
+    shared loop, scoring one map-only margin projection over the
+    held-out shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_held = F.pmod(F.col("doc_id"), F.lit(_PCT_HELD_MOD)) == _PCT_HELD_REM
+    _feat, w, _traj = _pct_train(spark, sf_dir, docs=docs.where(~is_held))
+    held = _pct_features(docs.where(is_held))
+    scored = held.crossJoin(F.broadcast(w)).select(
+        "y",
+        F.when(
+            sum(F.col(f"w{i}") * F.col(f"x{i}") for i in range(4)) >= 0, 1
+        )
+        .otherwise(0)
+        .alias("pred"),
+    )
+    y, p = F.col("y"), F.col("pred")
+    return scored.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+        F.round(F.sum((y == p).cast("long")) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "agreement"
+        ),
+        F.round(
+            F.sum(((y == 1) & (p == 1)).cast("long"))
+            / F.nullif(F.sum(p.cast("long")), F.lit(0)).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(((y == 1) & (p == 1)).cast("long"))
+            / F.nullif(F.sum(y.cast("long")), F.lit(0)).cast("double"),
+            6,
+        ).alias("recall"),
     )

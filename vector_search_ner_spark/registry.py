@@ -68,7 +68,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-9 rotation. Surface = 262 registered queries, every one
+    # Round-9 rotation. Surface = 263 registered queries, every one
     # with a full DuckDB value-hash oracle; by r08 all prior 227 had
     # been driver-sampled at least once with every latest verdict
     # green (CORRECTNESS_r08 = 50/50). This window front-loads the 19
@@ -132,6 +132,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_cosine_eval_report",
     "stream_bloom_prefilter",
     "dedup_minhash_estimate_eval",
+    "quality_classifier_heldout",
 ]
 
 
