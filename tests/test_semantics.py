@@ -2150,15 +2150,25 @@ def test_pretrain_corpus_e2e_roster_invariants(spark, sf_dir):
     (values are hash-checked by the oracle; this pins the invariants a
     consumer relies on):
 
-    * PARTITION: every ingested id (eligible ∪ clones ∪ noise ∪
-      benchmark) appears exactly once — no doc is double-disposed or
-      silently lost;
+    * PARTITION: every ingested id (eligible ∪ clones-of-rung-0-
+      survivors ∪ noise ∪ benchmark) appears exactly once — no doc is
+      double-disposed or silently lost;
+    * rung 0 (source gate) drops exactly the blocklisted sources'
+      docs plus the over-quota tail of every other source, re-derived
+      in Python from (doc_id, source, n_chars);
     * the simulated re-ingest clones all exit at the exact rung;
     * the injected noise docs all exit at the quality_gate rung;
     * src0 is always 'benchmark' and never enters any other rung;
     * train packing is gapless: sorted by offset, each doc starts
       where the previous ended, seq ranges match offset arithmetic,
       and only train docs carry offsets."""
+    from collections import defaultdict
+
+    from vector_search_ner_spark.plans.queries_curation import (
+        _SRC_BLOCKLIST,
+        _SRC_CHAR_QUOTA,
+        _SRC_DOC_QUOTA,
+    )
     from vector_search_ner_spark.plans.queries_pretrain import (
         _CLONE_OFFSET,
         _NOISE_DOCS,
@@ -2170,16 +2180,33 @@ def test_pretrain_corpus_e2e_roster_invariants(spark, sf_dir):
     by_id = {r.doc_id: r for r in rows}
     assert len(by_id) == len(rows)  # one disposition per doc
 
-    docs = {
-        (r.doc_id, r.source)
-        for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
-    }
-    elig = {i for i, s in docs if s != "src0"}
-    bench = {i for i, s in docs if s == "src0"}
-    clones = {i + _CLONE_OFFSET for i in elig if i % 7 == 3}
+    docs = [
+        (r.doc_id, r.source, r.n_chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    ]
+    elig = {i for i, s, _ in docs if s != "src0"}
+    bench = {i for i, s, _ in docs if s == "src0"}
+    by_src = defaultdict(list)
+    for i, s, nc in docs:
+        if s != "src0" and s not in _SRC_BLOCKLIST:
+            by_src[s].append((i, nc))
+    kept = set()
+    for s, lst in by_src.items():
+        cum = 0
+        for rn, (i, nc) in enumerate(sorted(lst), start=1):
+            cum += nc
+            if rn <= _SRC_DOC_QUOTA and cum <= _SRC_CHAR_QUOTA:
+                kept.add(i)
+    src_dropped = elig - kept
+    clones = {i + _CLONE_OFFSET for i in kept if i % 7 == 3}
     noise = {d[0] for d in _NOISE_DOCS}
     assert set(by_id) == elig | bench | clones | noise
 
+    assert src_dropped  # the rung must actually fire on the fixture
+    assert all(by_id[i].dropped_by == "source_gate" for i in src_dropped)
+    assert all(by_id[i].dropped_by != "source_gate" for i in kept)
     assert all(by_id[i].disposition == "benchmark" for i in bench)
     assert all(by_id[i].dropped_by == "exact" for i in clones)
     assert all(by_id[i].dropped_by == "quality_gate" for i in noise)
@@ -2547,10 +2574,24 @@ def test_perceptron_learns(spark):
 
 
 def test_dp_geometric_counts_mechanism(spark):
-    """Noise is integer, bounded by the 59-bit draw, and clamping
-    holds; the exact side matches a direct recount."""
+    """Noise is integer, bounded by the 59-bit draws, equals the
+    G1 - G2 difference-of-geometrics re-derived from the seeds in
+    Python (the construction whose distribution is the true two-sided
+    geometric P[k] = (1/3) 2^-|k|, epsilon = ln 2 — NOT sign * Geom,
+    which would be ln 4), and clamping holds; the exact side matches a
+    direct recount."""
+    import hashlib
+
     from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_dataprep import (
+        _DP_SEED_A,
+        _DP_SEED_B,
+    )
     from vector_search_ner_spark.sources.catalog import load_table
+
+    def draw(seed, key):
+        h = int(hashlib.md5((seed + key).encode()).hexdigest()[:15], 16)
+        return 58 - ((h // 2) | 1).bit_length() + 1
 
     sf = "/root/testdata/sf0.01"
     qs, _ = registry.collect()
@@ -2564,9 +2605,12 @@ def test_dp_geometric_counts_mechanism(spark):
     }
     assert len(rows) == len(exact)
     for r in rows:
-        assert r["exact_n"] == exact[r["c_mktsegment"]]
+        seg = r["c_mktsegment"]
+        assert r["exact_n"] == exact[seg]
         assert -58 <= r["noise"] <= 58
+        assert r["noise"] == draw(_DP_SEED_A, seg) - draw(_DP_SEED_B, seg)
         assert r["noisy_n"] == max(r["exact_n"] + r["noise"], 0)
+        assert abs(r["epsilon"] - 0.6931) < 1e-9
 
 
 def test_anonymize_generalize_k_holds(spark):
@@ -2733,21 +2777,37 @@ def test_simhash_eval_recall_floor(spark):
 
 
 def test_cosine_eval_multiprobe_recall_floor(spark):
-    """Multi-probe sign-LSH must hold the measured recall (0.60 at
-    sf0.01; single-probe was 0.125 — the eval that motivated the
-    upgrade), with consistent ratios and a bounded candidate
-    multiplier (<= |masks| x all-pairs/16 ballpark, checked loosely as
-    cand < 5x the single-bucket expectation x 4)."""
+    """The probe-depth curve must be monotone (deeper probes only add
+    candidates and found pairs), hold the measured recall floors per
+    tier (0.1 / 0.5 / 0.8 at sf0.01 — the production flip-2 tier
+    reaches >= 0.8), keep ratios consistent, and keep even the deepest
+    tier's candidate set strictly below all-pairs."""
     from vector_search_ner_spark import registry
 
     qs, _ = registry.collect()
-    r = qs["dedup_cosine_eval_report"](spark, "/root/testdata/sf0.01").collect()[0]
-    assert r["recall"] >= 0.5
-    assert r["n_found"] <= min(r["n_truth"], r["n_candidates"])
-    assert abs(r["recall"] - round(r["n_found"] / max(r["n_truth"], 1), 4)) < 1e-9
-    # 400 vectors, 16 buckets, 5 probes: candidates stay far below the
-    # 79800-pair all-pairs blowup the prefilter exists to avoid
-    assert r["n_candidates"] < 40000
+    rows = sorted(
+        qs["dedup_cosine_eval_report"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["probe_depth"],
+    )
+    assert [r["probe_depth"] for r in rows] == [0, 1, 2]
+    floors = {0: 0.1, 1: 0.5, 2: 0.8}
+    for r in rows:
+        assert r["recall"] >= floors[r["probe_depth"]], r
+        assert r["n_found"] <= min(r["n_truth"], r["n_candidates"])
+        assert (
+            abs(r["recall"] - round(r["n_found"] / max(r["n_truth"], 1), 4)) < 1e-9
+        )
+        assert (
+            abs(r["precision"] - round(r["n_found"] / max(r["n_candidates"], 1), 4))
+            < 1e-9
+        )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_candidates"] >= prev["n_candidates"]
+        assert cur["n_found"] >= prev["n_found"]
+        assert cur["n_truth"] == prev["n_truth"]
+    # 400 vectors -> 79800 all-pairs; even the flip-2 tier must remain
+    # a real prefilter, not a cartesian product
+    assert rows[-1]["n_candidates"] < 79800
 
 
 def test_stream_bloom_equals_batch(spark):
@@ -2797,3 +2857,76 @@ def test_classifier_heldout_acceptance(spark):
     )
     assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n_held
     assert r["agreement"] >= 0.85
+
+
+def test_source_reputation_and_gate(spark):
+    """The reputation report partitions the corpus by source (counts
+    sum to the corpus), the fixture's all-distinct texts give dup_rate
+    0 everywhere, blocked matches the blocklist, and the gate's first-
+    matching-reason logic holds row by row against the report."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_curation import (
+        _REP_DUP_CAP,
+        _REP_QUALITY_FLOOR,
+        _SRC_BLOCKLIST,
+    )
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    rep = {r["source"]: r for r in qs["source_reputation_report"](spark, sf).collect()}
+    n_corpus = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rep.values()) == n_corpus
+    for r in rep.values():
+        assert r["dup_rate"] == 0.0
+        assert r["blocked"] == (r["source"] in _SRC_BLOCKLIST)
+        assert 0.0 <= r["mean_quality"] <= 1.0
+    gate = {r["source"]: r for r in qs["source_curation_gate"](spark, sf).collect()}
+    assert set(gate) == set(rep)
+    for s, g in gate.items():
+        r = rep[s]
+        if r["blocked"]:
+            expected = "blocklist"
+        elif r["dup_rate"] > _REP_DUP_CAP:
+            expected = "high_dup"
+        elif r["mean_quality"] < _REP_QUALITY_FLOOR:
+            expected = "low_quality"
+        else:
+            expected = "ok"
+        assert g["reason"] == expected
+        assert g["verdict"] == ("pass" if expected == "ok" else "drop")
+    assert gate[_SRC_BLOCKLIST[0]]["verdict"] == "drop"  # the rung fires
+
+
+def test_source_quota_prefix_property(spark):
+    """Quota keeps a crawl-order PREFIX per source: ranks are
+    contiguous from 1, both quotas hold on every kept row, the running
+    sum is consistent with the ranks, blocked sources never appear,
+    and at least one source is actually truncated on the fixture."""
+    from collections import defaultdict
+
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_curation import (
+        _SRC_BLOCKLIST,
+        _SRC_CHAR_QUOTA,
+        _SRC_DOC_QUOTA,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    rows = qs["source_quota_enforce"](spark, sf).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r["source"] not in _SRC_BLOCKLIST
+        assert r["rn"] <= _SRC_DOC_QUOTA and r["cum_chars"] <= _SRC_CHAR_QUOTA
+        by_src[r["source"]].append(r)
+    truncated = 0
+    for s, lst in by_src.items():
+        lst.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in lst] == list(range(1, len(lst) + 1)), s
+        for a, b in zip(lst, lst[1:]):
+            assert b["doc_id"] > a["doc_id"]
+            assert b["cum_chars"] > a["cum_chars"]
+        if len(lst) < _SRC_DOC_QUOTA:
+            truncated += 1  # char quota cut before the doc quota did
+    assert truncated > 0 or any(len(v) == _SRC_DOC_QUOTA for v in by_src.values())

