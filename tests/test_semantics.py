@@ -2930,3 +2930,62 @@ def test_source_quota_prefix_property(spark):
         if len(lst) < _SRC_DOC_QUOTA:
             truncated += 1  # char quota cut before the doc quota did
     assert truncated > 0 or any(len(v) == _SRC_DOC_QUOTA for v in by_src.values())
+
+
+def test_unigram_train_hand_computed(spark):
+    """Hand-computed Viterbi-EM trace pinning the trainer's exact
+    semantics (the oracle proves Spark==DuckDB; this proves both ==
+    the algorithm): corpus 'ab ab b' -> words ab(freq 2), b(1).
+
+    seed: pieces a(c=2), b(c=3), ab(c=2), tot=7 -> integer-bit costs
+      fl2(8)-fl2(c+1): a=2, b=1, ab=2;
+    E1: 'ab' segments [ab] (cost 2 beats a+b = 3), 'b' -> [b];
+    M1: counts ab=2, b=1, a=0 (a kept anyway — single chars are never
+      pruned), tot=3 -> costs fl2(4)-fl2(m+1): ab=1, b=1, a=2;
+    E2/M2: unchanged fixed point -> final vocab
+      (ab,2,2,1), (b,1,1,1), (a,1,0,2)."""
+    from vector_search_ner_spark.plans.queries_unigram import unigram_train_frame
+
+    docs = spark.createDataFrame([(1, "ab ab b")], "doc_id long, text string")
+    got = [
+        (r.piece, r.piece_len, r.seg_count, r.cost_bits)
+        for r in unigram_train_frame(docs).collect()
+    ]
+    assert got == [("ab", 2, 2, 1), ("b", 1, 1, 1), ("a", 1, 0, 2)]
+
+
+def test_unigram_vocab_coverage_and_fertility(spark):
+    """Closed-cover law: every character of the corpus alphabet is in
+    the final vocabulary (so OOV = 0 by construction); the trainer
+    actually learns multi-char pieces (some full word becomes a
+    single piece with a dominant seg_count); fertility sits in
+    (1, 2) on the fixture (measured 1.61 — well below the
+    chars-per-word bound and above the 1.0 whole-word floor); and the
+    declared word-length cap is vacuous on the fixture."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_unigram import _UNI_RELAX
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    vocab = qs["unigram_train_vocab"](spark, sf).collect()
+    pieces = {r["piece"] for r in vocab}
+    words = [
+        r["w"]
+        for r in load_table(spark, sf, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .collect()
+    ]
+    assert max(len(w) for w in words) <= _UNI_RELAX  # cap vacuous here
+    alphabet = {ch for w in words for ch in w}
+    assert alphabet <= pieces
+    learned_words = pieces & set(words)
+    assert len(learned_words) >= 2, learned_words  # e.g. join, hash
+    fert = qs["unigram_fertility_by_lang"](spark, sf).collect()
+    assert {r["lang"] for r in fert} == {"en", "de", "fr", "es", "zh"}
+    for r in fert:
+        assert 1.0 < r["fertility"] < 2.0
+        assert r["n_pieces"] <= sum(len(w) for w in words) * r["n_words"]
+        assert abs(r["fertility"] - round(r["n_pieces"] / r["n_words"], 6)) < 1e-9

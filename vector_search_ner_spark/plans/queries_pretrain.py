@@ -21,11 +21,19 @@ Pipeline semantics (each rung sees only the previous rung's
 survivors; `src0` plays the held-out benchmark corpus and never
 enters the training pool):
 
-  ingest   raw docs (source != 'src0') plus a simulated re-ingest
-           (docs with doc_id % 7 == 3 reappear under doc_id + 1e6 —
-           the same double-ingest device as `dedup_exact_text`, so
-           the exact rung demonstrably fires on the all-distinct
-           fixture);
+  source_gate  rung 0 (C4/RefinedWeb practice, r10): the
+           deterministic source BLOCKLIST plus per-source doc/byte
+           QUOTAS in crawl order (plans/queries_curation.py — the
+           standalone `source_curation_gate` / `source_quota_enforce`
+           ops; the reputation rules stay standalone because they are
+           inert on this fixture and would cost the composed oracle
+           two extra full-corpus passes). Docs of blocked sources and
+           over-quota docs exit here as 'source_gate';
+  ingest   rung-0 survivors plus a simulated re-ingest
+           (survivors with doc_id % 7 == 3 reappear under
+           doc_id + 1e6 — the same double-ingest device as
+           `dedup_exact_text`, so the exact rung demonstrably fires
+           on the all-distinct fixture);
   exact    min-id keeper per normalized-text fingerprint;
   near_dup LSH star edges -> connected components -> keep the
            longest member (id tie-break) per cluster;
@@ -142,12 +150,33 @@ def _duck_pretrain_e2e() -> str:
         f"(CAST({i} AS BIGINT), '{t}', '{lg}', '{s}', CAST({nc} AS BIGINT))"
         for i, t, lg, s, nc in _NOISE_DOCS
     )
+    from vector_search_ner_spark.plans.queries_curation import (
+        _SRC_CHAR_QUOTA,
+        _SRC_DOC_QUOTA,
+        _duck_blocklist,
+    )
+
     return f"""
-WITH RECURSIVE clones AS (
-  SELECT doc_id + {_CLONE_OFFSET} AS doc_id, text, lang, source, n_chars
-  FROM documents WHERE source <> 'src0' AND doc_id % 7 = 3
+WITH RECURSIVE src_rk AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+  WHERE source <> 'src0' AND source NOT IN ({_duck_blocklist()})
+), src_ids AS MATERIALIZED (
+  SELECT doc_id FROM src_rk
+  WHERE rn <= {_SRC_DOC_QUOTA} AND cum <= {_SRC_CHAR_QUOTA}
+), src_dropped AS (
+  SELECT doc_id FROM documents
+  WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM src_ids)
+), clones AS (
+  SELECT d.doc_id + {_CLONE_OFFSET} AS doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d JOIN src_ids s ON d.doc_id = s.doc_id
+  WHERE d.doc_id % 7 = 3
 ), ingested AS MATERIALIZED (
-  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE source <> 'src0'
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d JOIN src_ids s ON d.doc_id = s.doc_id
   UNION ALL
   SELECT doc_id, text, lang, source, n_chars FROM clones
   UNION ALL
@@ -304,6 +333,8 @@ SELECT * FROM (
          CAST(NULL AS BIGINT) AS first_seq, CAST(NULL AS BIGINT) AS last_seq
   FROM documents WHERE source = 'src0'
   UNION ALL
+  SELECT doc_id, 'dropped', 'source_gate', NULL, NULL, NULL, NULL FROM src_dropped
+  UNION ALL
   SELECT doc_id, 'dropped', 'exact', NULL, NULL, NULL, NULL FROM x_dropped
   UNION ALL
   SELECT doc_id, 'dropped', 'near_dup', NULL, NULL, NULL, NULL FROM nd_dropped
@@ -368,9 +399,38 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vector_search_ner_spark.plans.queries_text import _BP_CAP
 
+    from vector_search_ner_spark.plans.queries_curation import (
+        _SRC_BLOCKLIST,
+        _SRC_CHAR_QUOTA,
+        _SRC_DOC_QUOTA,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("source") == "src0")
-    elig = docs.where(F.col("source") != "src0")
+    elig_raw = docs.where(F.col("source") != "src0")
+
+    # rung 0 — source gate: blocklist + per-source doc/byte quotas in
+    # crawl order (the lean legs of plans/queries_curation.py; the
+    # reputation rules stay standalone — see module docstring). The
+    # kept set is a slim id frame; the corpus re-joins by id so no
+    # window output (and no text) is ever materialized.
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    src_rk = elig_raw.where(~F.col("source").isin(*_SRC_BLOCKLIST)).select(
+        "doc_id",
+        F.row_number().over(w_src).alias("__rn"),
+        F.sum("n_chars")
+        .over(w_src.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cum"),
+    )
+    src_ids = cut_lineage(
+        src_rk.where(
+            (F.col("__rn") <= _SRC_DOC_QUOTA) & (F.col("__cum") <= _SRC_CHAR_QUOTA)
+        ).select("doc_id")
+    )
+    src_dropped = cut_lineage(
+        elig_raw.select("doc_id").join(src_ids, "doc_id", "left_anti")
+    )
+    elig = elig_raw.join(src_ids, "doc_id")
     clones = elig.where(F.col("doc_id") % 7 == 3).withColumn(
         "doc_id", F.col("doc_id") + F.lit(_CLONE_OFFSET)
     )
@@ -651,6 +711,7 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_l.alias("first_seq"),
             nul_l.alias("last_seq"),
         )
+        .unionByName(dropped_rows(src_dropped, "source_gate"))
         .unionByName(dropped_rows(x_dropped, "exact"))
         .unionByName(dropped_rows(nd_dropped, "near_dup"))
         .unionByName(dropped_rows(sem_dropped, "semantic"))

@@ -438,3 +438,23 @@ def stream_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-positive accounting included, equals the batch one
     bit-for-bit."""
     return se.stream_bloom_prefilter(spark, sf_dir)
+
+
+def _quota_shared_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_curation import _duck_quota_oracle
+
+    return _duck_quota_oracle()
+
+
+@query("stream_source_quota", oracle=_quota_shared_oracle())
+def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rung 0 AT INGEST: the curation pipeline's per-source doc/byte
+    quota enforced as documents arrive — an applyInPandasWithState
+    operator with ONE (docs, chars) counter row per source, consulting
+    the offline reputation/blocklist verdict via a broadcast
+    stream-static join. Shares the batch `source_quota_enforce` oracle
+    verbatim: the streamed admission set (ranks and running sums
+    included) equals the batch window computation bit-for-bit — the
+    streamed twin of the `source_gate` rung `pretrain_corpus_e2e`
+    ingests through."""
+    return se.stream_source_quota(spark, sf_dir)

@@ -1,0 +1,400 @@
+"""Unigram-LM (SentencePiece-style) tokenizer induction — the OTHER
+tokenizer every lab ships next to BPE (Kudo, "Subword Regularization:
+Improving Neural Network Translation Models with Multiple Subword
+Candidates", ACL 2018): instead of greedily growing a merge table,
+START from an over-complete substring inventory and alternate
+
+  E-step  segment every word with the CURRENT piece costs
+          (Viterbi — the hard-EM variant standard in practice);
+  M-step  re-estimate piece costs from the segmentation counts and
+          PRUNE the inventory toward the target size (single-char
+          pieces are never pruned, so coverage is total and the
+          OOV rate is 0 by construction — the property that
+          distinguishes unigram-LM from an open-vocab BPE).
+
+House discipline for iterative trainers (BPE/Lloyd/perceptron):
+everything integer-exact (piece costs are floor-log2 "bits", the
+DSIR device — no transcendental functions, no float drift), every
+round over VOCABULARY-sized frames (the corpus is scanned once for
+word frequencies and once per consumer join), every iteration frame
+lineage-cut, rules join back broadcast, no collect, no UDFs; the
+DuckDB oracle unrolls the full seed -> (E -> M)^R chain as CTEs and
+matches bit-for-bit.
+
+The Viterbi E-step is itself distributed: segmentation = shortest
+path in the word's piece lattice, computed as _UNI_RELAX unrolled
+min-plus (Bellman-Ford) relaxation rounds over a (word, position)
+frame. The DP state is ONE sortable string `zero-padded-cost|path`,
+so `MIN(enc)` is simultaneously the min-cost choice AND the
+deterministic tie-break (lexicographically smallest path among
+equal-cost segmentations) — identical semantics in Spark and DuckDB
+with no struct-ordering edge cases. Words longer than _UNI_RELAX
+chars are excluded from training by a DECLARED cap (the relaxation
+depth must cover the worst-case piece count; the fixture's max word
+length is 8 — asserted in tests — and at scale the constant simply
+rises with the corpus's word-length bound).
+
+Scale shape (100 TB): the corpus-sized work is ONE word-frequency
+hash agg (and, for the eval leg, one exploded-words join against the
+per-word piece counts — corpus rows never carry paths or lattices);
+all training rounds run over |vocab| x max-word-length frames. The
+relaxation is a per-WORD keyed shuffle (group by (w, pos)) — no
+global window anywhere except the vocabulary-sized prune rank, the
+same global-top-K shape the BPE trainer's round winner uses.
+
+Reference: no tokenizer exists in the reference (SURVEY §2 north-star
+scope); the BPE twin lives in plans/queries_dataprep.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_ner_spark.registry import query
+from vector_search_ner_spark.session import cut_lineage
+from vector_search_ner_spark.sources.catalog import load_table
+
+_UNI_MAXP = 6  # max piece length (chars) in the candidate inventory
+_UNI_RELAX = 8  # Bellman-Ford rounds = max word length covered
+_UNI_SEED = 96  # multi-char seed pieces kept (plus every single char)
+_UNI_VOCAB = 32  # prune target per M-step (single chars always kept)
+_UNI_ROUNDS = 2  # EM iterations
+_PAD = 8  # zero-pad width of the cost prefix in the DP string
+
+
+def _fl2(c: Column) -> Column:
+    return F.length(F.bin(c)) - 1
+
+
+def _duck_fl2(x: str) -> str:
+    return f"(length(bin({x})) - 1)"
+
+
+# -- shared DuckDB CTE chain --------------------------------------------------
+
+
+def _duck_uni_ctes(rounds: int) -> list[str]:
+    """seed (w0/occ/cand/v0) + per-EM-round (edges, 8 relax steps,
+    best, counts, prune, re-cost) CTE chain; `rounds` extra E-steps
+    beyond _UNI_ROUNDS give consumers (the fertility eval) the final
+    segmentation under the trained costs."""
+    zero = "0" * _PAD
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  WHERE w <> '' AND length(w) <= {_UNI_RELAX} GROUP BY w
+), occ AS MATERIALIZED (
+  SELECT p.w, p.st - 1 AS s, p.st + l.l - 1 AS e,
+         substring(p.w, p.st, l.l) AS piece
+  FROM (SELECT w, unnest(generate_series(1, length(w))) AS st FROM w0) p,
+       (SELECT unnest(generate_series(1, {_UNI_MAXP})) AS l) l
+  WHERE p.st + l.l - 1 <= length(p.w)
+), cand AS (
+  SELECT o.piece, CAST(SUM(f.freq) AS BIGINT) AS c
+  FROM occ o JOIN w0 f ON o.w = f.w GROUP BY o.piece
+), seed AS (
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (
+      ORDER BY c * length(piece) DESC, piece) AS rk
+    FROM cand WHERE length(piece) >= 2)
+  WHERE rk <= {_UNI_SEED}
+  UNION ALL
+  SELECT piece, c FROM cand WHERE length(piece) = 1
+), v0 AS MATERIALIZED (
+  SELECT piece,
+         CAST({_duck_fl2('t.tot + 1')} - {_duck_fl2('s.c + 1')} AS BIGINT) AS cost
+  FROM seed s CROSS JOIN (SELECT SUM(c) AS tot FROM seed) t
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        pv = f"v{r - 1}"
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT o.w, o.s, o.e, o.piece, v.cost
+  FROM occ o JOIN {pv} v ON o.piece = v.piece
+), d{r}_0 AS (
+  SELECT w, 0 AS pos, '{zero}|' AS enc FROM w0
+)"""
+        )
+        for t in range(1, _UNI_RELAX + 1):
+            parts.append(
+                f"""d{r}_{t} AS MATERIALIZED (
+  SELECT w, pos, MIN(enc) AS enc FROM (
+    SELECT w, pos, enc FROM d{r}_{t - 1}
+    UNION ALL
+    SELECT d.w, g.e AS pos,
+           lpad(CAST(CAST(substring(d.enc, 1, {_PAD}) AS BIGINT) + g.cost
+                     AS VARCHAR), {_PAD}, '0')
+           || '|' || substring(d.enc, {_PAD + 2}) || ' ' || g.piece AS enc
+    FROM d{r}_{t - 1} d JOIN e{r} g ON g.w = d.w AND g.s = d.pos
+  ) GROUP BY w, pos
+)"""
+            )
+        parts.append(
+            f"""best{r} AS MATERIALIZED (
+  SELECT d.w, f.freq, trim(substring(d.enc, {_PAD + 2})) AS path
+  FROM d{r}_{_UNI_RELAX} d JOIN w0 f ON d.w = f.w
+  WHERE d.pos = length(d.w)
+), m{r} AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS m
+  FROM (SELECT freq, unnest(string_split(path, ' ')) AS piece FROM best{r})
+  GROUP BY piece
+), k{r} AS (
+  SELECT piece, m FROM (
+    SELECT p.piece, COALESCE(mm.m, 0) AS m,
+           row_number() OVER (ORDER BY COALESCE(mm.m, 0) DESC, p.piece) AS rk
+    FROM (SELECT piece FROM {pv}) p
+    LEFT JOIN m{r} mm ON p.piece = mm.piece)
+  WHERE rk <= {_UNI_VOCAB} OR length(piece) = 1
+), v{r} AS MATERIALIZED (
+  SELECT k.piece, k.m,
+         CAST({_duck_fl2('t.tot + 1')} - {_duck_fl2('k.m + 1')} AS BIGINT) AS cost
+  FROM k{r} k CROSS JOIN (SELECT SUM(m) AS tot FROM k{r}) t
+)"""
+        )
+    return parts
+
+
+def _duck_uni_train() -> str:
+    parts = _duck_uni_ctes(_UNI_ROUNDS)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len,
+       m AS seg_count, CAST(cost AS INTEGER) AS cost_bits
+FROM v{_UNI_ROUNDS}
+ORDER BY seg_count DESC, piece
+"""
+    )
+
+
+def _duck_uni_fertility() -> str:
+    # one extra E-step under the trained costs gives the final
+    # per-word segmentation the corpus is scored with
+    final = _UNI_ROUNDS + 1
+    parts = _duck_uni_ctes(final)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, perw AS (
+  SELECT w, CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces
+  FROM best{final}
+), dw AS (
+  SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents
+)
+SELECT dw.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+       ROUND(CAST(SUM(p.n_pieces) AS DOUBLE) / COUNT(*), 6) AS fertility,
+       ROUND(CAST(SUM(length(dw.w)) AS DOUBLE) / SUM(p.n_pieces), 6)
+         AS chars_per_piece
+FROM dw JOIN perw p ON dw.w = p.w
+WHERE dw.w <> '' AND length(dw.w) <= {_UNI_RELAX}
+GROUP BY dw.lang
+ORDER BY dw.lang
+"""
+    )
+
+
+# -- Spark side ---------------------------------------------------------------
+
+
+def _uni_word_freq(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") <= _UNI_RELAX))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _uni_occurrences(wf: DataFrame) -> DataFrame:
+    """Candidate piece occurrences (w, s, e, piece) for all substrings
+    of length 1.._UNI_MAXP — the word's segmentation lattice edges."""
+    return (
+        wf.select("w")
+        .select("w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("st"))
+        .select(
+            "w", "st", F.explode(F.sequence(F.lit(1), F.lit(_UNI_MAXP))).alias("l")
+        )
+        .where(F.col("st") + F.col("l") - 1 <= F.length("w"))
+        .select(
+            "w",
+            (F.col("st") - 1).alias("s"),
+            (F.col("st") + F.col("l") - 1).alias("e"),
+            F.expr("substring(w, st, l)").alias("piece"),
+        )
+    )
+
+
+def _uni_viterbi(wf: DataFrame, occ: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Best segmentation per word under `vocab` costs: _UNI_RELAX
+    unrolled min-plus rounds over (w, pos) with the sortable
+    `cost|path` DP string (see module docstring). Returns
+    (w, freq, path)."""
+    edges = cut_lineage(
+        occ.join(F.broadcast(vocab.select("piece", "cost")), "piece").select(
+            F.col("w").alias("ew"), "s", "e", "piece", "cost"
+        )
+    )
+    d = wf.select(
+        "w", F.lit(0).alias("pos"), F.lit("0" * _PAD + "|").alias("enc")
+    )
+    for _t in range(_UNI_RELAX):
+        ext = (
+            d.join(edges, (F.col("w") == F.col("ew")) & (F.col("s") == F.col("pos")))
+            .select(
+                "w",
+                F.col("e").alias("pos2"),
+                F.concat(
+                    F.lpad(
+                        (
+                            F.substring("enc", 1, _PAD).cast("long") + F.col("cost")
+                        ).cast("string"),
+                        _PAD,
+                        "0",
+                    ),
+                    F.lit("|"),
+                    F.expr(f"substring(enc, {_PAD + 2})"),
+                    F.lit(" "),
+                    F.col("piece"),
+                ).alias("enc2"),
+            )
+            .select("w", F.col("pos2").alias("pos"), F.col("enc2").alias("enc"))
+        )
+        d = cut_lineage(
+            d.unionByName(ext).groupBy("w", "pos").agg(F.min("enc").alias("enc"))
+        )
+    return (
+        d.join(wf, "w")
+        .where(F.col("pos") == F.length("w"))
+        .select("w", "freq", F.trim(F.expr(f"substring(enc, {_PAD + 2})")).alias("path"))
+    )
+
+
+def _uni_mstep(best: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Counts from the segmentations -> prune (top _UNI_VOCAB by
+    count, single chars always kept) -> integer-bits re-cost.
+    Returns (piece, m, cost)."""
+    m = (
+        best.select("freq", F.explode(F.split("path", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("m"))
+    )
+    allp = vocab.select("piece").join(m, "piece", "left").select(
+        "piece", F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m")
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("m").desc(), "piece"))
+    keep = (
+        allp.withColumn("rk", rk)
+        .where((F.col("rk") <= _UNI_VOCAB) | (F.length("piece") == 1))
+        .select("piece", "m")
+    )
+    tot = keep.agg(F.sum("m").alias("tot"))
+    return cut_lineage(
+        keep.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            "m",
+            (_fl2(F.col("tot") + 1) - _fl2(F.col("m") + 1)).cast("long").alias("cost"),
+        )
+    )
+
+
+def _uni_train(docs: DataFrame, rounds: int = _UNI_ROUNDS):
+    """Run seed + `rounds` EM iterations; returns (wf, occ, vocab)
+    with vocab = (piece, m, cost) after the last M-step."""
+    wf = cut_lineage(_uni_word_freq(docs))
+    occ = cut_lineage(_uni_occurrences(wf))
+    cand = occ.join(wf, "w").groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("c")
+    )
+    rk = F.row_number().over(
+        Window.orderBy((F.col("c") * F.length("piece")).desc(), "piece")
+    )
+    seed = (
+        cand.where(F.length("piece") >= 2)
+        .withColumn("rk", rk)
+        .where(F.col("rk") <= _UNI_SEED)
+        .select("piece", "c")
+        .unionByName(cand.where(F.length("piece") == 1).select("piece", "c"))
+    )
+    tot = seed.agg(F.sum("c").alias("tot"))
+    vocab = cut_lineage(
+        seed.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            (_fl2(F.col("tot") + 1) - _fl2(F.col("c") + 1)).cast("long").alias("cost"),
+        )
+    )
+    for _r in range(rounds):
+        best = _uni_viterbi(wf, occ, vocab)
+        vocab = _uni_mstep(best, vocab)
+    return wf, occ, vocab
+
+
+def unigram_train_frame(docs: DataFrame, rounds: int = _UNI_ROUNDS) -> DataFrame:
+    """The trained vocabulary over an explicit (text) frame — shared
+    by the registered query and the hand-computed semantics test."""
+    _wf, _occ, vocab = _uni_train(docs, rounds)
+    return vocab.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("m").alias("seg_count"),
+        F.col("cost").cast("int").alias("cost_bits"),
+    ).orderBy(F.col("seg_count").desc(), "piece")
+
+
+@query("unigram_train_vocab", oracle=_duck_uni_train())
+def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM vocabulary: (piece, piece_len,
+    seg_count, cost_bits) after seed + {r} Viterbi-EM rounds — the
+    pieces the tokenizer ships, with their final segmentation counts
+    and integer-bit costs. See the module docstring for the
+    algorithm, determinism, and scale analysis; the oracle unrolls
+    the identical seed -> (E -> M)^{r} chain as CTEs.""".format(
+        r=_UNI_ROUNDS
+    )
+    return unigram_train_frame(load_table(spark, sf_dir, "documents"))
+
+
+@query("unigram_fertility_by_lang", oracle=_duck_uni_fertility())
+def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's equity/compression report — the twin of
+    `bpe_fertility_by_lang` for the OTHER trainer: encode the corpus
+    with the trained vocabulary (one extra Viterbi pass under the
+    final costs — vocab-sized, like every training round) and reduce
+    to pieces-per-word (fertility) and chars-per-piece by the corpus
+    `lang` tag. Note the OOV rate this table would otherwise carry is
+    0 BY CONSTRUCTION — single-char pieces are never pruned, the
+    closed-cover property that distinguishes unigram-LM from BPE
+    (whose held-out OOV leg `bpe_heldout_oov` measures real misses).
+    Corpus-sized work: the one exploded-words join against the tiny
+    per-word piece counts; integer sums, one division per metric,
+    round(6) — bit-equal across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf, occ, vocab = _uni_train(docs)
+    best = _uni_viterbi(wf, occ, vocab)
+    perw = best.select(
+        "w", F.size(F.split("path", " ")).cast("long").alias("n_pieces")
+    )
+    dw = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).where((F.col("w") != "") & (F.length("w") <= _UNI_RELAX))
+    return (
+        dw.join(perw, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6).alias(
+                "fertility"
+            ),
+            F.round(
+                F.sum(F.length("w")).cast("double") / F.sum("n_pieces"), 6
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )

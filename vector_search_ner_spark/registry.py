@@ -42,6 +42,8 @@ _QUERY_MODULES = [
     "vector_search_ner_spark.plans.queries_lakehouse",
     "vector_search_ner_spark.plans.queries_dataprep",
     "vector_search_ner_spark.plans.queries_pretrain",
+    "vector_search_ner_spark.plans.queries_curation",
+    "vector_search_ner_spark.plans.queries_unigram",
 ]
 
 
@@ -68,71 +70,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-9 rotation. Surface = 263 registered queries, every one
-    # with a full DuckDB value-hash oracle; by r08 all prior 227 had
+    # Round-10 rotation. Surface = 270 registered queries, every one
+    # with a full DuckDB value-hash oracle; by r09 all prior 263 had
     # been driver-sampled at least once with every latest verdict
-    # green (CORRECTNESS_r08 = 50/50). This window front-loads the 19
-    # NEW queries and the 5 whose code or oracle CHANGED this round
-    # (the SemDeDup giant-cluster rank cap touched all three sweep
-    # variants and bumped the semantic store to v2; dedup_index_compact
-    # got the keyed delta staging + empty-shard guard;
-    # stream_index_ingest got the entry checkpoint wipe). Positions
-    # after this list backfill with already-green registration-order
-    # queries as re-confirms.
+    # green (CORRECTNESS_r09 = 50/50, cumulative union r1-r9 =
+    # 263/263). This window front-loads the 7 NEW queries (the rung-0
+    # source-curation family, the unigram-LM tokenizer trainer + its
+    # fertility eval) and the 5 whose code or oracle CHANGED this
+    # round (pretrain_corpus_e2e gained the source_gate ingest rung;
+    # dp_geometric_counts moved to the true two-sided geometric,
+    # epsilon now honestly ln 2; anonymize_microagg suppresses
+    # under-k segments; dedup_embedding_cosine probes flip-2
+    # neighbors; dedup_cosine_eval_report became the probe-depth
+    # curve). Positions after this list backfill with already-green
+    # registration-order queries as re-confirms.
     "pretrain_corpus_e2e",
-    "stream_semantic_index_append",
-    "semantic_index_staleness",
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "ann_sq_adc_topk",
-    "ann_sq_recall_report",
-    "ann_tier_eval_ndcg",
-    "stream_quality_gate",
-    "mine_hard_negatives",
-    "bpe_fertility_by_lang",
-    "ann_mrl_topk",
-    "ann_mrl_recall_report",
-    "doc_surprisal_buckets",
-    "mixture_temperature_weights",
-    "gdpr_delete_cascade",
-    "bpe_compression_curve",
-    "stream_gdpr_tombstones",
-    "ann_filtered_prepost_eval",
-    "dedup_semantic_prune",
-    "dedup_semantic_prune_greedy",
-    "dedup_semantic_incremental",
-    "dedup_index_compact",
-    "stream_index_ingest",
-    # late-r9 changes: the mixed distinct+sketch aggregation was split
-    # (Expand was re-keying 20k partial groups each carrying a full
-    # QuantileSummaries buffer through the shuffle — 19s -> 1s at
-    # sf0.1); output identical, oracle unchanged, but the plan moved
-    # so the driver re-confirms it.
-    "sketch_distinct_quantiles",
-    # late-r9 NEW queries (privacy governance, runtime-filter/sketch
-    # substrate, model-based quality filtering) — all full-oracle.
-    "l_diversity_audit",
+    "source_reputation_report",
+    "source_curation_gate",
+    "source_quota_enforce",
+    "unigram_train_vocab",
+    "unigram_fertility_by_lang",
     "dp_geometric_counts",
-    "anonymize_generalize",
-    "join_bloom_prefilter",
-    "sketch_countmin_topk",
-    "quality_classifier_perceptron",
-    "bpe_heldout_oov",
-    "dataset_length_buckets",
-    "stream_countmin_ingest",
-    "quality_classifier_inference",
     "anonymize_microagg",
-    "mixture_token_budget",
-    "dedup_simhash_eval_report",
-    # dedup_embedding_cosine UPGRADED to multi-probe sign-LSH (the new
-    # eval measured single-probe recall at 0.125; flip-1 probing lifts
-    # it to 0.60 for a bounded 5x candidate multiplier) — code AND
-    # oracle changed together, so the driver re-confirms it.
     "dedup_embedding_cosine",
     "dedup_cosine_eval_report",
-    "stream_bloom_prefilter",
-    "dedup_minhash_estimate_eval",
-    "quality_classifier_heldout",
 ]
 
 

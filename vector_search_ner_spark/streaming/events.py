@@ -920,3 +920,125 @@ def stream_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_false_neg") == 0).alias("no_false_negatives"),
     )
+
+
+def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUOTA ENFORCEMENT AT INGEST — the streamed stateful
+    twin of the curation rung 0 that `pretrain_corpus_e2e` consumes
+    (plans/queries_curation.py): documents arrive in crawl order (the
+    quota's own semantics — 'first N docs / first B bytes per domain'
+    is defined over arrival order, which a crawl stream delivers by
+    construction; the harness realizes it as 4 doc_id-range files fed
+    one per micro-batch), each micro-batch consults the offline
+    reputation/blocklist verdict (a slowly-changing dimension joined
+    stream-static, broadcast — the stream never shuffles for it) and
+    an `applyInPandasWithState` operator keeps ONE tiny state row per
+    source: (docs seen, chars seen). A document is admitted iff both
+    quotas still hold at its arrival position; admitted rows are
+    emitted with their rank and running volume.
+
+    The state is a pair of monotone counters per DOMAIN (not per doc)
+    — millions of domains = megabytes of state at 100 TB scale, the
+    canonical cheap-state streaming shape; per micro-batch work is
+    vectorized numpy (cumsum/arange over the batch's rows), never
+    row-at-a-time Python.
+
+    Shares the batch `source_quota_enforce` oracle VERBATIM: the
+    streamed admission set, ranks and running sums included, must
+    equal the batch window computation bit-for-bit — a lost batch,
+    a replayed batch, or any drift between the stream's running
+    counters and the batch window flips the value hash."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vector_search_ner_spark.plans.queries_curation import (
+        _REP_DUP_CAP,
+        _REP_QUALITY_FLOOR,
+        _SRC_CHAR_QUOTA,
+        _SRC_DOC_QUOTA,
+        _rep_frame,
+    )
+
+    # the offline reputation verdict (tiny, per-source) — recomputed
+    # here exactly as the batch gate does; a deployment would read the
+    # persisted verdict table instead
+    rep = _rep_frame(spark, sf_dir)
+    ok = rep.where(
+        ~(
+            F.col("blocked")
+            | (F.col("dup_rate") > _REP_DUP_CAP)
+            | (F.col("mean_quality") < _REP_QUALITY_FLOOR)
+        )
+    ).select("source")
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+        "source_quota_stream_src",
+    )
+    feed = (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(ok), "source")
+        .select("doc_id", "source", "n_chars")
+    )
+    feed.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(art)
+    # the file source feeds files OLDEST-MTIME-FIRST (ties unordered),
+    # not by path — stamp ascending mtimes in doc_id-range order so the
+    # stream genuinely arrives in crawl order (the semantics a crawl
+    # queue provides by construction; the harness must reproduce it)
+    import glob
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    def _min_doc_id(path: str) -> int:
+        f = pq.ParquetFile(path)
+        idx = f.schema_arrow.names.index("doc_id")
+        mins = [
+            f.metadata.row_group(i).column(idx).statistics.min
+            for i in range(f.metadata.num_row_groups)
+            if f.metadata.row_group(i).num_rows > 0
+        ]
+        return min(mins) if mins else 1 << 60
+
+    base_t = _time.time() - 86400
+    parts = sorted(glob.glob(os.path.join(art, "part-*")), key=_min_doc_id)
+    for rank, p in enumerate(parts):
+        os.utime(p, (base_t + 60 * rank, base_t + 60 * rank))
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(art)
+    )
+
+    def admit(key: tuple, pdfs, state: GroupState):
+        rn, cum = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            rns = rn + np.arange(1, len(pdf) + 1)
+            cums = cum + pdf["n_chars"].astype("int64").cumsum().to_numpy()
+            keep = (rns <= _SRC_DOC_QUOTA) & (cums <= _SRC_CHAR_QUOTA)
+            rn += len(pdf)
+            cum += int(pdf["n_chars"].sum())
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy()[keep],
+                        "source": key[0],
+                        "rn": rns[keep].astype("int32"),
+                        "cum_chars": cums[keep],
+                    }
+                )
+        state.update((int(rn), int(cum)))
+
+    out = stream.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType="doc_id bigint, source string, rn int, cum_chars bigint",
+        stateStructType="rn bigint, cum bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append")
