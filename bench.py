@@ -22,37 +22,35 @@ from vector_search_ner_spark.session import get_spark  # noqa: E402
 from vector_search_ner_spark import registry  # noqa: E402
 
 # Headline set: flagship vector ops + the shuffle-heaviest relational
-# queries + (as they land) dedup / text-analysis pipeline ops.
-# Kept at ~51 entries: stable sub-second queries rotate OUT as new
-# headline ops land (they stay fully oracle-checked in the registry)
-# so the compact summary line stays inside the driver's 2000-char
-# stdout tail. Rotated out r7: postings_korean_drift_search,
-# embedding_quantize_int8, events_tumbling_window, doc_bigram_counts
-# (0.27-0.54 s, flat across rounds 4-6). Rotated out r8 (0.54-0.69 s,
-# flat across rounds 5-8): window_top_orders_per_cust,
-# ner_metadata_filter, asof_join_click_view, dataset_pack_sequences.
+# queries + dedup / text-analysis / tokenizer-induction pipeline ops.
+# CAPPED AT 50 entries as of r10 (judge process item): stable sub-2s
+# queries rotate OUT as new headline ops land (they stay fully
+# oracle-checked in the registry, and the FULL-surface timing pass —
+# perf_full_surface.py / FULLSURFACE_r{n}.json — is the regression
+# tripwire for everything rotated out), so the compact summary line
+# stays inside the driver's 2000-char stdout tail with ZERO elisions.
+# Rotated out r7: postings_korean_drift_search, embedding_quantize_
+# int8, events_tumbling_window, doc_bigram_counts. Rotated out r8:
+# window_top_orders_per_cust, ner_metadata_filter, asof_join_click_
+# view, dataset_pack_sequences. Rotated out r10 (0.8-1.4 s, flat
+# across rounds): cube_status_priority, q13_order_count_distribution,
+# text_pii_scrub, q3_top_unshipped, q10_returned_items,
+# doc_quality_scores, tfidf_top_terms, events_funnel_analysis,
+# doc_lm_surprisal, sketch_countmin_topk, ann_mrl_topk,
+# events_session_windows, knn_filtered, ann_sq_adc_topk,
+# ann_bq_hamming_topk, semantic_index_staleness, q18_large_orders.
 HEADLINE = [
     "knn_topk_cosine",
-    "knn_filtered",
     "similarity_full_scan",
     "q1_pricing_summary",
-    "q3_top_unshipped",
     "q5_local_supplier_volume",
-    "q10_returned_items",
-    "cube_status_priority",
     "dedup_exact_text",
     "dedup_minhash_lsh",
-    "doc_quality_scores",
     "staged_retrieval_pipeline",
     "index_build_pipeline",
-    "events_session_windows",
-    "tfidf_top_terms",
-    "q18_large_orders",
-    "q13_order_count_distribution",
     "q8_market_share",
     "q21_sole_blame_supplier",
     "ann_pq_adc_topk",
-    "events_funnel_analysis",
     "contamination_check",
     "staged_retrieval_v1_hybrid",
     "ann_ivf_pq_refined",
@@ -61,7 +59,6 @@ HEADLINE = [
     "dedup_keep_best",
     "staged_retrieval_topk_scale",
     "corpus_prep_pipeline",
-    "doc_lm_surprisal",
     "ann_ivf_lloyd_topk",
     "bm25_topk",
     "dedup_clusters_cc",
@@ -71,72 +68,38 @@ HEADLINE = [
     # stream_* queries stay out of the wall-clock headline by
     # convention (processAllAvailable harness overhead dominates);
     # they are fully oracle-checked in the registry
-    "text_pii_scrub",
     "hybrid_rrf_ivf_fusion",
     "repeated_span_cut_apply",
-    "ann_bq_hamming_topk",
     "dedup_sorted_neighborhood",
     "late_interaction_maxsim",
     "ann_maxsim_bq_topk",
     "hybrid_rrf_bq_fusion",
     "hybrid_rrf_maxsim_fusion",
-    # round-7 additions
     "dedup_incremental_vs_index",
     "doc_language_quality_gate",
-    # round-8 additions: both SemDeDup sweep rules (conservative +
-    # the paper's greedy-kept twin) — the semantic dedup rung's cost
-    # was previously unrepresented in the headline set
     "dedup_semantic_prune",
     "dedup_semantic_prune_greedy",
     "dsir_importance_select",
     "dedup_index_compact",
     "dedup_semantic_incremental",
-    # round-9 additions: the curation flagship (every rung in one
-    # plan), the iterative BPE trainer, and the semantic-index
-    # staleness report (stream_semantic_index_append stays out per the
-    # stream_* convention; it is fully oracle-checked in the registry)
     "pretrain_corpus_e2e",
     "bpe_train_merges",
-    "semantic_index_staleness",
-    # round-9 late additions: the BPE corpus encoder (train-once
-    # vocabulary join shape) and the int8 SQ search tier (the ladder's
-    # 4x rung gets its query path)
     "bpe_encode_corpus",
-    "ann_sq_adc_topk",
-    # round-9 final additions: the IR-metric tier eval (MRR/nDCG/
-    # recall over the SQ+BQ tiers), hard-negative mining (BM25 ∖
-    # exact-cosine with semi-hard margin), and per-language tokenizer
-    # fertility (stream_quality_gate stays out per the stream_*
-    # convention; it is fully oracle-checked in the registry)
     "ann_tier_eval_ndcg",
     "mine_hard_negatives",
     "bpe_fertility_by_lang",
-    # the Matryoshka tier and the CCNet surprisal terciles (the
-    # temperature-mixture weights run on a languages-sized frame —
-    # sub-second and flat, so they stay out of the wall-clock
-    # headline; fully oracle-checked in the registry)
-    "ann_mrl_topk",
     "doc_surprisal_buckets",
-    # the BPE vocab-size tuning curve (gdpr_delete_cascade and
-    # stream_gdpr_tombstones stay out: the cascade's timed cost is
-    # dominated by whether its three stores already exist — its
-    # honest number is the perf_scale_gdpr.py probe; streams stay out
-    # per the stream_* convention)
     "bpe_compression_curve",
     "ann_filtered_prepost_eval",
-    # round-9 last wave: the explicit Bloom runtime prefilter (the
-    # zero-fact-shuffle semi-join shape), the Count-Min heavy-hitter
-    # grid, and the in-engine perceptron quality-classifier trainer
-    # (the privacy trio — l_diversity/anonymize/dp counts — runs on
-    # customer-group-sized aggregates, sub-second and flat, so it
-    # stays out of the wall-clock headline; fully oracle-checked)
-    "join_bloom_prefilter",
-    "sketch_countmin_topk",
-    "quality_classifier_perceptron",
-    # the held-out tokenizer eval (trains the vocab on the 90% shard —
-    # real iterative work; dataset_length_buckets is a sub-second
-    # 4-group agg and stays out of the wall-clock headline)
-    "bpe_heldout_oov",
+    # round-10 additions: the unigram-LM (SentencePiece-style)
+    # Viterbi-EM tokenizer trainer — the second iterative-trainer
+    # headline next to BPE — and the rung-0 source-reputation
+    # aggregate (one full corpus pass: per-doc quality + fingerprint
+    # into a per-source hash agg). quality_classifier_perceptron,
+    # join_bloom_prefilter, and bpe_heldout_oov rotated r9->r10 into
+    # the full-surface tripwire to make room under the 50-entry cap.
+    "unigram_train_vocab",
+    "source_reputation_report",
 ]
 
 

@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "source_reputation_report",
     "source_curation_gate",
     "source_quota_enforce",
+    "stream_source_quota",
     "unigram_train_vocab",
     "unigram_fertility_by_lang",
     "dp_geometric_counts",
