@@ -38,9 +38,12 @@ Scale shape (100 TB): the corpus-sized work is ONE word-frequency
 hash agg (and, for the eval leg, one exploded-words join against the
 per-word piece counts — corpus rows never carry paths or lattices);
 all training rounds run over |vocab| x max-word-length frames. The
-relaxation is a per-WORD keyed shuffle (group by (w, pos)) — no
-global window anywhere except the vocabulary-sized prune rank, the
-same global-top-K shape the BPE trainer's round winner uses.
+relaxation is a per-WORD keyed shuffle (group by (w, pos)); the seed
+and prune top-K selections are TakeOrderedAndProject (per-partition
+top-K + driver merge — never a single-partition global window, which
+would serialize a web-scale substring inventory through one task;
+the oracle expresses the same selection as a rank filter, equivalent
+because the piece key makes the order total).
 
 Reference: no tokenizer exists in the reference (SURVEY §2 north-star
 scope); the BPE twin lives in plans/queries_dataprep.py.
@@ -48,7 +51,7 @@ scope); the BPE twin lives in plans/queries_dataprep.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_ner_spark.registry import query
@@ -288,11 +291,18 @@ def _uni_mstep(best: DataFrame, vocab: DataFrame) -> DataFrame:
     allp = vocab.select("piece").join(m, "piece", "left").select(
         "piece", F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m")
     )
-    rk = F.row_number().over(Window.orderBy(F.col("m").desc(), "piece"))
+    # top-_UNI_VOCAB via TakeOrderedAndProject (per-partition top-K +
+    # driver merge — NOT a single-partition global window, which would
+    # serialize a web-scale piece inventory through one task), then
+    # the never-pruned single chars union back in; a char inside the
+    # top-K appears in both legs as an identical row, deduped by key.
+    # Equivalent to the oracle's rank <= K OR length = 1 (the piece
+    # key is unique, so (m DESC, piece) is a total order).
     keep = (
-        allp.withColumn("rk", rk)
-        .where((F.col("rk") <= _UNI_VOCAB) | (F.length("piece") == 1))
-        .select("piece", "m")
+        allp.orderBy(F.col("m").desc(), "piece")
+        .limit(_UNI_VOCAB)
+        .unionByName(allp.where(F.length("piece") == 1))
+        .dropDuplicates(["piece"])
     )
     tot = keep.agg(F.sum("m").alias("tot"))
     return cut_lineage(
@@ -312,13 +322,15 @@ def _uni_train(docs: DataFrame, rounds: int = _UNI_ROUNDS):
     cand = occ.join(wf, "w").groupBy("piece").agg(
         F.sum("freq").cast("long").alias("c")
     )
-    rk = F.row_number().over(
-        Window.orderBy((F.col("c") * F.length("piece")).desc(), "piece")
-    )
+    # Kudo's seeding score freq x len, top-_UNI_SEED via
+    # TakeOrderedAndProject (no single-partition window — the
+    # candidate-substring relation is ~30x the word vocabulary);
+    # length >= 2 and length = 1 legs are disjoint, so the union
+    # needs no dedup. Equivalent to the oracle's rank filter.
     seed = (
         cand.where(F.length("piece") >= 2)
-        .withColumn("rk", rk)
-        .where(F.col("rk") <= _UNI_SEED)
+        .orderBy((F.col("c") * F.length("piece")).desc(), "piece")
+        .limit(_UNI_SEED)
         .select("piece", "c")
         .unionByName(cand.where(F.length("piece") == 1).select("piece", "c"))
     )
