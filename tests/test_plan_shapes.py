@@ -706,3 +706,73 @@ def test_bloom_prefilter_single_fact_scan(spark, sf_dir):
     assert tree.count("Scan parquet") == 1, tree
     assert "SortMergeJoin" not in tree, tree
     assert "ShuffledHashJoin" not in tree, tree
+
+
+def test_source_quota_window_is_keyed(spark, sf_dir):
+    """The quota window must partition by source (each domain ranks
+    independently across the cluster) — never an unpartitioned global
+    sort; and the unigram trainer's seed/prune top-K selections must
+    compile to TakeOrderedAndProject, not a single-partition Window
+    (the r10 rewrite this pins)."""
+    import contextlib
+    import io
+
+    from vector_search_ner_spark.registry import collect as _collect
+
+    queries, _ = _collect()
+
+    def tree_of(name):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            queries[name](spark, sf_dir).explain("formatted")
+        return buf.getvalue()
+
+    quota = tree_of("source_quota_enforce")
+    # the physical Window must be keyed: a global window would carry
+    # a SinglePartition exchange below it
+    assert "Window" in quota
+    assert "SinglePartition" not in quota, quota
+
+    # the unigram trainer's OUTPUT frame is lineage-cut, so pin the
+    # seed selection's plan directly: TakeOrderedAndProject, no Window
+    from pyspark.sql import functions as F
+
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _uni_occurrences,
+        _uni_seed,
+        _uni_word_freq,
+    )
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    wf = _uni_word_freq(load_table(spark, sf_dir, "documents"))
+    cand = (
+        _uni_occurrences(wf)
+        .join(wf, "w")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("c"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _uni_seed(cand).explain("formatted")
+    uni = buf.getvalue()
+    assert "TakeOrderedAndProject" in uni, uni
+    assert "Window" not in uni, uni
+
+
+def test_reputation_report_is_one_pass(spark, sf_dir):
+    """The reputation aggregate reads the corpus ONCE (a single
+    parquet scan feeding one partial+final hash-agg pair keyed by
+    source) — per-doc quality/fingerprint staging must not re-derive
+    the scan per aggregate."""
+    import contextlib
+    import io
+
+    from vector_search_ner_spark.registry import collect as _collect
+
+    queries, _ = _collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        queries["source_reputation_report"](spark, sf_dir).explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "HashAggregate" in tree, tree

@@ -279,6 +279,23 @@ def _uni_viterbi(wf: DataFrame, occ: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def _uni_seed(cand: DataFrame) -> DataFrame:
+    """Kudo's seeding: top-_UNI_SEED multi-char substrings by the
+    freq x len score via TakeOrderedAndProject (per-partition top-K +
+    driver merge — no single-partition window; the candidate-substring
+    relation is ~30x the word vocabulary), plus every single char.
+    The legs are disjoint (length >= 2 vs = 1), so the union needs no
+    dedup. Equivalent to the oracle's rank filter (piece key unique →
+    total order). The plan shape is pinned in test_plan_shapes."""
+    return (
+        cand.where(F.length("piece") >= 2)
+        .orderBy((F.col("c") * F.length("piece")).desc(), "piece")
+        .limit(_UNI_SEED)
+        .select("piece", "c")
+        .unionByName(cand.where(F.length("piece") == 1).select("piece", "c"))
+    )
+
+
 def _uni_mstep(best: DataFrame, vocab: DataFrame) -> DataFrame:
     """Counts from the segmentations -> prune (top _UNI_VOCAB by
     count, single chars always kept) -> integer-bits re-cost.
@@ -322,18 +339,7 @@ def _uni_train(docs: DataFrame, rounds: int = _UNI_ROUNDS):
     cand = occ.join(wf, "w").groupBy("piece").agg(
         F.sum("freq").cast("long").alias("c")
     )
-    # Kudo's seeding score freq x len, top-_UNI_SEED via
-    # TakeOrderedAndProject (no single-partition window — the
-    # candidate-substring relation is ~30x the word vocabulary);
-    # length >= 2 and length = 1 legs are disjoint, so the union
-    # needs no dedup. Equivalent to the oracle's rank filter.
-    seed = (
-        cand.where(F.length("piece") >= 2)
-        .orderBy((F.col("c") * F.length("piece")).desc(), "piece")
-        .limit(_UNI_SEED)
-        .select("piece", "c")
-        .unionByName(cand.where(F.length("piece") == 1).select("piece", "c"))
-    )
+    seed = _uni_seed(cand)
     tot = seed.agg(F.sum("c").alias("tot"))
     vocab = cut_lineage(
         seed.crossJoin(F.broadcast(tot)).select(
