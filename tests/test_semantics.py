@@ -3015,3 +3015,44 @@ def test_unigram_compression_curve_prices_the_prune(spark):
     assert r2["fertility"] < 0.5 * base["fertility"]  # prune keeps most of it
     for r in rows:
         assert abs(r["fertility"] - round(r["n_pieces"] / r["n_words"], 6)) < 1e-9
+
+
+def test_unigram_kbest_laws(spark):
+    """k-best laws: every word emits rank 1 with contiguous ranks up
+    to k=2; costs are non-decreasing in rank and paths distinct; EVERY
+    path reconstructs its word exactly (concatenation law — the
+    lattice can only tile the word); and the rank-1 path equals the
+    Viterbi path the fertility eval segments with (both run under the
+    final trained costs)."""
+    from collections import defaultdict
+
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _uni_occurrences,
+        _uni_train,
+        _uni_viterbi,
+        _uni_word_freq,
+    )
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    rows = qs["unigram_kbest_segmentations"](spark, sf).collect()
+    by_w = defaultdict(list)
+    for r in rows:
+        by_w[r["w"]].append(r)
+        assert "".join(r["path"].split(" ")) == r["w"], r
+    docs = load_table(spark, sf, "documents")
+    wf, occ, vocab = _uni_train(docs)
+    viterbi = {
+        r["w"]: r["path"] for r in _uni_viterbi(wf, occ, vocab).collect()
+    }
+    assert set(by_w) == set(viterbi)
+    for w, lst in by_w.items():
+        lst.sort(key=lambda r: r["sample_rank"])
+        assert [r["sample_rank"] for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 2
+        assert len({r["path"] for r in lst}) == len(lst)
+        for a, b in zip(lst, lst[1:]):
+            assert a["cost_bits"] <= b["cost_bits"]
+        assert lst[0]["path"] == viterbi[w], w

@@ -509,3 +509,139 @@ def unigram_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_piece"
         ),
     ).orderBy("round")
+
+
+# -- k-best segmentations (the subword-regularization half) -------------------
+
+_UNI_KBEST = 2  # alternatives kept per word (top-k labels per DP node)
+
+
+def _duck_uni_kbest() -> str:
+    parts = _duck_uni_ctes(_UNI_ROUNDS)
+    zero = "0" * _PAD
+    R = _UNI_ROUNDS
+    parts.append(
+        f"""ke AS MATERIALIZED (
+  SELECT o.w, o.s, o.e, o.piece, v.cost
+  FROM occ o JOIN v{R} v ON o.piece = v.piece
+), kd_0 AS (
+  SELECT w, 0 AS pos, '{zero}|' AS enc FROM w0
+)"""
+    )
+    for t in range(1, _UNI_RELAX + 1):
+        parts.append(
+            f"""kd_{t} AS MATERIALIZED (
+  SELECT w, pos, unnest(slist[1:{_UNI_KBEST}]) AS enc FROM (
+    SELECT w, pos, list_sort(list(DISTINCT enc)) AS slist FROM (
+      SELECT w, pos, enc FROM kd_{t - 1}
+      UNION ALL
+      SELECT d.w, g.e AS pos,
+             lpad(CAST(CAST(substring(d.enc, 1, {_PAD}) AS BIGINT) + g.cost
+                       AS VARCHAR), {_PAD}, '0')
+             || '|' || substring(d.enc, {_PAD + 2}) || ' ' || g.piece AS enc
+      FROM kd_{t - 1} d JOIN ke g ON g.w = d.w AND g.s = d.pos
+    ) GROUP BY w, pos)
+)"""
+        )
+    parts.append(
+        f"""kfinal AS (
+  SELECT d.w, f.freq, list_sort(list(DISTINCT d.enc)) AS encs
+  FROM kd_{_UNI_RELAX} d JOIN w0 f ON d.w = f.w
+  WHERE d.pos = length(d.w)
+  GROUP BY d.w, f.freq
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT w, freq, CAST(rnk AS INTEGER) AS sample_rank,
+       trim(substring(enc, {_PAD + 2})) AS path,
+       CAST(CAST(substring(enc, 1, {_PAD}) AS BIGINT) AS INTEGER) AS cost_bits
+FROM (
+  SELECT w, freq,
+         unnest(encs) AS enc,
+         unnest(generate_series(1, len(encs))) AS rnk
+  FROM kfinal
+)
+ORDER BY w, sample_rank
+"""
+    )
+
+
+@query("unigram_kbest_segmentations", oracle=_duck_uni_kbest())
+def unigram_kbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLING half of Kudo's paper: subword regularization draws
+    each training epoch's segmentation from the ALTERNATIVES the
+    unigram model admits, not just the argmax — this query emits, per
+    word, the top-{k} segmentations under the trained costs with
+    their integer-bit prices (sample_rank 1 = the Viterbi path the
+    encoder uses; rank 2 = the cheapest alternative a sampler would
+    mix in; words with a single admissible segmentation emit one row).
+
+    Exactness: the lattice is a DAG (positions strictly increase), so
+    keeping the {k} best DISTINCT labels per (word, position) node
+    through the same 8 unrolled relaxation rounds is the exact k-best
+    DP (any k-th-best path extends a <=k-th-best prefix). The
+    enc-string device extends unchanged — DISTINCT dedups identical
+    paths, lexicographic sort ranks by cost then path. Per-round
+    state is <= {k} rows per node: the same vocab-sized shape as the
+    trainer, with a collect_set -> sort -> slice aggregation instead
+    of MIN.""".format(k=_UNI_KBEST)
+    docs = load_table(spark, sf_dir, "documents")
+    wf, occ, vocab = _uni_train(docs)
+    edges = cut_lineage(
+        occ.join(F.broadcast(vocab.select("piece", "cost")), "piece").select(
+            F.col("w").alias("ew"), "s", "e", "piece", "cost"
+        )
+    )
+    d = wf.select("w", F.lit(0).alias("pos"), F.lit("0" * _PAD + "|").alias("enc"))
+    for _t in range(_UNI_RELAX):
+        ext = (
+            d.join(edges, (F.col("w") == F.col("ew")) & (F.col("s") == F.col("pos")))
+            .select(
+                "w",
+                F.col("e").alias("pos2"),
+                F.concat(
+                    F.lpad(
+                        (
+                            F.substring("enc", 1, _PAD).cast("long") + F.col("cost")
+                        ).cast("string"),
+                        _PAD,
+                        "0",
+                    ),
+                    F.lit("|"),
+                    F.expr(f"substring(enc, {_PAD + 2})"),
+                    F.lit(" "),
+                    F.col("piece"),
+                ).alias("enc2"),
+            )
+            .select("w", F.col("pos2").alias("pos"), F.col("enc2").alias("enc"))
+        )
+        d = cut_lineage(
+            d.unionByName(ext)
+            .groupBy("w", "pos")
+            .agg(
+                F.slice(F.array_sort(F.collect_set("enc")), 1, _UNI_KBEST).alias(
+                    "encs"
+                )
+            )
+            .select("w", "pos", F.explode("encs").alias("enc"))
+        )
+    kfinal = (
+        d.join(wf, "w")
+        .where(F.col("pos") == F.length("w"))
+        .groupBy("w", "freq")
+        .agg(F.array_sort(F.collect_set("enc")).alias("encs"))
+    )
+    return kfinal.select(
+        "w",
+        "freq",
+        F.posexplode("encs").alias("i", "enc"),
+    ).select(
+        "w",
+        "freq",
+        (F.col("i") + 1).cast("int").alias("sample_rank"),
+        F.trim(F.expr(f"substring(enc, {_PAD + 2})")).alias("path"),
+        F.substring("enc", 1, _PAD).cast("int").alias("cost_bits"),
+    ).orderBy("w", "sample_rank")
