@@ -3056,3 +3056,60 @@ def test_unigram_kbest_laws(spark):
         for a, b in zip(lst, lst[1:]):
             assert a["cost_bits"] <= b["cost_bits"]
         assert lst[0]["path"] == viterbi[w], w
+
+
+def test_cosine_ivf_eval_beats_lsh_per_candidate(spark):
+    """The learned-bucket (IVF) candidate tier must be monotone in
+    nprobe, hold its measured floors (0.2 / 0.6 at sf0.01; measured
+    0.25 / 0.725), keep candidates well below all-pairs, and — the
+    claim the operator family makes at scale — carry MORE recall per
+    candidate than the data-oblivious sign-LSH sketch at its deepest
+    tier (IVF nprobe=2: 0.725 recall for 24% of pairs vs flip-2's
+    0.875 for 68%)."""
+    from vector_search_ner_spark import registry
+
+    qs, _ = registry.collect()
+    sf = "/root/testdata/sf0.01"
+    ivf = sorted(
+        qs["dedup_cosine_ivf_eval"](spark, sf).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in ivf] == [1, 2]
+    floors = {1: 0.2, 2: 0.6}
+    all_pairs = 400 * 399 / 2
+    for r in ivf:
+        assert r["recall"] >= floors[r["nprobe"]], r
+        assert r["n_candidates"] < all_pairs / 2
+        assert r["n_found"] <= min(r["n_truth"], r["n_candidates"])
+    assert ivf[1]["n_candidates"] >= ivf[0]["n_candidates"]
+    assert ivf[1]["n_found"] >= ivf[0]["n_found"]
+    lsh = {
+        r["probe_depth"]: r
+        for r in qs["dedup_cosine_eval_report"](spark, sf).collect()
+    }
+    eff_ivf = ivf[1]["recall"] / (ivf[1]["n_candidates"] / all_pairs)
+    eff_lsh = lsh[2]["recall"] / (lsh[2]["n_candidates"] / all_pairs)
+    assert eff_ivf > 1.5 * eff_lsh, (eff_ivf, eff_lsh)
+
+
+def test_contamination_semantic_flags_only_cross_pairs(spark):
+    """Every flagged row pairs a non-src0 train doc with a src0 bench
+    doc at cosine >= the threshold; the flagged set matches a direct
+    recomputation (max over bench, ties to min bench_id)."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_dedup import _SEMCON_T
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    rows = qs["contamination_semantic"](spark, sf).collect()
+    assert rows  # the rung fires on the fixture (7 flagged at sf0.01)
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "source").collect()
+    }
+    for r in rows:
+        assert src[r["train_id"]] != "src0"
+        assert src[r["bench_id"]] == "src0"
+        assert r["cosine"] >= _SEMCON_T
+    assert len({r["train_id"] for r in rows}) == len(rows)  # one row per doc
