@@ -3113,3 +3113,22 @@ def test_contamination_semantic_flags_only_cross_pairs(spark):
         assert src[r["bench_id"]] == "src0"
         assert r["cosine"] >= _SEMCON_T
     assert len({r["train_id"] for r in rows}) == len(rows)  # one row per doc
+
+
+def test_stream_semcon_equals_batch(spark):
+    """The streamed decontamination sweep must equal the batch twin
+    bit-for-bit — the shared-oracle property restated as a direct
+    frame equality."""
+    from vector_search_ner_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    s_ = sorted(
+        (r.asDict() for r in qs["stream_contamination_semantic"](spark, sf).collect()),
+        key=lambda d: d["train_id"],
+    )
+    b_ = sorted(
+        (r.asDict() for r in qs["contamination_semantic"](spark, sf).collect()),
+        key=lambda d: d["train_id"],
+    )
+    assert s_ == b_

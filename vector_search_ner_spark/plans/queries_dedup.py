@@ -777,7 +777,16 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound the pair mass instead — the same prefilter ladder the
     near-dup family grades.) Reference: no contamination hygiene at
     all (SURVEY §2 north-star scope).""".format(t=_SEMCON_T)
-    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
+    t, b = semcon_sides(spark, sf_dir)
+    return semcon_flags(t, b).orderBy("train_id")
+
+
+def semcon_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The (train, bench) vector frames the semantic-contamination
+    sweep runs over — shared by the batch query and its streamed twin
+    (stream_contamination_semantic feeds the SAME train frame through
+    micro-batches against the SAME static bench side)."""
+    from vector_search_ner_spark.functions.vector import l2_norm
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -797,6 +806,19 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm(F.col("embedding")).alias("tnrm"),
         )
     )
+    return t, b
+
+
+def semcon_flags(t: DataFrame, b: DataFrame) -> DataFrame:
+    """The sweep itself: broadcast the bench side, exact cosine, keep
+    >= _SEMCON_T, best bench per train doc (max cosine, ties to min
+    bench_id via the deterministic max-then-min two-step). Because a
+    train doc appears EXACTLY ONCE in its frame, running this per
+    micro-batch and unioning equals running it once over the union —
+    the property that lets the streamed twin share the batch oracle
+    verbatim."""
+    from vector_search_ner_spark.functions.vector import dot_product
+
     denom = F.col("tnrm") * F.col("bnrm")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
         dot_product(F.col("tv"), F.col("bv")) / denom
@@ -813,7 +835,6 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_id", "mc")
         .agg(F.min("bench_id").cast("long").alias("bench_id"))
         .select("train_id", "bench_id", F.col("mc").alias("cosine"))
-        .orderBy("train_id")
     )
 
 

@@ -458,3 +458,21 @@ def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed twin of the `source_gate` rung `pretrain_corpus_e2e`
     ingests through."""
     return se.stream_source_quota(spark, sf_dir)
+
+
+def _semcon_shared_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_dedup import contamination_semantic
+    from vector_search_ner_spark.registry import _ORACLES
+
+    return _ORACLES["contamination_semantic"]
+
+
+@query("stream_contamination_semantic", oracle=_semcon_shared_oracle())
+def stream_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination AT INGEST: training vectors stream in
+    micro-batches and sweep against the static broadcast benchmark
+    vectors with the same operator the batch query runs; flagged rows
+    land as idempotent batch_id=N generations. Shares the batch
+    `contamination_semantic` oracle VERBATIM (a train vector appears
+    in exactly one micro-batch, so per-batch reduction == global)."""
+    return se.stream_contamination_semantic(spark, sf_dir)

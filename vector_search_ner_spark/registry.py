@@ -70,15 +70,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-10 rotation. Surface = 273 registered queries, every one
+    # Round-10 rotation. Surface = 274 registered queries, every one
     # with a full DuckDB value-hash oracle; by r09 all prior 263 had
     # been driver-sampled at least once with every latest verdict
     # green (CORRECTNESS_r09 = 50/50, cumulative union r1-r9 =
-    # 263/263). This window front-loads the 10 NEW queries (the rung-0
+    # 263/263). This window front-loads the 11 NEW queries (the rung-0
     # source-curation family incl. its streamed stateful twin; the
     # unigram-LM tokenizer trainer + its fertility/curve/k-best legs;
-    # the semantic contamination sweep; the IVF near-dup candidate
-    # eval) and the 5 whose code or oracle CHANGED this
+    # the semantic contamination sweep + its streamed ingest twin; the
+    # IVF near-dup candidate eval) and the 5 whose code or oracle CHANGED this
     # round (pretrain_corpus_e2e gained the source_gate ingest rung;
     # dp_geometric_counts moved to the true two-sided geometric,
     # epsilon now honestly ln 2; anonymize_microagg suppresses
@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     "unigram_compression_curve",
     "unigram_kbest_segmentations",
     "contamination_semantic",
+    "stream_contamination_semantic",
     "dedup_cosine_ivf_eval",
     "dp_geometric_counts",
     "anonymize_microagg",

@@ -1042,3 +1042,60 @@ def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "append")
+
+
+def stream_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DECONTAMINATION AT INGEST — the streamed twin of
+    `contamination_semantic`, completing the rung-for-rung batch/
+    stream symmetry of the curation pipeline (gate, quota, dedup
+    index, semantic index, GDPR, and now contamination all have
+    ingest-time twins): training vectors arrive as a stream (2
+    doc_id-range micro-batches), each micro-batch sweeps against the
+    STATIC broadcast benchmark vectors with the SAME semcon_flags
+    operator the batch query runs (not a copy), and flagged rows land
+    as idempotent batch_id=N generations (foreachBatch overwrite — a
+    replayed batch rewrites its own subdirectory). A train vector
+    appears in exactly one micro-batch, so the per-batch max-cosine
+    reduction equals the global one and the union of generations
+    equals the batch sweep BIT-FOR-BIT — the shared oracle checks
+    exactly that.
+
+    Scale shape: the bench side is an eval set (small by nature) —
+    broadcast once per batch; the streamed corpus is map-only and
+    never shuffles; sink volume is the flagged set, not the corpus."""
+    import os
+    import shutil
+
+    from vector_search_ner_spark.plans.queries_dedup import (
+        semcon_flags,
+        semcon_sides,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    src = os.path.join(base, "semcon_stream_src")
+    sink = os.path.join(base, "semcon_sink")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    t, b = semcon_sides(spark, sf_dir)
+    b = b.localCheckpoint()  # static dim, derived once, reused per batch
+    t.repartitionByRange(2, "train_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def sweep(batch: DataFrame, batch_id: int) -> None:
+        semcon_flags(batch, b).write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    q = stream.writeStream.foreachBatch(sweep).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink).drop("batch_id")
