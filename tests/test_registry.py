@@ -36,3 +36,69 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
         if bad:
             offenders.append((name, bad))
     assert not offenders, f"complex-typed output columns break the driver: {offenders}"
+
+
+def test_plan_modules_import_in_any_entry_order():
+    """The oracle-composition imports between queries_curation /
+    queries_dedup / queries_streaming form a cycle at decoration time
+    (curation's rep-agg → dedup's compact oracle → streaming's quota
+    twin → back to curation). Each module must therefore bind every
+    symbol a peer re-imports BEFORE its first @query decorator fires —
+    otherwise whichever module is imported FIRST in a fresh process
+    crashes with a partially-initialized-module ImportError, and the
+    aborted exec leaves early registrations behind that poison every
+    later collect() with duplicate-name errors (ADVICE r10). Pin all
+    three entry points in subprocesses (a fresh interpreter each, so
+    sys.modules can't hide the order dependence)."""
+    import subprocess
+    import sys
+
+    for mod in (
+        "vector_search_ner_spark.plans.queries_curation",
+        "vector_search_ner_spark.plans.queries_streaming",
+        "vector_search_ner_spark.plans.queries_dedup",
+    ):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"import {mod}\n"
+                "from vector_search_ner_spark.registry import collect\n"
+                "q, o = collect()\n"
+                "assert len(q) >= 274, len(q)\n",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        assert proc.returncode == 0, f"{mod} first: {proc.stderr[-2000:]}"
+
+
+def test_registry_reregistration_same_function_is_idempotent():
+    """A module whose import crashed mid-exec is evicted from
+    sys.modules but its already-decorated queries stay registered; the
+    RETRY re-executes the module from the top and re-decorates the
+    same functions. That retry must succeed (same module+qualname →
+    overwrite), while a genuinely distinct function stealing the name
+    must still raise."""
+    import pytest
+
+    from vector_search_ner_spark import registry
+
+    name = "__test_rereg_probe__"
+
+    def probe(spark, sf_dir):  # pragma: no cover - never called
+        raise AssertionError
+
+    try:
+        registry.query(name, oracle="SELECT 1 AS x")(probe)
+        registry.query(name, oracle="SELECT 2 AS x")(probe)  # retry: ok
+        assert registry._ORACLES[name] == "SELECT 2 AS x"
+
+        def thief(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+        with pytest.raises(ValueError, match="duplicate query name"):
+            registry.query(name)(thief)
+    finally:
+        registry._QUERIES.pop(name, None)
+        registry._ORACLES.pop(name, None)

@@ -82,6 +82,37 @@ FROM documents GROUP BY source
 """
 
 
+def _duck_quota_oracle() -> str:
+    """Shared by `source_quota_enforce` AND its streamed stateful twin
+    (`stream_source_quota` — streaming == batch, bit-for-bit).
+
+    Defined ABOVE the first @query decorator on purpose: decoration
+    below triggers (via `_duck_rep_agg`) the import of queries_dedup →
+    queries_streaming, and queries_streaming's `stream_source_quota`
+    oracle imports THIS symbol back from the then-partially-initialized
+    module — the re-entrant import only succeeds if the name is already
+    bound (ADVICE r10)."""
+    return f"""
+WITH rep AS ({_duck_rep_agg()}),
+ok AS (
+  SELECT source FROM rep
+  WHERE NOT (blocked OR dup_rate > {_REP_DUP_CAP}
+             OR mean_quality < {_REP_QUALITY_FLOOR})
+), rk AS (
+  SELECT d.doc_id, d.source,
+         CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+              AS INTEGER) AS rn,
+         CAST(SUM(d.n_chars) OVER (
+           PARTITION BY d.source ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_chars
+  FROM documents d JOIN ok ON d.source = ok.source
+)
+SELECT doc_id, source, rn, cum_chars FROM rk
+WHERE rn <= {_SRC_DOC_QUOTA} AND cum_chars <= {_SRC_CHAR_QUOTA}
+"""
+
+
 def _rep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of `_duck_rep_agg`: one corpus pass staging the
     per-doc quality parts (house gate pattern — interpreted
@@ -192,30 +223,6 @@ def source_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         F.when(reason == "ok", "pass").otherwise("drop").alias("verdict"),
     )
-
-
-def _duck_quota_oracle() -> str:
-    """Shared by `source_quota_enforce` AND its streamed stateful twin
-    (`stream_source_quota` — streaming == batch, bit-for-bit)."""
-    return f"""
-WITH rep AS ({_duck_rep_agg()}),
-ok AS (
-  SELECT source FROM rep
-  WHERE NOT (blocked OR dup_rate > {_REP_DUP_CAP}
-             OR mean_quality < {_REP_QUALITY_FLOOR})
-), rk AS (
-  SELECT d.doc_id, d.source,
-         CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
-              AS INTEGER) AS rn,
-         CAST(SUM(d.n_chars) OVER (
-           PARTITION BY d.source ORDER BY d.doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cum_chars
-  FROM documents d JOIN ok ON d.source = ok.source
-)
-SELECT doc_id, source, rn, cum_chars FROM rk
-WHERE rn <= {_SRC_DOC_QUOTA} AND cum_chars <= {_SRC_CHAR_QUOTA}
-"""
 
 
 @query("source_quota_enforce", oracle=_duck_quota_oracle())

@@ -49,11 +49,22 @@ _QUERY_MODULES = [
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in _QUERIES:
+        prev = _QUERIES.get(name)
+        if prev is not None and (prev.__module__, prev.__qualname__) != (
+            fn.__module__,
+            fn.__qualname__,
+        ):
             raise ValueError(f"duplicate query name {name!r}")
+        # same module+qualname re-registering is allowed: a module
+        # import that crashed mid-exec (e.g. a transient cycle) leaves
+        # its early queries registered but is evicted from sys.modules,
+        # so the retried import re-executes from the top — that retry
+        # must not poison every later collect() (ADVICE r10)
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        elif name in _ORACLES:
+            del _ORACLES[name]
         return fn
 
     return deco
