@@ -3059,14 +3059,17 @@ def test_unigram_kbest_laws(spark):
 
 
 def test_cosine_ivf_eval_beats_lsh_per_candidate(spark):
-    """The learned-bucket (IVF) candidate tier must be monotone in
-    nprobe, hold its measured floors (0.2 / 0.6 at sf0.01; measured
-    0.25 / 0.725), keep candidates well below all-pairs, and — the
-    claim the operator family makes at scale — carry MORE recall per
-    candidate than the data-oblivious sign-LSH sketch at its deepest
-    tier (IVF nprobe=2: 0.725 recall for 24% of pairs vs flip-2's
-    0.875 for 68%)."""
+    """The learned-bucket (IVF) candidate tier — graded since r11 at
+    the PROMOTED PRODUCTION CONFIG (64 centroids, nprobe 1-4, full
+    fixture corpus) — must be monotone in nprobe, hold its measured
+    per-tier recall floors (measured 0.271 / 0.610 / 0.814 / 0.915 at
+    sf0.01), and — the promotion's contract — the PRODUCTION tier
+    (nprobe = IVF_NEARDUP_NPROBE) must reach recall >= 0.8 for <= 30%
+    of all-pairs as candidates, while carrying more recall per
+    candidate than the retired flip-2 sign-LSH sketch at its deepest
+    tier (0.915 @ 28.4% vs 0.875 @ 68%)."""
     from vector_search_ner_spark import registry
+    from vector_search_ner_spark.operators import neardup as nd
 
     qs, _ = registry.collect()
     sf = "/root/testdata/sf0.01"
@@ -3074,22 +3077,72 @@ def test_cosine_ivf_eval_beats_lsh_per_candidate(spark):
         qs["dedup_cosine_ivf_eval"](spark, sf).collect(),
         key=lambda r: r["nprobe"],
     )
-    assert [r["nprobe"] for r in ivf] == [1, 2]
-    floors = {1: 0.2, 2: 0.6}
-    all_pairs = 400 * 399 / 2
+    assert [r["nprobe"] for r in ivf] == [1, 2, 3, 4]
+    assert ivf[-1]["nprobe"] == nd.IVF_NEARDUP_NPROBE
+    floors = {1: 0.2, 2: 0.5, 3: 0.75, 4: 0.8}
+    all_pairs = 500 * 499 / 2
     for r in ivf:
         assert r["recall"] >= floors[r["nprobe"]], r
-        assert r["n_candidates"] < all_pairs / 2
         assert r["n_found"] <= min(r["n_truth"], r["n_candidates"])
-    assert ivf[1]["n_candidates"] >= ivf[0]["n_candidates"]
-    assert ivf[1]["n_found"] >= ivf[0]["n_found"]
+    for prev, cur in zip(ivf, ivf[1:]):
+        assert cur["n_candidates"] >= prev["n_candidates"]
+        assert cur["n_found"] >= prev["n_found"]
+        assert cur["n_truth"] == prev["n_truth"]
+    prod = ivf[-1]
+    assert prod["recall"] >= 0.8, prod
+    assert prod["n_candidates"] <= 0.30 * all_pairs, prod
     lsh = {
         r["probe_depth"]: r
         for r in qs["dedup_cosine_eval_report"](spark, sf).collect()
     }
-    eff_ivf = ivf[1]["recall"] / (ivf[1]["n_candidates"] / all_pairs)
-    eff_lsh = lsh[2]["recall"] / (lsh[2]["n_candidates"] / all_pairs)
+    lsh_pairs = 400 * 399 / 2  # the sketch eval stays on its bounded sample
+    eff_ivf = prod["recall"] / (prod["n_candidates"] / all_pairs)
+    eff_lsh = lsh[2]["recall"] / (lsh[2]["n_candidates"] / lsh_pairs)
     assert eff_ivf > 1.5 * eff_lsh, (eff_ivf, eff_lsh)
+    assert prod["recall"] >= lsh[2]["recall"]  # strictly better on BOTH axes
+
+
+def test_dedup_embedding_cosine_production_recall(spark):
+    """The shipping `dedup_embedding_cosine` op (IVF learned-bucket
+    candidates since r11) must emit ONLY true pairs (exact cosine
+    verify — precision 1.0 by construction) and recall >= 0.8 of the
+    exact all-pairs truth at sf0.01, recomputed here from first
+    principles with a brute-force join."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
+    from vector_search_ner_spark.plans.queries_dedup import COSINE_T
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in qs["dedup_embedding_cosine"](spark, sf).collect()
+    }
+    wb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = wb.alias("a"), wb.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col("a.v"), F.col("b.v")) / denom
+    )
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
+        .withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= COSINE_T)
+        .select(
+            F.col("a.sid").alias("doc_a"), F.col("b.sid").alias("doc_b"), "cosine"
+        )
+        .collect()
+    }
+    assert set(got) <= set(truth)  # no false positives, ever
+    for pair, c in got.items():
+        assert c == truth[pair]  # exact cosine, not an estimate
+    assert len(got) / len(truth) >= 0.8, (len(got), len(truth))
 
 
 def test_contamination_semantic_flags_only_cross_pairs(spark):
