@@ -6,6 +6,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced end-to-end with the `noop` sink (full computation,
 no sink cost). A short warmup query first amortizes JVM/codegen start.
+
+CHANGED-PLAN rule (r11, VERDICT r10 #6): any registered query whose
+implementing source or oracle SQL differs from the committed
+`bench_manifest.json` (written at round START via
+`python bench.py --update-manifest`) is FORCED into the headline
+window, displacing the fastest stable rows to stay under the 50-entry
+cap — a deliberate cost change is visible in the driver-recorded
+headline the round it lands, not only in the full-surface tripwire.
 """
 
 from __future__ import annotations
@@ -103,14 +111,106 @@ HEADLINE = [
 ]
 
 
+_CAP = 50
+_MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_manifest.json")
+
+
+def _query_fingerprints(queries: dict, oracles: dict) -> dict[str, str]:
+    """Per-query change fingerprint: md5 of the implementing function's
+    source + its oracle SQL — the basis of the CHANGED-PLAN headline
+    rule (VERDICT r10 #6)."""
+    import hashlib
+    import inspect
+
+    fps = {}
+    for name, fn in queries.items():
+        try:
+            src = inspect.getsource(fn)
+        except OSError:
+            src = ""
+        fps[name] = hashlib.md5(
+            (src + oracles.get(name, "")).encode()
+        ).hexdigest()[:12]
+    return fps
+
+
+def compute_headline(queries: dict, oracles: dict,
+                     manifest: dict | None,
+                     prev_times: dict | None) -> tuple[list[str], list[str]]:
+    """The CHANGED-PLAN rotation rule (VERDICT r10 #6): any query whose
+    implementing source or oracle changed since the committed manifest
+    (last round's close) is FORCED into the headline window — a
+    deliberate cost change must show in the driver-recorded bench, not
+    only the full-surface tripwire. Forced entries displace the
+    FASTEST stable rows (by the previous round's recorded per-query
+    seconds; unmeasured rows count as fast) so the window stays at the
+    50-entry cap. stream_* queries stay out by the standing
+    convention (harness overhead dominates their wall-clock).
+    Returns (names, forced)."""
+    base = [n for n in HEADLINE if n in queries]
+    if not manifest:
+        return base, []
+    fps = _query_fingerprints(queries, oracles)
+    changed = [
+        n for n in queries
+        if manifest.get(n) != fps[n] and not n.startswith("stream_")
+    ]
+    forced = [n for n in changed if n not in base]
+    names = base + forced
+    if len(names) > _CAP:
+        stable = [n for n in base if n not in changed]
+        stable.sort(key=lambda n: (prev_times or {}).get(n, 0.0))
+        drop = set(stable[: len(names) - _CAP])
+        names = [n for n in names if n not in drop]
+    return names, forced
+
+
+def _latest_prev_bench_times() -> dict:
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(arts):
+        try:
+            with open(path) as f:
+                # artifacts hold 1-2 JSON lines; the first parseable
+                # line with a "queries" map wins
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    d = json.loads(line)
+                    if "queries" in d:
+                        return d["queries"]
+        except (json.JSONDecodeError, OSError):
+            continue
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark("vsns-bench")
 
-    queries, _ = registry.collect()
-    names = [n for n in HEADLINE if n in queries]
+    queries, oracles = registry.collect()
+    if "--update-manifest" in sys.argv:
+        # round-START ritual: re-baseline the change fingerprints so
+        # this round's edits (not last round's) force headline entry
+        with open(_MANIFEST, "w") as f:
+            json.dump(_query_fingerprints(queries, oracles), f,
+                      indent=0, sort_keys=True)
+        print(f"wrote {_MANIFEST} ({len(queries)} fingerprints)")
+        return
+
+    manifest = None
+    if os.path.exists(_MANIFEST):
+        with open(_MANIFEST) as f:
+            manifest = json.load(f)
+    names, forced = compute_headline(
+        queries, oracles, manifest, _latest_prev_bench_times()
+    )
+    spark = get_spark("vsns-bench")
 
     # warmup: JVM + codegen + parquet footer reads
     queries[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -195,6 +295,9 @@ def main() -> None:
         # transparency: which timings are best-of-1/2/3 minima, so a
         # round-over-round delta can be attributed to code vs min-taking
         "runs": runs,
+        # changed-plan rule: queries forced into the window because
+        # their source/oracle differs from the committed manifest
+        "forced_changed": forced,
         "sf": sf,
     }
     print(json.dumps(full))

@@ -60,11 +60,27 @@ def main() -> None:
         sys.exit("no shared queries above the floor — nothing to compare")
     drift = statistics.median(nq[n] / oq[n] for n in basis)
 
+    # retimed best-of-3 numbers from the new pass's second phase (the
+    # r10->r11 automation): a mover whose RETIMED de-drifted ratio
+    # falls back under the threshold is adjudicated environmental
+    # (steal in the single-run pass), one that stays above is real
+    retimed = new.get("retimed") or {}
     movers = []
     for n in basis:
         dedrifted = (nq[n] / oq[n]) / drift
         if dedrifted > args.threshold or dedrifted < 1.0 / args.threshold:
-            movers.append((n, oq[n], nq[n], dedrifted))
+            rt = retimed.get(n)
+            rt_ratio = (rt / oq[n]) / drift if rt else None
+            verdict = (
+                ""
+                if rt is None
+                else (
+                    "environmental"
+                    if 1.0 / args.threshold <= rt_ratio <= args.threshold
+                    else "REAL"
+                )
+            )
+            movers.append((n, oq[n], nq[n], dedrifted, rt, rt_ratio, verdict))
     movers.sort(key=lambda m: -m[3])
 
     tot_shared_old = sum(oq[n] for n in shared)
@@ -81,10 +97,11 @@ def main() -> None:
     print(f"- de-drifted movers beyond {args.threshold}x: **{len(movers)}**")
     if movers:
         print()
-        print("| query | old s | new s | de-drifted ratio |")
-        print("|---|---|---|---|")
-        for n, o, w, r in movers:
-            print(f"| {n} | {o:.2f} | {w:.2f} | {r:.2f}x |")
+        print("| query | old s | new s | de-drifted | retimed (bo3) | verdict |")
+        print("|---|---|---|---|---|---|")
+        for n, o, w, r, rt, rtr, v in movers:
+            rt_s = f"{rt:.2f} ({rtr:.2f}x)" if rt is not None else "—"
+            print(f"| {n} | {o:.2f} | {w:.2f} | {r:.2f}x | {rt_s} | {v or '—'} |")
     if added:
         print()
         print(f"- new this round: {', '.join(added)}")
@@ -94,7 +111,8 @@ def main() -> None:
         "old": args.old, "new": args.new,
         "n_shared": len(shared), "drift": round(drift, 4),
         "threshold": args.threshold,
-        "movers": {n: round(r, 3) for n, _, _, r in movers},
+        "movers": {n: round(r, 3) for n, _, _, r, _, _, _ in movers},
+        "verdicts": {n: v for n, _, _, _, rt, _, v in movers if rt is not None},
     }, separators=(",", ":")))
 
 

@@ -6,14 +6,21 @@ round, not only as a plan-shape test failure. Single run per query
 remains the round-over-round perf record); stream_* queries are
 included but dominated by harness overhead, as in the registry docs.
 
-Emits one JSON line: {"metric": "full_surface_runtime", "sf": ...,
-"n_queries": N, "total_sec": T, "queries": {name: sec}} — append the
-summary row (and any >1.5x mover vs the previous round's pass) to
-PERF.md.
+When a previous round's artifact is passed as argv[1], the de-drifted
+>1.5x movers vs that round are AUTOMATICALLY RE-TIMED best-of-3 in a
+second pass (VERDICT r10 #5 — the stream_neardup_flag hand
+adjudication, mechanized): single-run timings on this shared VM swing
+2-4x from CPU steal alone, so every flagged mover carries both its
+single-run number and its best-of-3 minimum IN the artifact, and
+perf_compare_surface.py adjudicates environmental-vs-real from the
+retimed column without any hand re-timing.
 
-Run:  python perf_full_surface.py > FULLSURFACE_r{N}.json
-Compare (movers vs a prior round, printed to stderr so the JSON line
-stays clean):  python perf_full_surface.py FULLSURFACE_r{N-1}.json
+Emits one JSON line: {"metric": "full_surface_runtime", "sf": ...,
+"n_queries": N, "total_sec": T, "queries": {name: sec},
+"drift_vs_prev": r, "retimed": {name: sec}} — append the summary row
+to PERF.md via perf_compare_surface.py.
+
+Run:  python perf_full_surface.py FULLSURFACE_r{N-1}.json > FULLSURFACE_r{N}.json
 """
 
 from __future__ import annotations
@@ -51,16 +58,51 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     doc_vector_store(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
+    def time_once(name) -> float:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            return round(time.perf_counter() - t0, 3)
         except Exception as e:  # record, keep sweeping
-            timings[name] = -1.0
             print(f"ERR {name}: {e}", file=sys.stderr)
+            return -1.0
+
+    timings: dict[str, float] = {name: time_once(name) for name in queries}
+
+    # auto re-time the de-drifted movers (same estimator as
+    # perf_compare_surface.py: uniform drift = median new/old over
+    # shared queries >= 0.5 s in the OLD pass; movers = >1.5x either
+    # direction after dividing the drift out): best-of-3 per mover,
+    # recorded ALONGSIDE the single-run number, never replacing it
+    drift = None
+    retimed: dict[str, float] = {}
+    if len(sys.argv) > 1 and os.path.exists(sys.argv[1]):
+        import statistics
+
+        prev = json.load(open(sys.argv[1]))["queries"]
+        basis = [
+            n
+            for n in timings
+            if prev.get(n, -1.0) >= 0.5 and timings[n] > 0
+        ]
+        if basis:
+            drift = round(
+                statistics.median(timings[n] / prev[n] for n in basis), 4
+            )
+            movers = [
+                n
+                for n in basis
+                if (timings[n] / prev[n]) / drift > 1.5
+                or (timings[n] / prev[n]) / drift < 1 / 1.5
+            ]
+            for name in movers:
+                print(f"RETIME {name} (single-run {timings[name]}s)", file=sys.stderr)
+                retimed[name] = round(
+                    min(timings[name], time_once(name), time_once(name)), 3
+                )
     print(
         json.dumps(
             {
@@ -70,27 +112,11 @@ def main() -> None:
                 "n_errors": sum(1 for t in timings.values() if t < 0),
                 "total_sec": round(sum(t for t in timings.values() if t > 0), 2),
                 "queries": timings,
+                "drift_vs_prev": drift,
+                "retimed": retimed,
             }
         )
     )
-    # round-over-round movers: single-run timings swing 2-4x below ~1s
-    # from CPU steal alone, so compare only queries that were >=1s in
-    # either round and flag ratio >1.5x either direction
-    if len(sys.argv) > 1 and os.path.exists(sys.argv[1]):
-        prev = json.load(open(sys.argv[1]))["queries"]
-        movers = []
-        for name, t in timings.items():
-            p = prev.get(name, -1.0)
-            if p <= 0 or t <= 0 or max(p, t) < 1.0:
-                continue
-            ratio = t / p
-            if ratio > 1.5 or ratio < 1 / 1.5:
-                movers.append((ratio, name, p, t))
-        print(f"MOVERS vs {sys.argv[1]} (>1.5x, either dir, >=1s):", file=sys.stderr)
-        for ratio, name, p, t in sorted(movers, reverse=True):
-            print(f"  {name}: {p:.2f}s -> {t:.2f}s ({ratio:.2f}x)", file=sys.stderr)
-        if not movers:
-            print("  none", file=sys.stderr)
     spark.stop()
 
 

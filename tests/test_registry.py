@@ -102,3 +102,53 @@ def test_registry_reregistration_same_function_is_idempotent():
     finally:
         registry._QUERIES.pop(name, None)
         registry._ORACLES.pop(name, None)
+
+
+def test_bench_changed_plan_rule_forces_window_entry():
+    """The headline bench must FORCE every query whose implementing
+    source or oracle differs from the committed manifest into its
+    50-entry window (VERDICT r10 #6), displacing only stable rows and
+    never exceeding the cap. Pure-python: exercises the computation
+    bench.py runs before timing anything."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from vector_search_ner_spark.registry import collect
+
+    qs, osql = collect()
+    fps = bench._query_fingerprints(qs, osql)
+
+    # no manifest -> the static list, no forcing
+    names, forced = bench.compute_headline(qs, osql, None, {})
+    assert forced == [] and names == [n for n in bench.HEADLINE if n in qs]
+
+    # identical manifest -> no forcing
+    names, forced = bench.compute_headline(qs, osql, dict(fps), {})
+    assert forced == []
+
+    # perturb three fingerprints (one stream_*, excluded by
+    # convention): the two batch queries must be forced in and the
+    # window must stay at the cap, dropping the FASTEST stable rows
+    man = dict(fps)
+    victims = ["dedup_ngram_jaccard", "postings_explode_outer"]
+    for v in victims + ["stream_source_quota"]:
+        man[v] = "stale"
+    prev = {n: float(i) for i, n in enumerate(bench.HEADLINE)}
+    names, forced = bench.compute_headline(qs, osql, man, prev)
+    assert sorted(forced) == sorted(victims)
+    assert all(v in names for v in victims)
+    assert "stream_source_quota" not in names
+    assert len(names) <= bench._CAP
+    assert names.index(victims[0]) >= 0  # present, order irrelevant
+    # displaced rows are exactly the lowest-prev-time stable ones
+    displaced = set(n for n in bench.HEADLINE if n in qs) - set(names)
+    assert displaced == set(bench.HEADLINE[: len(displaced)])
+
+    # the committed manifest must actually exist and cover the registry
+    # (the round-START --update-manifest ritual)
+    assert os.path.exists(bench._MANIFEST)
+    committed = json.load(open(bench._MANIFEST))
+    assert set(committed) <= set(fps) | set(committed)

@@ -3185,3 +3185,169 @@ def test_stream_semcon_equals_batch(spark):
         key=lambda d: d["train_id"],
     )
     assert s_ == b_
+
+
+def test_unigram_sampler_alpha_limit_is_viterbi(spark):
+    """Kudo's temperature law, pinned exactly: as alpha -> inf the
+    subword-regularization draw degenerates to the Viterbi encoder.
+    With the dyadic draw device this is EXACT, not asymptotic — for
+    any delta >= 1 a large alpha trips the q-cutoff and rank 2 is
+    never drawn (ties would stay a fair coin, but the fixture has
+    none: every 2-alternative word's costs differ). Also pin the
+    sampler's basic soundness at the production alpha: every sampled
+    path respells its word, comes from the word's k-best set, and at
+    least one epoch draws a non-Viterbi alternative (the sampler
+    actually samples — the degenerate-argmax failure mode)."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _UNI_ALPHA_DEN,
+        unigram_sample_frame,
+    )
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    kbest = qs["unigram_kbest_segmentations"](spark, sf).collect()
+    viterbi = {r["w"]: r["path"] for r in kbest if r["sample_rank"] == 1}
+    admissible = {}
+    for r in kbest:
+        admissible.setdefault(r["w"], set()).add(r["path"])
+
+    docs = load_table(spark, sf, "documents")
+    frozen = unigram_sample_frame(docs, alpha_num=100 * _UNI_ALPHA_DEN).collect()
+    assert len(frozen) == 3 * len(viterbi)
+    for r in frozen:
+        assert r["sample_rank"] == 1, r
+        assert r["path"] == viterbi[r["w"]], r
+
+    prod = qs["unigram_sample_segmentations"](spark, sf).collect()
+    assert len(prod) == 3 * len(viterbi)
+    n_alt = 0
+    for r in prod:
+        assert "".join(r["path"].split(" ")) == r["w"], r
+        assert r["path"] in admissible[r["w"]], r
+        n_alt += r["sample_rank"] == 2
+    assert n_alt >= 1, "sampler never drew a non-Viterbi alternative"
+
+
+def test_unigram_epoch_budget_prices_regularization(spark):
+    """The per-epoch token budget must satisfy the regularizer's
+    inequality — sampled tokens >= Viterbi tokens (a non-argmax draw
+    can only add pieces) — with n_words constant across epochs, the
+    fertility consistent with the totals, and at least one epoch
+    strictly pricier than the Viterbi baseline on this fixture."""
+    from vector_search_ner_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    rows = qs["unigram_epoch_token_budget"](spark, sf).collect()
+    assert [r["epoch"] for r in sorted(rows, key=lambda r: r["epoch"])] == [1, 2, 3]
+    kbest = qs["unigram_kbest_segmentations"](spark, sf).collect()
+    vit_tokens = sum(
+        r["freq"] * len(r["path"].split(" ")) for r in kbest if r["sample_rank"] == 1
+    )
+    n_words_set = {r["n_words"] for r in rows}
+    assert len(n_words_set) == 1
+    for r in rows:
+        assert r["n_tokens"] >= vit_tokens
+        assert abs(r["fertility"] - round(r["n_tokens"] / r["n_words"], 6)) < 1e-9
+    assert any(r["n_tokens"] > vit_tokens for r in rows)
+
+
+def test_source_quota_tokens_laws(spark):
+    """The token-denominated quota must (a) keep, per source, a PREFIX
+    of the crawl order with both caps honored on every kept row;
+    (b) charge per-doc token counts consistent with the encoder
+    (tokens between the doc's word count and its non-space char count
+    — fertility >= 1, and single chars are the worst case); and
+    (c) actually cut DIFFERENTLY from the char-denominated roster on
+    this fixture — the unit matters, or the twin is decorative."""
+    from collections import defaultdict
+
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_curation import (
+        _SRC_DOC_QUOTA,
+        _SRC_TOKEN_QUOTA,
+    )
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    rows = qs["source_quota_tokens"](spark, sf).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r["rn"] <= _SRC_DOC_QUOTA
+        assert r["cum_tokens"] <= _SRC_TOKEN_QUOTA
+        by_src[r["source"]].append(r)
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    }
+    for src, lst in by_src.items():
+        lst.sort(key=lambda r: r["doc_id"])
+        assert [r["rn"] for r in lst] == list(range(1, len(lst) + 1))
+        crawl_order = sorted(
+            d for d, r in docs.items() if r["source"] == src
+        )
+        assert [r["doc_id"] for r in lst] == crawl_order[: len(lst)]
+        run = 0
+        for r in lst:
+            words = [w for w in docs[r["doc_id"]]["text"].strip().split(" ") if w]
+            assert len(words) <= r["n_tokens"] <= sum(len(w) for w in words), r
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+    char_kept = {
+        r["doc_id"] for r in qs["source_quota_enforce"](spark, sf).collect()
+    }
+    tok_kept = {r["doc_id"] for r in rows}
+    assert char_kept != tok_kept  # the unit re-cuts the roster
+
+
+def test_dedup_cosine_incremental_recall_floor(spark):
+    """The incremental IVF near-dup (new shard vs the persisted
+    learned-bucket index, shard side probing 2x the batch depth) must
+    emit ONLY true shard-vs-corpus pairs (exact cosine verify) and
+    recall >= 0.7 of the exact truth at sf0.01 (measured 0.786 — the
+    one-sided-assignment discount vs the batch tier's 0.915, priced
+    and pinned rather than hidden)."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
+    from vector_search_ner_spark.plans.queries_dedup import COSINE_T
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    got = {
+        (r["shard_id"], r["corpus_id"]): r["cosine"]
+        for r in qs["dedup_cosine_incremental"](spark, sf).collect()
+    }
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    s = emb.where(F.col("vec_id") % 10 == 5).alias("s")
+    m = emb.where(F.col("vec_id") % 10 != 5).alias("m")
+    denom = F.col("s.nrm") * F.col("m.nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col("s.v"), F.col("m.v")) / denom
+    )
+    truth = {
+        (r["shard_id"], r["corpus_id"]): r["cosine"]
+        for r in s.join(F.broadcast(m), F.lit(True))
+        .withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= COSINE_T)
+        .select(
+            F.col("s.vec_id").alias("shard_id"),
+            F.col("m.vec_id").alias("corpus_id"),
+            "cosine",
+        )
+        .collect()
+    }
+    assert set(got) <= set(truth)
+    for pair, c in got.items():
+        assert c == truth[pair]
+    assert len(got) / len(truth) >= 0.7, (len(got), len(truth))

@@ -259,3 +259,138 @@ def source_quota_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.where(
         (F.col("rn") <= _SRC_DOC_QUOTA) & (F.col("cum_chars") <= _SRC_CHAR_QUOTA)
     )
+
+
+# -- token-denominated quotas (round 11) --------------------------------------
+# Labs budget the mixture in TOKENS, not documents or bytes (a domain
+# of short boilerplate pages and a domain of long articles are wildly
+# different corpora at equal byte volume). This twin re-denominates
+# `source_quota_enforce` through the TRAINED tokenizer: per-doc token
+# counts come from the unigram encoder's final Viterbi segmentation
+# (queries_unigram.unigram_perw_frame — per-word piece counts, summed
+# over each doc's words), and the quota window cuts each passing
+# source's crawl-ordered stream when its cumulative token budget is
+# exhausted. Words beyond the trainer's length cap (none on this
+# fixture) are charged length(w) — the closed-cover worst case, since
+# any word segments into single chars. The epoch planner reads the
+# same unit (queries_unigram.unigram_epoch_token_budget).
+
+_SRC_TOKEN_QUOTA = 1600
+
+
+def _duck_token_quota_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _UNI_RELAX,
+        _duck_uni_perw_ctes,
+    )
+
+    return (
+        "WITH "
+        + ",\n".join(_duck_uni_perw_ctes())
+        + f""", rep AS ({_duck_rep_agg()}),
+ok AS (
+  SELECT source FROM rep
+  WHERE NOT (blocked OR dup_rate > {_REP_DUP_CAP}
+             OR mean_quality < {_REP_QUALITY_FLOOR})
+), dw AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+), dtok AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN dw.w = '' THEN 0
+                                ELSE COALESCE(p.n_pieces, length(dw.w))
+                           END), 0) AS BIGINT) AS n_tokens
+  FROM documents d
+  LEFT JOIN dw ON d.doc_id = dw.doc_id
+  LEFT JOIN perw p ON dw.w = p.w AND length(dw.w) <= {_UNI_RELAX}
+  GROUP BY d.doc_id
+), rk AS (
+  SELECT d.doc_id, d.source, t.n_tokens,
+         CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+              AS INTEGER) AS rn,
+         CAST(SUM(t.n_tokens) OVER (
+           PARTITION BY d.source ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM documents d
+  JOIN ok ON d.source = ok.source
+  JOIN dtok t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, source, n_tokens, rn, cum_tokens FROM rk
+WHERE rn <= {_SRC_DOC_QUOTA} AND cum_tokens <= {_SRC_TOKEN_QUOTA}
+"""
+    )
+
+
+@query("source_quota_tokens", oracle=_duck_token_quota_oracle())
+def source_quota_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`source_quota_enforce` re-denominated in TOKENS (see the
+    section comment): per passing source, keep crawl-ordered documents
+    while both the doc quota ({q}) and the cumulative TOKEN budget
+    ({b} tokens under the trained unigram encoder) hold. Emits the
+    kept roster with each doc's token count, rank, and running total.
+
+    Scale shape: the encoder's per-word piece counts are a WORD-VOCAB
+    sized frame (the tokenizer's training cost is shared, not paid per
+    consumer at scale — here the query composes it end-to-end so the
+    oracle prices the whole chain); per-doc token counts are one
+    exploded-words join against that frame + a doc-keyed hash agg —
+    corpus rows never carry paths. The quota window stays keyed by
+    source, never global; the gate frame broadcasts.""".format(
+        q=_SRC_DOC_QUOTA, b=_SRC_TOKEN_QUOTA
+    )
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _UNI_RELAX,
+        unigram_perw_frame,
+    )
+    from vector_search_ner_spark.session import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    perw = cut_lineage(unigram_perw_frame(docs))
+    rep = _rep_frame(spark, sf_dir)
+    ok = rep.where(
+        ~(
+            F.col("blocked")
+            | (F.col("dup_rate") > _REP_DUP_CAP)
+            | (F.col("mean_quality") < _REP_QUALITY_FLOOR)
+        )
+    ).select("source")
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    wtok = dw.join(
+        perw.select(
+            F.col("w").alias("pw"), "n_pieces"
+        ),
+        (F.col("w") == F.col("pw")) & (F.length("w") <= _UNI_RELAX),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("w") == "", F.lit(0))
+        .otherwise(F.coalesce(F.col("n_pieces"), F.length("w").cast("long")))
+        .alias("tok"),
+    )
+    dtok = (
+        docs.select("doc_id")
+        .join(wtok.groupBy("doc_id").agg(F.sum("tok").alias("__t")), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("n_tokens")
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    rk = (
+        docs.join(F.broadcast(ok), "source")
+        .join(dtok, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.sum("n_tokens")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+    return rk.where(
+        (F.col("rn") <= _SRC_DOC_QUOTA) & (F.col("cum_tokens") <= _SRC_TOKEN_QUOTA)
+    )

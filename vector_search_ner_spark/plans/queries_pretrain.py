@@ -367,7 +367,15 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset, first_seq, last_seq). Every rung boundary is a slim
     lineage-cut id frame; the corpus-sized text/embedding relations
     are each scanned a bounded number of times and never
-    materialized."""
+    materialized.
+
+    Unit choice: the source_gate rung's quotas are DOC+CHAR
+    denominated (the crawl-time unit — no tokenizer exists yet at
+    rung 0 of a fresh run). The TOKEN-denominated twin is
+    `source_quota_tokens` (queries_curation), which re-cuts the same
+    rosters through the trained unigram encoder once one exists; the
+    epoch planner reads that same unit via
+    `unigram_epoch_token_budget`."""
     from vector_search_ner_spark.functions.text import stable_long_hash
     from vector_search_ner_spark.functions.vector import cosine_similarity
     from vector_search_ner_spark.operators.dedup import connected_components

@@ -190,19 +190,29 @@ ORDER BY seg_count DESC, piece
     )
 
 
-def _duck_uni_fertility() -> str:
-    # one extra E-step under the trained costs gives the final
-    # per-word segmentation the corpus is scored with
+def _duck_uni_perw_ctes() -> list[str]:
+    """Trained-encoder CTE chain ending in `perw` (w -> n_pieces under
+    the final Viterbi segmentation): one extra E-step beyond training
+    gives the segmentation the corpus is scored with. Shared by the
+    fertility eval and the token-denominated source quota
+    (queries_curation.source_quota_tokens)."""
     final = _UNI_ROUNDS + 1
     parts = _duck_uni_ctes(final)
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
-, perw AS (
+    parts.append(
+        f"""perw AS (
   SELECT w, CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces
   FROM best{final}
-), dw AS (
+)"""
+    )
+    return parts
+
+
+def _duck_uni_fertility() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_duck_uni_perw_ctes())
+        + f"""
+, dw AS (
   SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents
 )
 SELECT dw.lang,
@@ -425,6 +435,18 @@ def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train_frame(load_table(spark, sf_dir, "documents"))
 
 
+def unigram_perw_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of `_duck_uni_perw_ctes`: the trained encoder's
+    per-word piece counts (w, n_pieces) under the final Viterbi
+    segmentation. Shared by the fertility eval and the token-
+    denominated source quota."""
+    wf, occ, vocab = _uni_train(docs)
+    best = _uni_viterbi(wf, occ, vocab)
+    return best.select(
+        "w", F.size(F.split("path", " ")).cast("long").alias("n_pieces")
+    )
+
+
 @query("unigram_fertility_by_lang", oracle=_duck_uni_fertility())
 def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unigram tokenizer's equity/compression report — the twin of
@@ -440,11 +462,7 @@ def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word piece counts; integer sums, one division per metric,
     round(6) — bit-equal across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    wf, occ, vocab = _uni_train(docs)
-    best = _uni_viterbi(wf, occ, vocab)
-    perw = best.select(
-        "w", F.size(F.split("path", " ")).cast("long").alias("n_pieces")
-    )
+    perw = unigram_perw_frame(docs)
     dw = docs.select(
         "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
     ).where((F.col("w") != "") & (F.length("w") <= _UNI_RELAX))
@@ -556,7 +574,9 @@ def unigram_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_KBEST = 2  # alternatives kept per word (top-k labels per DP node)
 
 
-def _duck_uni_kbest() -> str:
+def _duck_uni_kbest_ctes() -> list[str]:
+    """The k-best DP chain ending in `kfinal` (w, freq, encs) — shared
+    by the k-best table and the subword-regularization sampler."""
     parts = _duck_uni_ctes(_UNI_ROUNDS)
     zero = "0" * _PAD
     R = _UNI_ROUNDS
@@ -589,21 +609,29 @@ def _duck_uni_kbest() -> str:
   FROM kd_{_UNI_RELAX} d JOIN w0 f ON d.w = f.w
   WHERE d.pos = length(d.w)
   GROUP BY d.w, f.freq
+), kc AS MATERIALIZED (
+  SELECT w, freq, CAST(rnk AS INTEGER) AS rnk,
+         CAST(CAST(substring(enc, 1, {_PAD}) AS BIGINT) AS BIGINT) AS cost,
+         trim(substring(enc, {_PAD + 2})) AS path
+  FROM (
+    SELECT w, freq,
+           unnest(encs) AS enc,
+           unnest(generate_series(1, len(encs))) AS rnk
+    FROM kfinal
+  )
 )"""
     )
+    return parts
+
+
+def _duck_uni_kbest() -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
-        + f"""
-SELECT w, freq, CAST(rnk AS INTEGER) AS sample_rank,
-       trim(substring(enc, {_PAD + 2})) AS path,
-       CAST(CAST(substring(enc, 1, {_PAD}) AS BIGINT) AS INTEGER) AS cost_bits
-FROM (
-  SELECT w, freq,
-         unnest(encs) AS enc,
-         unnest(generate_series(1, len(encs))) AS rnk
-  FROM kfinal
-)
+        + ",\n".join(_duck_uni_kbest_ctes())
+        + """
+SELECT w, freq, rnk AS sample_rank, path,
+       CAST(cost AS INTEGER) AS cost_bits
+FROM kc
 ORDER BY w, sample_rank
 """
     )
@@ -633,6 +661,13 @@ def unigram_kbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_UNI_KBEST
     )
     docs = load_table(spark, sf_dir, "documents")
+    return _uni_kbest_frame(docs).orderBy("w", "sample_rank")
+
+
+def _uni_kbest_frame(docs: DataFrame) -> DataFrame:
+    """Per-word top-_UNI_KBEST segmentations under the trained costs:
+    (w, freq, sample_rank, path, cost_bits). Shared by the k-best
+    table and the subword-regularization sampler."""
     wf, occ, vocab = _uni_train(docs)
     edges = cut_lineage(
         occ.join(F.broadcast(vocab.select("piece", "cost")), "piece").select(
@@ -678,4 +713,224 @@ def unigram_kbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + 1).cast("int").alias("sample_rank"),
         F.trim(F.expr(f"substring(enc, {_PAD + 2})")).alias("path"),
         F.substring("enc", 1, _PAD).cast("int").alias("cost_bits"),
-    ).orderBy("w", "sample_rank")
+    )
+
+# -- subword-regularization sampling (the per-epoch draw) ----------------------
+# The k-best table is the STATIC half of Kudo's subword regularization;
+# the half a training loop actually ships is the per-epoch DRAW: each
+# epoch re-segments every word by sampling from the admissible
+# alternatives with probability proportional to P(seg)^alpha (Kudo, ACL
+# 2018, §3.2 — alpha is the smoothing/inverse temperature, typically
+# 0.1-0.5: SMALLER than 1, or the sampler collapses onto the argmax).
+# With integer-bit costs c_i (= -log2 P rounded to bits),
+# P(seg_i)^alpha ∝ 2^(-alpha * c_i), so for the 2-best lattice the
+# runner-up's Bernoulli is p2 = 1 / (2^(alpha * delta) + 1), delta =
+# c2 - c1 >= 0. alpha is a DYADIC RATIONAL num/8 so everything stays
+# integer: with e = num * delta, q = e div 8, r = e mod 8,
+#     2^(alpha*delta) = 2^q * 2^(r/8)  ~  (K[r] << q) >> 20,
+# where K[r] = round(2^(r/8) * 2^20) are eight driver-side integer
+# constants inlined into BOTH engines (the md5-constant house style).
+# The draw is then the seeded-hash discipline (the DP-counts device):
+# u = stable 60-bit hash of (seed, epoch, w); runner-up chosen iff
+# u mod (1 + (K[r] << q) >> 20) == 0 — a deterministic dyadic
+# approximation of p2 (error < 2^-20 per draw), replayed bit-for-bit
+# by the oracle. When q exceeds the cutoff the runner-up is NEVER
+# drawn (p2 below the draw's resolution) — the hard cutoff that also
+# makes the alpha -> inf law exact: for any delta >= 1 a large alpha
+# trips it and the sample IS the Viterbi path; ties (delta = 0) stay
+# a fair coin at every alpha, the true softmax limit over the argmin
+# set. At the default alpha = 1/8 the fixture's closest alternatives
+# (delta = 6 bits) are drawn with p ~ 1/2 and the farthest (75 bits)
+# with p ~ 1/665 — a real regularizer, not a degenerate argmax.
+
+_UNI_ALPHA_NUM = 1  # alpha = num / 8 (dyadic; default 0.125)
+_UNI_ALPHA_DEN = 8
+_UNI_K20 = tuple(
+    round(2 ** (r / _UNI_ALPHA_DEN) * (1 << 20)) for r in range(_UNI_ALPHA_DEN)
+)
+_UNI_SAMPLE_EPOCHS = 3
+_UNI_SAMPLE_SEED = "uniseg|"
+_UNI_DRAW_CUTOFF_Q = 39  # q above this never samples rank 2 (shift-safe)
+
+
+def _duck_uni_sample_ctes() -> list[str]:
+    from vector_search_ner_spark.functions.text import duck_stable_long_hash
+
+    h = duck_stable_long_hash(
+        f"'{_UNI_SAMPLE_SEED}' || e.epoch || '|' || b.w"
+    )
+    klist = "[" + ", ".join(str(k) for k in _UNI_K20) + "]"
+    parts = _duck_uni_kbest_ctes()
+    parts.append(
+        f"""kb AS (
+  SELECT w, freq, c1, c2, nalt,
+         ({_UNI_ALPHA_NUM} * (c2 - c1)) // {_UNI_ALPHA_DEN} AS q,
+         ({_UNI_ALPHA_NUM} * (c2 - c1)) % {_UNI_ALPHA_DEN} AS r
+  FROM (
+    SELECT w, freq, MIN(cost) AS c1, MAX(cost) AS c2, COUNT(*) AS nalt
+    FROM kc GROUP BY w, freq
+  )
+), ep AS (
+  SELECT unnest(generate_series(1, {_UNI_SAMPLE_EPOCHS})) AS epoch
+), draw AS (
+  SELECT b.w, b.freq, CAST(e.epoch AS INTEGER) AS epoch,
+         CASE WHEN b.nalt = 2
+                   AND b.q <= {_UNI_DRAW_CUTOFF_Q}
+                   AND ({h} %
+                        (1 + (({klist}[CAST(b.r AS INTEGER) + 1] << b.q)
+                              >> 20))) = 0
+              THEN 2 ELSE 1 END AS chosen
+  FROM kb b CROSS JOIN ep e
+), sampled AS (
+  SELECT d.epoch, d.w, d.freq, CAST(d.chosen AS INTEGER) AS sample_rank,
+         k.path, CAST(k.cost AS INTEGER) AS cost_bits
+  FROM draw d JOIN kc k ON d.w = k.w AND d.chosen = k.rnk
+)"""
+    )
+    return parts
+
+
+def _duck_uni_sample() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_duck_uni_sample_ctes())
+        + """
+SELECT epoch, w, freq, sample_rank, path, cost_bits FROM sampled
+ORDER BY epoch, w
+"""
+    )
+
+
+def unigram_sample_frame(
+    docs: DataFrame,
+    alpha_num: int = _UNI_ALPHA_NUM,
+    epochs: int = _UNI_SAMPLE_EPOCHS,
+) -> DataFrame:
+    """The sampled segmentation roster over an explicit (text) frame —
+    shared by the registered query and the alpha-limit law test
+    (alpha = alpha_num / {den}). Returns (epoch, w, freq, sample_rank,
+    path, cost_bits).""".format(den=_UNI_ALPHA_DEN)
+    from vector_search_ner_spark.functions.text import stable_long_hash
+
+    alt = cut_lineage(_uni_kbest_frame(docs))  # consumed twice below
+    e_bits = F.lit(alpha_num).cast("long") * (F.col("c2") - F.col("c1"))
+    kb = (
+        alt.groupBy("w", "freq")
+        .agg(
+            F.min("cost_bits").cast("long").alias("c1"),
+            F.max("cost_bits").cast("long").alias("c2"),
+            F.count(F.lit(1)).alias("nalt"),
+        )
+        .select(
+            "w",
+            "freq",
+            "nalt",
+            (e_bits / _UNI_ALPHA_DEN).cast("long").alias("q"),
+            F.pmod(e_bits, F.lit(_UNI_ALPHA_DEN)).cast("int").alias("r"),
+        )
+    )
+    ep = docs.sparkSession.range(1, epochs + 1).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    h = stable_long_hash(
+        F.concat(
+            F.lit(_UNI_SAMPLE_SEED),
+            F.col("epoch").cast("string"),
+            F.lit("|"),
+            F.col("w"),
+        )
+    )
+    # m = 1 + floor(K[r] * 2^q / 2^20) ~ 1 + 2^(alpha * delta); the
+    # K-lookup decodes the dyadic fractional part, the shift the
+    # integral part (q is guarded <= 39, so K[r] << q stays in int64)
+    m = F.lit(1).cast("long") + F.shiftright(
+        F.expr(
+            f"shiftleft(element_at(array({', '.join(str(k) + 'L' for k in _UNI_K20)}), "
+            f"r + 1), CAST(least(q, {_UNI_DRAW_CUTOFF_Q}) AS INT))"
+        ),
+        20,
+    )
+    chosen = F.when(
+        (F.col("nalt") == 2)
+        & (F.col("q") <= _UNI_DRAW_CUTOFF_Q)
+        & (F.pmod(h, m) == 0),
+        F.lit(2),
+    ).otherwise(F.lit(1))
+    draw = kb.crossJoin(F.broadcast(ep)).select(
+        "w", "freq", "epoch", chosen.cast("int").alias("sample_rank")
+    )
+    picked = alt.select(
+        F.col("w").alias("aw"),
+        F.col("sample_rank").alias("rnk"),
+        "path",
+        "cost_bits",
+    )
+    return draw.join(
+        picked,
+        (F.col("w") == F.col("aw")) & (F.col("sample_rank") == F.col("rnk")),
+    ).select("epoch", "w", "freq", "sample_rank", "path", "cost_bits")
+
+
+@query("unigram_sample_segmentations", oracle=_duck_uni_sample())
+def unigram_sample_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EPOCH subword-regularization draw (the shipping half of
+    Kudo's paper, composing the k-best table with the house seeded-
+    hash draw — see the section comment above for the exact Bernoulli
+    and its dyadic device): for each of {e} epochs, every trainable
+    word's segmentation is re-sampled from its top-{k} alternatives at
+    inverse temperature alpha = {a}; sample_rank records which
+    alternative the epoch drew (1 = Viterbi). alpha -> inf degenerates
+    to the Viterbi encoder exactly (law pinned in tests); alpha = 0
+    would be uniform over alternatives.
+
+    Scale shape: the draw itself is O(word-vocab x epochs) — a hash, a
+    modulo, and a CASE per row on the vocabulary-sized k-best frame
+    (the corpus is never re-scanned per epoch), then one id-equi join
+    back to the alternatives to fetch the chosen path. The epoch frame
+    broadcasts.""".format(
+        e=_UNI_SAMPLE_EPOCHS, k=_UNI_KBEST, a=f"{_UNI_ALPHA_NUM}/{_UNI_ALPHA_DEN}"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_sample_frame(docs).orderBy("epoch", "w")
+
+
+@query(
+    "unigram_epoch_token_budget",
+    oracle="WITH "
+    + ",\n".join(_duck_uni_sample_ctes())
+    + """
+SELECT epoch,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(string_split(path, ' '))) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(freq * len(string_split(path, ' '))) AS DOUBLE)
+             / SUM(freq), 6) AS fertility
+FROM sampled GROUP BY epoch ORDER BY epoch
+""",
+)
+def unigram_epoch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What subword regularization costs the TOKEN BUDGET: per epoch,
+    the corpus token count under that epoch's sampled segmentations —
+    the number an epoch planner (`epoch_plan_token_budget`) must read
+    INSTEAD of a fixed per-doc token count once the tokenizer
+    re-samples per epoch (sampled fertility >= Viterbi fertility by
+    construction: every non-argmax draw can only add pieces). The
+    corpus-free identity again: tokens at epoch e = SUM over the word
+    vocabulary of freq(w) x |sampled_e(w)| — the corpus itself is
+    scanned once, in the trainer's word-frequency pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = unigram_sample_frame(docs)
+    return (
+        s.groupBy("epoch")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.size(F.split("path", " ")))
+            .cast("long")
+            .alias("n_tokens"),
+            F.round(
+                F.sum(F.col("freq") * F.size(F.split("path", " "))).cast("double")
+                / F.sum("freq"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("epoch")
+    )

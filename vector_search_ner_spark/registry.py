@@ -81,37 +81,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-10 rotation. Surface = 274 registered queries, every one
-    # with a full DuckDB value-hash oracle; by r09 all prior 263 had
-    # been driver-sampled at least once with every latest verdict
-    # green (CORRECTNESS_r09 = 50/50, cumulative union r1-r9 =
-    # 263/263). This window front-loads the 11 NEW queries (the rung-0
-    # source-curation family incl. its streamed stateful twin; the
-    # unigram-LM tokenizer trainer + its fertility/curve/k-best legs;
-    # the semantic contamination sweep + its streamed ingest twin; the
-    # IVF near-dup candidate eval) and the 5 whose code or oracle CHANGED this
-    # round (pretrain_corpus_e2e gained the source_gate ingest rung;
-    # dp_geometric_counts moved to the true two-sided geometric,
-    # epsilon now honestly ln 2; anonymize_microagg suppresses
-    # under-k segments; dedup_embedding_cosine probes flip-2
-    # neighbors; dedup_cosine_eval_report became the probe-depth
-    # curve). Positions after this list backfill with already-green
-    # registration-order queries as re-confirms.
-    "pretrain_corpus_e2e",
-    "source_reputation_report",
-    "source_curation_gate",
-    "source_quota_enforce",
-    "stream_source_quota",
+    # Round-11 rotation. Surface = 278 registered queries, every one
+    # with a full DuckDB value-hash oracle; cumulative driver union
+    # r1-r10 = 274/274 all latest-verdict green. This window
+    # front-loads the 4 NEW queries (the subword-regularization
+    # sampler + its epoch token budget; the token-denominated source
+    # quota; the incremental IVF near-dup sharing the promoted batch
+    # generator) and the 7 whose code or oracle CHANGED this round
+    # (dedup_embedding_cosine PROMOTED to the Lloyd/IVF learned-bucket
+    # candidate tier — recall 0.9153 at 28.4% of all-pairs, vs the
+    # retired flip-2 sketch's 0.875 at 68%; dedup_cosine_ivf_eval now
+    # grades that exact production config, nprobe 1-4; the four
+    # unigram queries moved to the 16-deep frontier-driven relaxation
+    # and the k-best tail refactor; pretrain_corpus_e2e gained the
+    # quota-unit docstring note, plan unchanged). Positions after this
+    # list backfill with already-green registration-order queries as
+    # re-confirms.
+    "dedup_embedding_cosine",
+    "dedup_cosine_ivf_eval",
+    "dedup_cosine_incremental",
+    "unigram_sample_segmentations",
+    "unigram_epoch_token_budget",
+    "source_quota_tokens",
     "unigram_train_vocab",
     "unigram_fertility_by_lang",
     "unigram_compression_curve",
     "unigram_kbest_segmentations",
-    "contamination_semantic",
-    "stream_contamination_semantic",
-    "dedup_cosine_ivf_eval",
-    "dp_geometric_counts",
-    "anonymize_microagg",
-    "dedup_embedding_cosine",
+    "pretrain_corpus_e2e",
+    "source_quota_enforce",
+    "stream_source_quota",
     "dedup_cosine_eval_report",
 ]
 
