@@ -94,7 +94,7 @@ def _duck_fl2(x: str) -> str:
 
 
 def _duck_uni_ctes(rounds: int) -> list[str]:
-    """seed (w0/occ/cand/v0) + per-EM-round (edges, 8 relax steps,
+    """seed (w0/occ/cand/v0) + per-EM-round (edges, _UNI_RELAX relax steps,
     best, counts, prune, re-cost) CTE chain; `rounds` extra E-steps
     beyond _UNI_ROUNDS give consumers (the fertility eval) the final
     segmentation under the trained costs."""
