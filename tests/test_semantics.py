@@ -3351,3 +3351,22 @@ def test_dedup_cosine_incremental_recall_floor(spark):
     for pair, c in got.items():
         assert c == truth[pair]
     assert len(got) / len(truth) >= 0.7, (len(got), len(truth))
+
+
+def test_stream_token_quota_equals_batch(spark):
+    """The streamed token-quota admission set must equal the batch
+    twin bit-for-bit — the rung-0 batch/stream symmetry restated as a
+    direct frame equality (ranks and running token sums included)."""
+    from vector_search_ner_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    s_ = sorted(
+        (r.asDict() for r in qs["stream_source_quota_tokens"](spark, sf).collect()),
+        key=lambda d: d["doc_id"],
+    )
+    b_ = sorted(
+        (r.asDict() for r in qs["source_quota_tokens"](spark, sf).collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert s_ == b_

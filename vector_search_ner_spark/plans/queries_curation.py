@@ -113,6 +113,92 @@ WHERE rn <= {_SRC_DOC_QUOTA} AND cum_chars <= {_SRC_CHAR_QUOTA}
 """
 
 
+_SRC_TOKEN_QUOTA = 1600
+
+
+def _duck_token_quota_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _UNI_RELAX,
+        _duck_uni_perw_ctes,
+    )
+
+    return (
+        "WITH "
+        + ",\n".join(_duck_uni_perw_ctes())
+        + f""", rep AS ({_duck_rep_agg()}),
+ok AS (
+  SELECT source FROM rep
+  WHERE NOT (blocked OR dup_rate > {_REP_DUP_CAP}
+             OR mean_quality < {_REP_QUALITY_FLOOR})
+), dw AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+), dtok AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN dw.w = '' THEN 0
+                                ELSE COALESCE(p.n_pieces, length(dw.w))
+                           END), 0) AS BIGINT) AS n_tokens
+  FROM documents d
+  LEFT JOIN dw ON d.doc_id = dw.doc_id
+  LEFT JOIN perw p ON dw.w = p.w AND length(dw.w) <= {_UNI_RELAX}
+  GROUP BY d.doc_id
+), rk AS (
+  SELECT d.doc_id, d.source, t.n_tokens,
+         CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+              AS INTEGER) AS rn,
+         CAST(SUM(t.n_tokens) OVER (
+           PARTITION BY d.source ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM documents d
+  JOIN ok ON d.source = ok.source
+  JOIN dtok t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, source, n_tokens, rn, cum_tokens FROM rk
+WHERE rn <= {_SRC_DOC_QUOTA} AND cum_tokens <= {_SRC_TOKEN_QUOTA}
+"""
+    )
+
+
+def doc_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (doc_id, n_tokens) under the trained
+    unigram encoder: exploded words left-joined to the encoder's
+    per-word piece counts, words beyond the trainer's length cap
+    charged length(w) (closed-cover worst case), empty docs charged 0.
+    Shared by `source_quota_tokens` and its streamed stateful twin
+    (`stream_source_quota_tokens` — the encoder is a STATIC artifact
+    at ingest time; the stream's feed carries these counts)."""
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _UNI_RELAX,
+        unigram_perw_frame,
+    )
+    from vector_search_ner_spark.session import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    perw = cut_lineage(unigram_perw_frame(docs))
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    wtok = dw.join(
+        perw.select(
+            F.col("w").alias("pw"), "n_pieces"
+        ),
+        (F.col("w") == F.col("pw")) & (F.length("w") <= _UNI_RELAX),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("w") == "", F.lit(0))
+        .otherwise(F.coalesce(F.col("n_pieces"), F.length("w").cast("long")))
+        .alias("tok"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(wtok.groupBy("doc_id").agg(F.sum("tok").alias("__t")), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("n_tokens")
+        )
+    )
+
+
 def _rep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of `_duck_rep_agg`: one corpus pass staging the
     per-doc quality parts (house gate pattern — interpreted
@@ -275,51 +361,6 @@ def source_quota_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # any word segments into single chars. The epoch planner reads the
 # same unit (queries_unigram.unigram_epoch_token_budget).
 
-_SRC_TOKEN_QUOTA = 1600
-
-
-def _duck_token_quota_oracle() -> str:
-    from vector_search_ner_spark.plans.queries_unigram import (
-        _UNI_RELAX,
-        _duck_uni_perw_ctes,
-    )
-
-    return (
-        "WITH "
-        + ",\n".join(_duck_uni_perw_ctes())
-        + f""", rep AS ({_duck_rep_agg()}),
-ok AS (
-  SELECT source FROM rep
-  WHERE NOT (blocked OR dup_rate > {_REP_DUP_CAP}
-             OR mean_quality < {_REP_QUALITY_FLOOR})
-), dw AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
-), dtok AS (
-  SELECT d.doc_id,
-         CAST(COALESCE(SUM(CASE WHEN dw.w = '' THEN 0
-                                ELSE COALESCE(p.n_pieces, length(dw.w))
-                           END), 0) AS BIGINT) AS n_tokens
-  FROM documents d
-  LEFT JOIN dw ON d.doc_id = dw.doc_id
-  LEFT JOIN perw p ON dw.w = p.w AND length(dw.w) <= {_UNI_RELAX}
-  GROUP BY d.doc_id
-), rk AS (
-  SELECT d.doc_id, d.source, t.n_tokens,
-         CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
-              AS INTEGER) AS rn,
-         CAST(SUM(t.n_tokens) OVER (
-           PARTITION BY d.source ORDER BY d.doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cum_tokens
-  FROM documents d
-  JOIN ok ON d.source = ok.source
-  JOIN dtok t ON d.doc_id = t.doc_id
-)
-SELECT doc_id, source, n_tokens, rn, cum_tokens FROM rk
-WHERE rn <= {_SRC_DOC_QUOTA} AND cum_tokens <= {_SRC_TOKEN_QUOTA}
-"""
-    )
-
 
 @query("source_quota_tokens", oracle=_duck_token_quota_oracle())
 def source_quota_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,14 +379,7 @@ def source_quota_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, never global; the gate frame broadcasts.""".format(
         q=_SRC_DOC_QUOTA, b=_SRC_TOKEN_QUOTA
     )
-    from vector_search_ner_spark.plans.queries_unigram import (
-        _UNI_RELAX,
-        unigram_perw_frame,
-    )
-    from vector_search_ner_spark.session import cut_lineage
-
     docs = load_table(spark, sf_dir, "documents")
-    perw = cut_lineage(unigram_perw_frame(docs))
     rep = _rep_frame(spark, sf_dir)
     ok = rep.where(
         ~(
@@ -354,28 +388,7 @@ def source_quota_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("mean_quality") < _REP_QUALITY_FLOOR)
         )
     ).select("source")
-    dw = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
-    )
-    wtok = dw.join(
-        perw.select(
-            F.col("w").alias("pw"), "n_pieces"
-        ),
-        (F.col("w") == F.col("pw")) & (F.length("w") <= _UNI_RELAX),
-        "left",
-    ).select(
-        "doc_id",
-        F.when(F.col("w") == "", F.lit(0))
-        .otherwise(F.coalesce(F.col("n_pieces"), F.length("w").cast("long")))
-        .alias("tok"),
-    )
-    dtok = (
-        docs.select("doc_id")
-        .join(wtok.groupBy("doc_id").agg(F.sum("tok").alias("__t")), "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("n_tokens")
-        )
-    )
+    dtok = doc_token_frame(spark, sf_dir)
     w = Window.partitionBy("source").orderBy("doc_id")
     rk = (
         docs.join(F.broadcast(ok), "source")

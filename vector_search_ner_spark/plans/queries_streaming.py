@@ -476,3 +476,24 @@ def stream_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     `contamination_semantic` oracle VERBATIM (a train vector appears
     in exactly one micro-batch, so per-batch reduction == global)."""
     return se.stream_contamination_semantic(spark, sf_dir)
+
+
+def _token_quota_shared_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_curation import (
+        _duck_token_quota_oracle,
+    )
+
+    return _duck_token_quota_oracle()
+
+
+@query("stream_source_quota_tokens", oracle=_token_quota_shared_oracle())
+def stream_source_quota_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKEN-denominated rung-0 quota AT INGEST — streamed stateful
+    twin of `source_quota_tokens` (see streaming/events.py for the
+    harness and state shape: one (docs, tokens) counter row per
+    source; the trained encoder is a static artifact at ingest time,
+    so per-doc token counts arrive with the documents). Shares the
+    batch oracle VERBATIM — the full trained-encoder chain included,
+    so the streamed admission set is value-checked against a
+    first-principles re-derivation of tokenizer + reputation + quota."""
+    return se.stream_source_quota_tokens(spark, sf_dir)

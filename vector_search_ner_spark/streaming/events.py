@@ -1099,3 +1099,115 @@ def stream_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.read.parquet(sink).drop("batch_id")
+
+
+def stream_source_quota_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-DENOMINATED quota enforcement at ingest — the streamed
+    stateful twin of `source_quota_tokens`, completing the rung-0
+    batch/stream symmetry in the unit labs actually budget. Same
+    harness shape as `stream_source_quota` (crawl-order file feed,
+    broadcast reputation verdict, applyInPandasWithState with ONE
+    counter row per source), but the feed carries each document's
+    TOKEN count under the trained unigram encoder — at ingest time the
+    encoder is a STATIC artifact (trained offline, shipped to the
+    crawler), so per-doc token counts arrive WITH the documents; the
+    harness computes them with the shared `doc_token_frame` the batch
+    twin uses. State = (docs seen, tokens seen) per source; admission
+    iff both the doc quota and the cumulative token budget hold at
+    arrival position.
+
+    Shares the batch `source_quota_tokens` oracle VERBATIM — streamed
+    ranks and running token sums must equal the batch window
+    computation bit-for-bit."""
+    import glob
+    import os
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vector_search_ner_spark.plans.queries_curation import (
+        _REP_DUP_CAP,
+        _REP_QUALITY_FLOOR,
+        _SRC_DOC_QUOTA,
+        _SRC_TOKEN_QUOTA,
+        _rep_frame,
+        doc_token_frame,
+    )
+
+    rep = _rep_frame(spark, sf_dir)
+    ok = rep.where(
+        ~(
+            F.col("blocked")
+            | (F.col("dup_rate") > _REP_DUP_CAP)
+            | (F.col("mean_quality") < _REP_QUALITY_FLOOR)
+        )
+    ).select("source")
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+        "source_quota_tokens_stream_src",
+    )
+    feed = (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(ok), "source")
+        .join(doc_token_frame(spark, sf_dir), "doc_id")
+        .select("doc_id", "source", "n_tokens")
+    )
+    feed.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(art)
+
+    def _min_doc_id(path: str) -> int:
+        f = pq.ParquetFile(path)
+        idx = f.schema_arrow.names.index("doc_id")
+        mins = [
+            f.metadata.row_group(i).column(idx).statistics.min
+            for i in range(f.metadata.num_row_groups)
+            if f.metadata.row_group(i).num_rows > 0
+        ]
+        return min(mins) if mins else 1 << 60
+
+    base_t = _time.time() - 86400
+    parts = sorted(glob.glob(os.path.join(art, "part-*")), key=_min_doc_id)
+    for rank, p in enumerate(parts):
+        os.utime(p, (base_t + 60 * rank, base_t + 60 * rank))
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(art)
+    )
+
+    def admit(key: tuple, pdfs, state: GroupState):
+        rn, cum = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            rns = rn + np.arange(1, len(pdf) + 1)
+            cums = cum + pdf["n_tokens"].astype("int64").cumsum().to_numpy()
+            keep = (rns <= _SRC_DOC_QUOTA) & (cums <= _SRC_TOKEN_QUOTA)
+            rn += len(pdf)
+            cum += int(pdf["n_tokens"].sum())
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy()[keep],
+                        "source": key[0],
+                        "n_tokens": pdf["n_tokens"].to_numpy()[keep],
+                        "rn": rns[keep].astype("int32"),
+                        "cum_tokens": cums[keep],
+                    }
+                )
+        state.update((int(rn), int(cum)))
+
+    out = stream.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=(
+            "doc_id bigint, source string, n_tokens bigint, rn int, "
+            "cum_tokens bigint"
+        ),
+        stateStructType="rn bigint, cum bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append")
