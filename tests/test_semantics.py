@@ -3414,3 +3414,43 @@ def test_dedup_embedding_cosine_recall_decay_priced_at_sf01(spark):
     }
     assert got <= truth
     assert len(got) / len(truth) >= 0.72, (len(got), len(truth))
+
+
+def test_unigram_store_serves_without_retraining(spark):
+    """The persisted tokenizer artifact must actually SERVE: once the
+    store generation exists, `unigram_encode_from_store` reads the
+    vocabulary from parquet (input files include the store path — the
+    training chain is absent from the scan set beyond the one
+    word-frequency corpus pass) and its segmentations equal the
+    freshly-trained Viterbi paths exactly (the store content check,
+    engine-side twin of the oracle's from-scratch re-derivation)."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _uni_train,
+        _uni_viterbi,
+    )
+    from vector_search_ner_spark.sources.catalog import load_table
+
+    import os
+
+    from vector_search_ner_spark.sources.tokenizer_store import (
+        _store_path,
+        unigram_vocab_store,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    frame = qs["unigram_encode_from_store"](spark, sf)
+    rows = frame.collect()  # builds the store on first touch
+    assert os.path.exists(os.path.join(_store_path(sf), "vocab", "_SUCCESS"))
+    store = unigram_vocab_store(spark, sf)  # second open: a parquet read
+    assert any("tokenizer_store" in f for f in store.inputFiles())
+    assert store.columns == ["piece", "m", "cost"]
+    docs = load_table(spark, sf, "documents")
+    wf, occ, vocab = _uni_train(docs)
+    fresh = {
+        r["w"]: r["path"] for r in _uni_viterbi(wf, occ, vocab).collect()
+    }
+    assert {r["w"]: r["path"] for r in rows} == fresh
+    for r in rows:
+        assert r["n_pieces"] == len(r["path"].split(" "))

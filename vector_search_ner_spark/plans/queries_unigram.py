@@ -934,3 +934,58 @@ def unigram_epoch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch")
     )
+
+
+# -- encode from the persisted tokenizer artifact ------------------------------
+
+
+def _duck_uni_encode_store() -> str:
+    final = _UNI_ROUNDS + 1
+    return (
+        "WITH "
+        + ",\n".join(_duck_uni_ctes(final))
+        + f"""
+SELECT w, freq, path,
+       CAST(len(string_split(path, ' ')) AS INTEGER) AS n_pieces
+FROM best{final}
+ORDER BY w
+"""
+    )
+
+
+@query("unigram_encode_from_store", oracle=_duck_uni_encode_store())
+def unigram_encode_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the PERSISTED tokenizer artifact
+    (sources/tokenizer_store.py) — the serving shape: the vocabulary
+    was trained once offline and is opened here as a tiny parquet
+    relation (the plan shows a store scan, never the training chain),
+    broadcast into the Viterbi lattice join, and every trainable
+    word's final segmentation is emitted with its piece count. This is
+    the frame `source_quota_tokens` / the epoch planner consume at
+    ingest; splitting the TRAIN job from the ENCODE job is what makes
+    the tokenizer a shippable artifact rather than a subexpression —
+    at 100 TB the training scan runs once, not per consumer.
+
+    The oracle re-derives the persisted vocabulary from first
+    principles (the full seed -> EM -> Viterbi CTE chain), so the
+    store's CONTENT is value-checked against a from-scratch retrain —
+    a stale or corrupted generation flips the hash.
+
+    Scale shape: one word-frequency hash agg over the corpus + the
+    frontier-driven relaxation over the (word, position) lattice with
+    the BROADCAST stored costs; output is word-vocabulary-sized."""
+    from vector_search_ner_spark.sources.tokenizer_store import (
+        unigram_vocab_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_vocab_store(spark, sf_dir)
+    wf = cut_lineage(_uni_word_freq(docs))
+    occ = cut_lineage(_uni_occurrences(wf))
+    best = _uni_viterbi(wf, occ, vocab)
+    return best.select(
+        "w",
+        "freq",
+        "path",
+        F.size(F.split("path", " ")).cast("int").alias("n_pieces"),
+    ).orderBy("w")

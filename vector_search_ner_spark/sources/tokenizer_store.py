@@ -1,0 +1,82 @@
+"""Persisted TRAINED-TOKENIZER artifact — the tokenizer-is-an-artifact
+shape every lab ships: the vocabulary is trained ONCE offline and then
+served frozen everywhere it is consumed (encode at ingest, price token
+quotas, plan epochs, draw subword-regularization samples). Consumers
+must never retrain per query — at 100 TB the training corpus scan is a
+job, not a subexpression.
+
+The store persists the unigram-LM trainer's final vocabulary
+(piece, m, cost) as one tiny parquet relation (vocab-sized — hundreds
+of rows for this fixture, O(100k) for a production tokenizer; it
+BROADCASTS into every consumer join). Freshness mirrors the other
+persisted stores (`sources/neardup_index.py`,
+`sources/semdedup_index.py`): the generation key fingerprints the
+source parquet (part-file mtimes/sizes), every trainer constant, and a
+VERSION; retirement is write-then-swap gated on the new generation's
+_SUCCESS marker, so a crash mid-build keeps the previous generation
+serveable. The trainer is the fully SQL-reproducible Viterbi-EM chain
+(plans/queries_unigram.py), so consumers keep complete DuckDB oracles
+that re-derive the persisted CONTENT from first principles — the store
+is value-checked, not just its plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_search_ner_spark.sources.catalog import load_table
+from vector_search_ner_spark.sources.neardup_index import (
+    ARTIFACT_DIR,
+    _source_fingerprint,
+)
+
+TOKENIZER_STORE_VERSION = 1
+
+
+def _store_path(sf_dir: str) -> str:
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _UNI_MAXP,
+        _UNI_RELAX,
+        _UNI_ROUNDS,
+        _UNI_SEED,
+        _UNI_VOCAB,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{_source_fingerprint(src)}:p{_UNI_MAXP}x{_UNI_RELAX}"
+        f"s{_UNI_SEED}v{_UNI_VOCAB}r{_UNI_ROUNDS}"
+        f":v{TOKENIZER_STORE_VERSION}".encode()
+    ).hexdigest()[:16]
+    corpus = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(ARTIFACT_DIR, "tokenizer_store", corpus, key)
+
+
+def unigram_vocab_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open (building once if absent) the persisted trained unigram
+    vocabulary over `sf_dir`'s documents. Returns (piece, m, cost) as
+    a plain parquet read — consumers' plans show a scan of this store,
+    never the training chain."""
+    from vector_search_ner_spark.plans.queries_unigram import _uni_train
+
+    path = _store_path(sf_dir)
+    vocab_path = os.path.join(path, "vocab")
+    if not os.path.exists(os.path.join(vocab_path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        _wf, _occ, vocab = _uni_train(docs)
+        vocab.select("piece", "m", "cost").write.mode("overwrite").parquet(
+            vocab_path
+        )
+        # write-then-swap: retire older generations only after the new
+        # build's marker lands
+        parent = os.path.dirname(path)
+        if os.path.exists(os.path.join(vocab_path, "_SUCCESS")):
+            import shutil
+
+            for old in os.listdir(parent):
+                if old != os.path.basename(path):
+                    shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
+    return spark.read.parquet(vocab_path)
