@@ -3454,3 +3454,29 @@ def test_unigram_store_serves_without_retraining(spark):
     assert {r["w"]: r["path"] for r in rows} == fresh
     for r in rows:
         assert r["n_pieces"] == len(r["path"].split(" "))
+
+
+def test_bpe_store_serves_and_matches_retrain(spark):
+    """The persisted BPE artifact must serve without retraining (both
+    halves land under _SUCCESS; second open is a parquet read) and its
+    encode output must equal `bpe_encode_corpus`'s fresh-train result
+    exactly — the store-content check, engine-side twin of the shared
+    oracle's from-scratch re-derivation."""
+    from vector_search_ner_spark import registry
+    from vector_search_ner_spark.sources.tokenizer_store import bpe_store
+
+    sf = "/root/testdata/sf0.01"
+    qs, _ = registry.collect()
+    stored = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in qs["bpe_encode_from_store"](spark, sf).collect()
+    }
+    merges, segs = bpe_store(spark, sf)  # second open: parquet reads
+    assert any("tokenizer_store_bpe" in f for f in merges.inputFiles())
+    assert merges.columns == ["round", "sym_a", "sym_b", "pair_count"]
+    assert segs.columns == ["w", "seg", "freq"]
+    fresh = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in qs["bpe_encode_corpus"](spark, sf).collect()
+    }
+    assert stored == fresh

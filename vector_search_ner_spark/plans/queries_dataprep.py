@@ -2929,3 +2929,45 @@ def quality_classifier_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@query("bpe_encode_from_store", oracle=_duck_bpe_encode())
+def bpe_encode_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bpe_encode_corpus` served from the PERSISTED tokenizer
+    artifact (sources/tokenizer_store.py::bpe_store) — the BPE twin of
+    `unigram_encode_from_store`, completing the artifact story for
+    BOTH trainers: the merge table and the pre-encoded word-
+    segmentation table persist once per generation (write-then-swap,
+    source-fingerprint key), and the corpus encoder joins the exploded
+    (doc_id, w) stream against the STORED (w, n_tok) relation — the
+    training loop never re-runs per consumer. Unseen words would take
+    the stored MERGE TABLE's open-vocabulary path (`bpe_heldout_oov`
+    measures that miss rate); on the training corpus the segmentation
+    table covers every word, which is exactly the fast path a serving
+    encoder hits.
+
+    The oracle re-derives the artifact from first principles (the full
+    train-chain CTEs), so the persisted content is value-checked — a
+    stale generation flips the hash. Output identical to
+    `bpe_encode_corpus` by construction (shared oracle)."""
+    from vector_search_ner_spark.sources.tokenizer_store import bpe_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, word_segs = bpe_store(spark, sf_dir)
+    enc = word_segs.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seg")), "  ")).cast("long").alias("n_tok"),
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        dw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

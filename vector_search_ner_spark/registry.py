@@ -81,14 +81,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-11 rotation. Surface = 280 registered queries, every one
+    # Round-11 rotation. Surface = 281 registered queries, every one
     # with a full DuckDB value-hash oracle; cumulative driver union
     # r1-r10 = 274/274 all latest-verdict green. This window
-    # front-loads the 6 NEW queries (the subword-regularization
+    # front-loads the 7 NEW queries (the subword-regularization
     # sampler + its epoch token budget; the token-denominated source
     # quota + its streamed stateful twin; the incremental IVF near-dup
     # sharing the promoted batch generator; the persisted-tokenizer
-    # encode) and the 7 whose code or oracle CHANGED this round
+    # encodes for BOTH trainers) and the 7 whose code or oracle
+    # CHANGED this round
     # (dedup_embedding_cosine PROMOTED to the Lloyd/IVF learned-bucket
     # candidate tier — recall 0.9153 at 28.4% of all-pairs, vs the
     # retired flip-2 sketch's 0.875 at 68%; dedup_cosine_ivf_eval now
@@ -106,6 +107,7 @@ _DRIVER_PRIORITY: list[str] = [
     "source_quota_tokens",
     "stream_source_quota_tokens",
     "unigram_encode_from_store",
+    "bpe_encode_from_store",
     "unigram_train_vocab",
     "unigram_fertility_by_lang",
     "unigram_compression_curve",

@@ -80,3 +80,43 @@ def unigram_vocab_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if old != os.path.basename(path):
                     shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
     return spark.read.parquet(vocab_path)
+
+
+def bpe_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Open (building once if absent) the persisted trained BPE
+    artifact over `sf_dir`'s documents: BOTH halves every BPE release
+    ships — the MERGE TABLE (round, sym_a, sym_b, pair_count — the
+    open-vocabulary rules, applied in round order to any unseen word)
+    and the WORD-SEGMENTATION table (w, seg, freq — the training
+    vocabulary pre-encoded, the fast path the corpus encoder joins
+    against). Returns (merges, word_segs) as plain parquet reads.
+    Same generation/freshness/swap discipline as the unigram store."""
+    from vector_search_ner_spark.plans.queries_dataprep import (
+        _BPE_ROUNDS,
+        _bpe_train_loop,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{_source_fingerprint(src)}:bpe{_BPE_ROUNDS}"
+        f":v{TOKENIZER_STORE_VERSION}".encode()
+    ).hexdigest()[:16]
+    corpus = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(ARTIFACT_DIR, "tokenizer_store_bpe", corpus, key)
+    merges_path = os.path.join(path, "merges")
+    segs_path = os.path.join(path, "word_segs")
+    if not os.path.exists(os.path.join(segs_path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        merges, vocab = _bpe_train_loop(docs, _BPE_ROUNDS)
+        merges.write.mode("overwrite").parquet(merges_path)
+        vocab.select("w", "seg", "freq").write.mode("overwrite").parquet(
+            segs_path
+        )
+        parent = os.path.dirname(path)
+        if os.path.exists(os.path.join(segs_path, "_SUCCESS")):
+            import shutil
+
+            for old in os.listdir(parent):
+                if old != os.path.basename(path):
+                    shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
+    return spark.read.parquet(merges_path), spark.read.parquet(segs_path)
