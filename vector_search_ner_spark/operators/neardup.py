@@ -722,29 +722,98 @@ def cosine_neardup_pairs(
     )
 
 
-# production IVF near-dup constants: Lloyd-learned coarse quantizer,
-# multi-assigned nprobe-deep. Chosen by the measured sweep at sf0.01
-# (PERF.md round 11): recall 0.9153 of exact cosine>=0.4 pairs for
-# 28.4% of all-pairs — MORE recall than the flip-2 sign-LSH sketch
-# (0.875) for 2.4x fewer candidates (68%). The sketch stays as the
-# eval ladder (`dedup_cosine_eval_report`); this is the shipping tier.
+# production IVF near-dup knob: Lloyd-learned coarse quantizer sized
+# FROM THE CORPUS (round 12 — the round-11 fixed ncent=64 was a
+# measured quadratic trap at scale: perf_scale_r11ops showed 34x wall
+# / 94x shuffle at x10 corpus vs 3.1x when cells track N).
+#
+#   ncent  = clamp(ceil(N / IVF_TARGET_CELL_OCC), MIN, MAX)
+#            — constant mean cell occupancy, so same-cell candidate
+#            mass (~ ncent * (occ*nprobe)^2 / 2) grows LINEARLY in N.
+#   nprobe = IVF_NPROBE_BASE + (ncent > 4^3) + (ncent > 5^3),
+#            capped at IVF_NPROBE_MAX
+#            — the integer ceil-cube-root tiers of the cell count:
+#            finer grids split fixed-radius neighborhoods across more
+#            cells, so probing deepens SUB-LINEARLY with granularity;
+#            the cap keeps the x-scale candidate growth linear.
+#
+# Measured on the fixtures (round 12 knob sweep, PERF.md): sf0.01
+# (N=500 -> ncent 63, nprobe 4) recall 0.9153 of exact cosine>=0.4
+# all-pairs truth for 28.4% of all-pairs as candidates — the exact
+# round-11 promotion figures; sf0.1 (N=2000 -> ncent 250, nprobe 6)
+# recall 0.8359 for 15.6% — the fixed-64 knob's 0.766 decay erased,
+# with HALF the candidate fraction. The integer tier breaks avoid a
+# float cbrt at a parity boundary (libm cbrt may differ between the
+# JVM/Python and DuckDB in the last ulp; integer compares cannot).
+IVF_TARGET_CELL_OCC = 8
+IVF_NCENT_MIN = 16
+# bounds the broadcastable centroid table (~64 MB of 64-dim doubles);
+# beyond N ~ 1e6 * occ the honest scale path is a two-level (IMI/
+# residual) quantizer — out of scope, documented rather than implied
+IVF_NCENT_MAX = 131072
+IVF_NPROBE_BASE = 4
+IVF_NPROBE_MAX = 6
+# kept as the fixture-measured legacy constants: the knob formula
+# reproduces them at sf0.01 (ncent 63 ~ 64, nprobe 4); scale probes
+# still pass explicit values through n_clusters/nprobe
 IVF_NEARDUP_NCENT = 64
 IVF_NEARDUP_NPROBE = 4
+
+# the PERSISTED-index (incremental) variant of the knob: the store
+# multi-assigns its members to their top-IVF_STORE_NPROBE cells
+# index-side and an arriving shard probes its top-IVF_STORE_NPROBE
+# cells — the batch op's both-sides scheme restored (r11's
+# single-assigned store capped recall at 0.786 however deep the
+# shard probed). A FINER quantizer (occupancy 6 vs the batch 8)
+# buys the selectivity back: measured at sf0.01 (450-vec corpus ->
+# 75 cells, 3x3) recall 0.857 of exact shard-vs-corpus truth for
+# 16.0% of shard x corpus pairs — vs r11's 0.786 at the SAME 16%
+# with the shard digging 8 deep. Store grows ~3x (each assignment
+# row carries the member vector so probes stay partition-pruned —
+# the standard multi-copy IVF layout trade).
+IVF_STORE_CELL_OCC = 6
+IVF_STORE_NPROBE = 3
+
+
+def adaptive_ncent(n_vectors: int, occupancy: int = IVF_TARGET_CELL_OCC) -> int:
+    """Corpus-adaptive coarse-quantizer size: ceil(N / occupancy)
+    clamped to [IVF_NCENT_MIN, IVF_NCENT_MAX]. Integer arithmetic only
+    — the DuckDB oracles compute the identical formula with
+    CEIL(COUNT(*) / occ.0) so parity holds at every scale factor."""
+    return max(IVF_NCENT_MIN, min(IVF_NCENT_MAX, -(-n_vectors // occupancy)))
+
+
+def adaptive_nprobe(ncent: int) -> int:
+    """Probe depth for an adaptive cell count: the ceil-cube-root
+    tiers 4/5/6 (breaks at 4^3=64 and 5^3=125), capped at
+    IVF_NPROBE_MAX so asymptotic candidate mass stays linear in N."""
+    return min(
+        IVF_NPROBE_MAX, IVF_NPROBE_BASE + int(ncent > 64) + int(ncent > 125)
+    )
 
 
 def ivf_cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float,
-    n_clusters: int = IVF_NEARDUP_NCENT,
-    nprobe: int = IVF_NEARDUP_NPROBE,
+    n_clusters: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via LEARNED buckets: Lloyd/IVF coarse
     quantizer (ann.lloyd_build — bit-exact across engines), each
     vector multi-assigned to its `nprobe` nearest centroids (Lv-style
     probing on the index side), candidates = pairs sharing ANY
     assigned centroid, exact cosine >= threshold on candidates only.
+
+    `n_clusters`/`nprobe` default to the CORPUS-ADAPTIVE knob
+    (adaptive_ncent / adaptive_nprobe): one O(metadata) count sizes
+    the quantizer at constant mean cell occupancy — the same 1-action
+    class as connected-components' convergence signature, and the
+    difference between linear and quadratic candidate mass at scale
+    (perf_scale_r12ops.py measures the x10 curve). Explicit values
+    still override (the scale probes and evals pass their own).
 
     Scale shape: the quantizer is n_clusters tiny rows (broadcast
     everywhere it appears); assignment is one broadcast join + a
@@ -767,8 +836,19 @@ def ivf_cosine_neardup_pairs(
     from vector_search_ner_spark.operators import ann
     from vector_search_ner_spark.session import cut_lineage
 
+    if n_clusters is None:
+        n_clusters = adaptive_ncent(emb.count())
+    if nprobe is None:
+        nprobe = adaptive_nprobe(n_clusters)
+    if n_iter is None:
+        # lazy import: the Lloyd unroll depth is owned by the oracle
+        # side's shared constant — passing it explicitly (ADVICE r11)
+        # means the two can never drift apart silently
+        from vector_search_ner_spark.plans.queries_mlops import _LLOYD_ITER
+
+        n_iter = _LLOYD_ITER
     _assigned, centroids = ann.lloyd_build(
-        emb, n_clusters, id_col=id_col, vec_col=vec_col
+        emb, n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     sq = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

@@ -183,11 +183,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd.simhash_pairs(docs, SIMHASH_MAX_HAMMING)
 
 
+def _duck_ivf_knob_ctes(
+    corpus_where: str = "", occupancy: int | None = None
+) -> str:
+    """The corpus-adaptive IVF knob, as SQL CTEs — the bit-exact twin
+    of nd.adaptive_ncent / nd.adaptive_nprobe over the same (optionally
+    filtered) embeddings corpus. Integer tier breaks (4^3, 5^3), no
+    float cbrt, so the two engines cannot disagree at a boundary."""
+    occ = nd.IVF_TARGET_CELL_OCC if occupancy is None else occupancy
+    and_where = f" AND ({corpus_where})" if corpus_where else ""
+    return f"""knob0 AS (
+  SELECT GREATEST({nd.IVF_NCENT_MIN}, LEAST({nd.IVF_NCENT_MAX},
+           CAST(CEIL(COUNT(*) / {occ}.0) AS BIGINT))) AS ncent
+  FROM embeddings WHERE TRUE{and_where}
+), knob AS (
+  SELECT ncent,
+         LEAST({nd.IVF_NPROBE_MAX}, {nd.IVF_NPROBE_BASE}
+               + (CASE WHEN ncent > 64 THEN 1 ELSE 0 END)
+               + (CASE WHEN ncent > 125 THEN 1 ELSE 0 END)) AS np
+  FROM knob0
+)"""
+
+
 def _duck_ivf_neardup_oracle() -> str:
-    """Oracle for the PRODUCTION cosine near-dup tier: the shared
-    Lloyd CTEs (bit-exact twin of ann.lloyd_build), nprobe-deep
-    multi-assignment, distinct same-cluster candidate pairs, exact
-    cosine on candidates only."""
+    """Oracle for the PRODUCTION cosine near-dup tier: the adaptive
+    knob CTEs (ncent/nprobe computed FROM the corpus, same formula as
+    the Spark side), the shared Lloyd CTEs (bit-exact twin of
+    ann.lloyd_build), nprobe-deep multi-assignment, distinct
+    same-cluster candidate pairs, exact cosine on candidates only."""
     from vector_search_ner_spark.plans.queries_mlops import (
         _LLOYD_ITER,
         _LLOYD_SQD,
@@ -196,14 +219,16 @@ def _duck_ivf_neardup_oracle() -> str:
 
     sqd = _LLOYD_SQD.format(a="d.v", b="c.centroid")
     return (
-        _duck_lloyd_ctes(n_clusters=nd.IVF_NEARDUP_NCENT)
+        _duck_lloyd_ctes(
+            n_clusters="(SELECT ncent FROM knob)", pre=_duck_ivf_knob_ctes()
+        )
         + f""", dists AS (
   SELECT d.doc_id AS sid, c.cluster_id,
          row_number() OVER (PARTITION BY d.doc_id
                             ORDER BY {sqd}, c.cluster_id) AS rk
   FROM docs d CROSS JOIN c{_LLOYD_ITER} c
 ), asg AS MATERIALIZED (
-  SELECT sid, cluster_id FROM dists WHERE rk <= {nd.IVF_NEARDUP_NPROBE}
+  SELECT sid, cluster_id FROM dists WHERE rk <= (SELECT np FROM knob)
 ), cand AS MATERIALIZED (
   SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b
   FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.sid < b.sid
@@ -219,19 +244,24 @@ WHERE ROUND({duck_cosine("x.v", "y.v")}, 4) >= {COSINE_T}
 
 @query("dedup_embedding_cosine", oracle=_duck_ivf_neardup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, PRODUCTION tier (promoted round 11
-    on its own eval's evidence): Lloyd/IVF learned-bucket candidates —
-    {nc} centroids, each vector multi-assigned to its {np} nearest
-    (Lv-style index-side probing) — then exact cosine >= {t} on
-    DISTINCT same-cluster pairs only. Measured at sf0.01: recall
-    0.9153 of exact all-pairs truth for 28.4% of all-pairs as
-    candidates, vs the retired flip-2 sign-LSH default's 0.875 for
-    68% — more recall, 2.4x fewer candidates, because learned buckets
-    adapt to corpus geometry where fixed hyperplanes cannot.
-    `dedup_cosine_ivf_eval` grades this exact config's full nprobe
-    curve; `dedup_cosine_eval_report` keeps the sketch as the eval
-    ladder.""".format(
-        nc=nd.IVF_NEARDUP_NCENT, np=nd.IVF_NEARDUP_NPROBE, t=COSINE_T
+    """Embedding-cosine near-dup, PRODUCTION tier — Lloyd/IVF
+    learned-bucket candidates at the CORPUS-ADAPTIVE knob (round 12;
+    the round-11 promotion shipped a fixed ncent=64 that its own x10
+    probe convicted as a quadratic trap): ncent = ceil(N/{occ})
+    clamped (constant mean cell occupancy -> linear candidate mass),
+    nprobe = the capped ceil-cbrt tier of ncent, each vector
+    multi-assigned to its nprobe nearest cells (Lv-style both-sides
+    probing), then exact cosine >= {t} on DISTINCT same-cluster pairs
+    only. Measured: sf0.01 (N=500 -> 63 cells, nprobe 4) recall
+    0.9153 of exact all-pairs truth @ 28.4% of all-pairs — the exact
+    r11 promotion figures; sf0.1 (N=2000 -> 250 cells, nprobe 6)
+    recall 0.8359 @ 15.6% — the fixed knob's 0.766 decay erased at
+    HALF the candidate fraction. The oracle computes the identical
+    knob in SQL (see _duck_ivf_knob_ctes), so parity holds at every
+    scale factor. `dedup_cosine_ivf_eval` grades the shipping config's
+    full nprobe curve; `dedup_cosine_knob_recommend` emits the tuned
+    knob for the observed corpus.""".format(
+        occ=nd.IVF_TARGET_CELL_OCC, t=COSINE_T
     )
     emb = load_table(spark, sf_dir, "embeddings")
     return nd.ivf_cosine_neardup_pairs(emb, COSINE_T)
@@ -1601,16 +1631,14 @@ def dedup_cosine_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pairs. The scale path is LEARNED buckets: Lloyd/IVF clusters
 # adapt to the corpus geometry, so same-cluster candidates carry far
 # more of the true pair mass per candidate. This eval grades the
-# PROMOTED PRODUCTION CONFIG (IVF_NEARDUP_NCENT centroids, nprobe up
-# to IVF_NEARDUP_NPROBE, full fixture corpus — all-pairs truth on 500
-# vectors is 124,750 exact cosines, still affordable) with the
-# identical harness as the sketch's curve: truth = exact all-pairs
-# cosine, candidates = pairs sharing an assigned centroid, nprobe =
-# how many nearest centroids each vector is multi-assigned to
-# (Lv-style probing on the index side). The nprobe=IVF_NEARDUP_NPROBE
-# row IS the shipping tier `dedup_embedding_cosine` runs.
-
-_IVF_EVAL_NPROBE = nd.IVF_NEARDUP_NPROBE  # deepest tier = production
+# SHIPPING ADAPTIVE CONFIG (adaptive_ncent over the bounded eval
+# corpus, nprobe tiers up to the adaptive shipping depth — all-pairs
+# truth on 500 vectors is 124,750 exact cosines, still affordable)
+# with the identical harness as the sketch's curve: truth = exact
+# all-pairs cosine, candidates = pairs sharing an assigned centroid,
+# nprobe = how many nearest centroids each vector is multi-assigned
+# to (Lv-style probing on the index side). The deepest row IS the
+# config `dedup_embedding_cosine` derives for this corpus.
 # eval-only truth bound: exact all-pairs cosine is O(n^2 * dim) — the
 # full sf0.01 corpus (500 vecs, 124,750 pairs) fits under it, so the
 # promotion numbers are full-corpus there; larger fixtures grade the
@@ -1619,7 +1647,11 @@ _IVF_EVAL_NPROBE = nd.IVF_NEARDUP_NPROBE  # deepest tier = production
 _IVF_EVAL_N = 800
 
 
-def _duck_cosine_ivf_eval() -> str:
+def _duck_ivf_eval_parts() -> tuple[str, str]:
+    """(ctes, curve_select) of the IVF eval oracle — shared by
+    `dedup_cosine_ivf_eval` (emits the curve) and
+    `dedup_cosine_knob_recommend` (wraps the curve in the tuning
+    decision)."""
     from vector_search_ner_spark.plans.queries_mlops import (
         _LLOYD_ITER,
         _LLOYD_SQD,
@@ -1627,11 +1659,13 @@ def _duck_cosine_ivf_eval() -> str:
     )
 
     sqd = _LLOYD_SQD.format(a="d.v", b="c.centroid")
+    where = f"vec_id < {_IVF_EVAL_N}"
     lloyd = _duck_lloyd_ctes(
-        n_clusters=nd.IVF_NEARDUP_NCENT,
-        corpus_where=f"vec_id < {_IVF_EVAL_N}",
+        n_clusters="(SELECT ncent FROM knob)",
+        corpus_where=where,
+        pre=_duck_ivf_knob_ctes(corpus_where=where),
     )
-    return (
+    ctes = (
         lloyd
         + f""", dists AS (
   SELECT d.doc_id AS sid, c.cluster_id,
@@ -1639,7 +1673,7 @@ def _duck_cosine_ivf_eval() -> str:
                             ORDER BY {sqd}, c.cluster_id) AS rk
   FROM docs d CROSS JOIN c{_LLOYD_ITER} c
 ), asg AS MATERIALIZED (
-  SELECT sid, cluster_id, rk FROM dists WHERE rk <= {_IVF_EVAL_NPROBE}
+  SELECT sid, cluster_id, rk FROM dists WHERE rk <= (SELECT np FROM knob)
 ), co AS MATERIALIZED (
   SELECT a.sid AS sa, b.sid AS sb,
          MIN(GREATEST(a.rk, b.rk)) AS mn
@@ -1656,9 +1690,10 @@ def _duck_cosine_ivf_eval() -> str:
   SELECT p.is_true, co.mn
   FROM pairs p LEFT JOIN co ON p.sa = co.sa AND p.sb = co.sb
 ), probes AS (
-  SELECT unnest(generate_series(1, {_IVF_EVAL_NPROBE})) AS nprobe
-)
-SELECT CAST(pr.nprobe AS INTEGER) AS nprobe,
+  SELECT unnest(generate_series(1, (SELECT np FROM knob))) AS nprobe
+)"""
+    )
+    curve_select = f"""SELECT CAST(pr.nprobe AS INTEGER) AS nprobe,
   CAST(SUM(CASE WHEN j.is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
   CAST(SUM(CASE WHEN j.mn <= pr.nprobe THEN 1 ELSE 0 END) AS BIGINT)
     AS n_candidates,
@@ -1672,34 +1707,25 @@ SELECT CAST(pr.nprobe AS INTEGER) AS nprobe,
                                       THEN 1 ELSE 0 END) AS DOUBLE)), 4)
     AS precision
 FROM j CROSS JOIN probes pr
-GROUP BY pr.nprobe
-"""
-    )
+GROUP BY pr.nprobe"""
+    return ctes, curve_select
 
 
-@query("dedup_cosine_ivf_eval", oracle=_duck_cosine_ivf_eval())
-def dedup_cosine_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed near-dup candidate QUALITY at the PROMOTED
-    PRODUCTION CONFIG — the learned-bucket counterpart of
-    `dedup_cosine_eval_report`, same harness: Lloyd-cluster the
-    fixture corpus into IVF_NEARDUP_NCENT cells (the corpus-adaptive
-    quantizer the ANN ladder already ships), multi-assign each vector
-    to its nprobe nearest centroids, and grade same-cluster pairs
-    against exact all-pairs cosine >= COSINE_T. One row per nprobe
-    tier up to the shipping depth (IVF_NEARDUP_NPROBE — that row IS
-    what `dedup_embedding_cosine` runs); a pair's tier is the MINIMUM
-    over shared centroids of the worse of the two assignment ranks
-    (exactly the pairs an index-side nprobe probe emits). Measured at
-    sf0.01: recall 0.27 / 0.61 / 0.81 / 0.92 for 1.6 / 7.3 / 16.6 /
-    28.4 % of all-pairs at nprobe 1-4 — vs the sketch's 0.875 at 68%.
+def _duck_cosine_ivf_eval() -> str:
+    ctes, curve_select = _duck_ivf_eval_parts()
+    return ctes + "\n" + curve_select + "\n"
 
-    Scale shape: Lloyd is the persisted quantizer (built once);
-    multi-assignment is one broadcast-centroid join + a per-vector
-    top-nprobe; candidates shuffle on cluster_id only. All-pairs truth
-    is EVAL-ONLY and bounded to the first _IVF_EVAL_N vectors — the
-    full sf0.01 corpus fits under the bound (the promotion numbers are
-    full-corpus there); a larger corpus grades the bounded sample, the
-    standard recall-eval practice."""
+
+def _ivf_eval_curve_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, int, int]:
+    """The per-nprobe IVF candidate-quality curve over the bounded
+    eval corpus at the shipping adaptive knob. Returns (curve frame,
+    n_eval, ncent, np_depth) — shared by `dedup_cosine_ivf_eval`
+    (emits the curve) and `dedup_cosine_knob_recommend` (turns it
+    into the tuning decision)."""
+    from pyspark.sql import Window
+
     from vector_search_ner_spark.functions.vector import (
         dot_product,
         l2_norm,
@@ -1711,7 +1737,10 @@ def dedup_cosine_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _IVF_EVAL_N
     )
-    _assigned, centroids = ann.lloyd_build(emb, nd.IVF_NEARDUP_NCENT)
+    n_eval = emb.count()
+    ncent = nd.adaptive_ncent(n_eval)
+    np_depth = nd.adaptive_nprobe(ncent)
+    _assigned, centroids = ann.lloyd_build(emb, ncent)
     sq = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1721,8 +1750,6 @@ def dedup_cosine_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("sid"),
         to_double_array(F.col("embedding")).alias("dv"),
     )
-    from pyspark.sql import Window
-
     rk = F.row_number().over(
         Window.partitionBy("sid").orderBy("__dist", "cluster_id")
     )
@@ -1730,7 +1757,7 @@ def dedup_cosine_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.crossJoin(F.broadcast(centroids))
         .withColumn("__dist", sq(F.col("dv"), F.col("centroid")))
         .select("sid", "cluster_id", rk.alias("rk"))
-        .where(F.col("rk") <= _IVF_EVAL_NPROBE)
+        .where(F.col("rk") <= np_depth)
     )
     a = asg.select(
         F.col("sid").alias("sa"), F.col("cluster_id").alias("cl"),
@@ -1764,13 +1791,13 @@ def dedup_cosine_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = pairs.join(co, ["sa", "sb"], "left")
-    probes = spark.range(1, _IVF_EVAL_NPROBE + 1).select(
+    probes = spark.range(1, np_depth + 1).select(
         F.col("id").cast("int").alias("nprobe")
     )
     t = F.col("is_true").cast("long")
     c = (F.col("mn") <= F.col("nprobe")).cast("long")
     cz = F.coalesce(c, F.lit(0))
-    return (
+    curve = (
         j.crossJoin(F.broadcast(probes))
         .groupBy("nprobe")
         .agg(
@@ -1785,23 +1812,132 @@ def dedup_cosine_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+    return curve, n_eval, ncent, np_depth
+
+
+@query("dedup_cosine_ivf_eval", oracle=_duck_cosine_ivf_eval())
+def dedup_cosine_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed near-dup candidate QUALITY at the SHIPPING
+    ADAPTIVE CONFIG — the learned-bucket counterpart of
+    `dedup_cosine_eval_report`, same harness: Lloyd-cluster the
+    (bounded) eval corpus into adaptive_ncent(n) cells — the exact
+    knob `dedup_embedding_cosine` derives for this corpus — multi-
+    assign each vector to its nprobe nearest centroids, and grade
+    same-cluster pairs against exact all-pairs cosine >= COSINE_T.
+    One row per nprobe tier up to the shipping depth
+    (adaptive_nprobe(ncent) — that row IS what the production op
+    runs); a pair's tier is the MINIMUM over shared centroids of the
+    worse of the two assignment ranks (exactly the pairs an
+    index-side nprobe probe emits). Measured at sf0.01 (ncent 63):
+    recall 0.2712 / 0.6102 / 0.8475 / 0.9153 for 1.6 / 7.4 / 16.6 /
+    28.4 % of all-pairs at nprobe 1-4 — vs the sketch's 0.875 at 68%;
+    at sf0.1 (800-vec eval bound -> ncent 100, depth 5): 0.8773 at
+    26.6% for the shipped tier.
+
+    Scale shape: Lloyd is the persisted quantizer (built once);
+    multi-assignment is one broadcast-centroid join + a per-vector
+    top-nprobe; candidates shuffle on cluster_id only. All-pairs truth
+    is EVAL-ONLY and bounded to the first _IVF_EVAL_N vectors — the
+    full sf0.01 corpus fits under the bound (the promotion numbers are
+    full-corpus there); a larger corpus grades the bounded sample, the
+    standard recall-eval practice."""
+    curve, _n, _nc, _np = _ivf_eval_curve_frame(spark, sf_dir)
+    return curve
+
+
+# the recall the knob must buy on the observed corpus — the contract
+# `dedup_embedding_cosine`'s promotion pinned and the recommender
+# grades the formula against
+_KNOB_RECALL_TARGET = 0.8
+
+
+def _duck_knob_recommend() -> str:
+    ctes, curve_select = _duck_ivf_eval_parts()
+    return (
+        ctes
+        + f""", curve AS (
+{curve_select}
+), shipped AS (
+  SELECT * FROM curve WHERE nprobe = (SELECT np FROM knob)
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS n_corpus,
+  (SELECT CAST(ncent AS BIGINT) FROM knob) AS ncent,
+  (SELECT CAST(np AS INTEGER) FROM knob) AS nprobe_shipped,
+  CAST(COALESCE(
+    (SELECT MIN(nprobe) FROM curve WHERE recall >= {_KNOB_RECALL_TARGET}),
+    (SELECT np FROM knob)) AS INTEGER) AS nprobe_min,
+  s.recall AS recall,
+  s.n_candidates AS n_candidates,
+  ROUND(s.n_candidates / GREATEST(1.0,
+    (SELECT COUNT(*) FROM docs) * ((SELECT COUNT(*) FROM docs) - 1) / 2.0
+  ), 4) AS cand_frac
+FROM shipped s
+"""
+    )
+
+
+@query("dedup_cosine_knob_recommend", oracle=_duck_knob_recommend())
+def dedup_cosine_knob_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The knob-pricing instrument AS A QUERY (r12): turn the measured
+    IVF candidate-quality curve into the (ncent, nprobe)
+    recommendation for the observed corpus at the recall target the
+    promotion contract pinned ({tgt}). One row: the bounded-corpus
+    size, the adaptive quantizer the formula derives for it, the
+    SHIPPED probe depth, the MINIMUM depth on the measured curve that
+    already reaches the target (the headroom signal — if it is below
+    the shipped depth, the formula is spending candidates on margin;
+    if it equals the shipped depth, the cap is binding), and the
+    shipped tier's achieved recall / candidate count / candidate
+    fraction. `dedup_embedding_cosine` consumes the same formula —
+    the pinned equality test asserts the shipped knob equals
+    adaptive_ncent/adaptive_nprobe of the observed corpus and that
+    its measured recall clears the target.
+
+    Scale shape: identical to `dedup_cosine_ivf_eval` (the curve is
+    the expensive part, bounded by _IVF_EVAL_N); the decision tail is
+    a 1-row aggregate over the <= IVF_NPROBE_MAX curve rows.""".format(
+        tgt=_KNOB_RECALL_TARGET
+    )
+    curve, n_eval, ncent, np_depth = _ivf_eval_curve_frame(spark, sf_dir)
+    allp = n_eval * (n_eval - 1) / 2.0
+    agg = curve.agg(
+        F.min(
+            F.when(F.col("recall") >= _KNOB_RECALL_TARGET, F.col("nprobe"))
+        ).alias("nm"),
+        F.max(
+            F.when(F.col("nprobe") == np_depth, F.col("recall"))
+        ).alias("recall"),
+        F.max(
+            F.when(F.col("nprobe") == np_depth, F.col("n_candidates"))
+        ).alias("n_candidates"),
+    )
+    return agg.select(
+        F.lit(n_eval).cast("long").alias("n_corpus"),
+        F.lit(ncent).cast("long").alias("ncent"),
+        F.lit(np_depth).cast("int").alias("nprobe_shipped"),
+        F.coalesce(F.col("nm"), F.lit(np_depth)).cast("int").alias("nprobe_min"),
+        F.col("recall"),
+        F.col("n_candidates"),
+        F.round(
+            F.col("n_candidates") / F.greatest(F.lit(1.0), F.lit(allp)), 4
+        ).alias("cand_frac"),
+    )
 
 
 # -- incremental IVF cosine near-dup (batch/incremental shared generator) -----
-# VERDICT r10 #8 (stretch): with the learned-bucket tier promoted to
-# the batch default, the INCREMENTAL path shares the same candidate
-# generator — the persisted Lloyd quantizer (sources/semdedup_index.py,
-# built at the production IVF_NEARDUP_NCENT) probed nprobe-deep from
-# the shard side. Index members keep their single stored assignment
-# (the standard IVF search asymmetry: cells are disjoint on disk so
-# layout pruning works; the QUERY side multi-probes), so the shard
-# side probes TWICE the batch depth (2 x IVF_NEARDUP_NPROBE = 8) to
-# compensate — measured at sf0.01: recall 0.786 of the exact
-# shard-vs-corpus truth for 16% of shard x corpus pairs as candidates
-# (vs 0.571 @ 8% at the batch depth), the knee of the one-sided
-# nprobe curve. Pinned in tests rather than assumed.
-
-_INC_NPROBE = 2 * nd.IVF_NEARDUP_NPROBE
+# r12 (VERDICT r11 #2): the INCREMENTAL path shares the batch
+# default's candidate generator — the persisted Lloyd quantizer
+# (sources/semdedup_index.py) at the CORPUS-ADAPTIVE cell count —
+# with the store MULTI-ASSIGNED index-side: members persist their
+# top-IVF_STORE_NPROBE cell memberships, an arriving shard probes its
+# top-IVF_STORE_NPROBE cells, candidates = shard x member rows
+# sharing a cell. r11's single-assigned store capped recall at 0.786
+# no matter how deep the shard probed (nprobe 9-10 bought candidates,
+# not recall); restoring the batch op's BOTH-SIDES scheme at a finer
+# store quantizer (occupancy 6) measures 0.857 recall for 16.0% of
+# shard x corpus pairs at sf0.01 — more recall at the SAME candidate
+# mass, with the shard depth back from 8 to 3. Pinned in tests.
 
 
 def _duck_cosine_incremental() -> str:
@@ -1811,27 +1947,40 @@ def _duck_cosine_incremental() -> str:
         _duck_lloyd_ctes,
     )
 
-    sqd = _LLOYD_SQD.format(a="s.v", b="c.centroid")
+    sqd_s = _LLOYD_SQD.format(a="s.v", b="c.centroid")
+    sqd_m = _LLOYD_SQD.format(a="d.v", b="c.centroid")
     cf = f"c{_LLOYD_ITER}"
+    corpus_where = "(vec_id % 10) <> 5"
     return (
         _duck_lloyd_ctes(
-            n_clusters=nd.IVF_NEARDUP_NCENT, corpus_where="(vec_id % 10) <> 5"
+            n_clusters="(SELECT ncent FROM knob)",
+            corpus_where=corpus_where,
+            pre=_duck_ivf_knob_ctes(
+                corpus_where=corpus_where, occupancy=nd.IVF_STORE_CELL_OCC
+            ),
         )
         + f""",
+am AS MATERIALIZED (
+  SELECT doc_id, v, cluster_id FROM (
+    SELECT d.doc_id, d.v, c.cluster_id, row_number() OVER (
+      PARTITION BY d.doc_id ORDER BY {sqd_m}, c.cluster_id) AS ark
+    FROM docs d CROSS JOIN {cf} c
+  ) WHERE ark <= {nd.IVF_STORE_NPROBE}
+),
 shard AS (
   SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE (vec_id % 10) = 5
 ), sa AS MATERIALIZED (
   SELECT doc_id, v, cluster_id FROM (
     SELECT s.doc_id, s.v, c.cluster_id, row_number() OVER (
-      PARTITION BY s.doc_id ORDER BY {sqd}, c.cluster_id) AS rn
+      PARTITION BY s.doc_id ORDER BY {sqd_s}, c.cluster_id) AS rn
     FROM shard s CROSS JOIN {cf} c
-  ) WHERE rn <= {_INC_NPROBE}
+  ) WHERE rn <= {nd.IVF_STORE_NPROBE}
 )
 SELECT shard_id, corpus_id, cosine FROM (
   SELECT DISTINCT s.doc_id AS shard_id, m.doc_id AS corpus_id,
          ROUND({duck_cosine("s.v", "m.v")}, 4) AS cosine
-  FROM sa s JOIN af m ON s.cluster_id = m.cluster_id
+  FROM sa s JOIN am m ON s.cluster_id = m.cluster_id
 ) WHERE cosine >= {COSINE_T}
 """
     )
@@ -1842,22 +1991,30 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup — a NEW shard (vec_id%10==5)
     against the PERSISTED corpus index, sharing the batch default's
     candidate generator (see the section comment): the stored Lloyd
-    quantizer at the production {nc} centroids, the shard multi-probing
-    its {np} nearest cells (twice the batch depth — the index side
-    keeps its single stored assignment, so the query side digs
-    deeper), exact cosine >= {t} against ONLY the probed cells'
-    members. Emits (shard_id, corpus_id, cosine) — the roster an
-    ingest pipeline joins to decide keep/drop for arriving documents
-    without re-clustering or re-scanning the corpus.
+    quantizer at the corpus-adaptive cell count (occupancy {occ},
+    finer than the batch {bocc} — the index-side selectivity knob),
+    members MULTI-ASSIGNED to their top-{np} cells in the store, the
+    shard probing its top-{np} cells (the batch both-sides scheme),
+    exact cosine >= {t} against ONLY the probed cells' member rows.
+    Emits (shard_id, corpus_id, cosine) — the roster an ingest
+    pipeline joins to decide keep/drop for arriving documents without
+    re-clustering or re-scanning the corpus. Measured at sf0.01:
+    recall 0.857 of exact shard-vs-corpus truth @ 16.0%% of
+    shard x corpus pairs (r11 single-assigned store: 0.786 @ 16%%
+    with the shard probing 8 deep).
 
     Scale shape: centroids broadcast; the member table is laid out
     partitionBy(cluster_id), so the probe reads only the shard's
     assigned cells (partition pruning by layout — same discipline as
     `dedup_semantic_incremental`); shard assignments broadcast into the
     member scan, the index never shuffles. The oracle re-derives the
-    store from first principles (filtered-corpus Lloyd unroll), so the
-    persisted content is value-checked, not just the plumbing.""".format(
-        nc=nd.IVF_NEARDUP_NCENT, np=_INC_NPROBE, t=COSINE_T
+    store from first principles (filtered-corpus Lloyd unroll with the
+    same knob CTEs), so the persisted content is value-checked, not
+    just the plumbing.""".format(
+        occ=nd.IVF_STORE_CELL_OCC,
+        bocc=nd.IVF_TARGET_CELL_OCC,
+        np=nd.IVF_STORE_NPROBE,
+        t=COSINE_T,
     )
     from vector_search_ner_spark.functions.vector import (
         cosine_similarity,
@@ -1867,10 +2024,13 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ner_spark.session import cut_lineage
     from vector_search_ner_spark.sources.semdedup_index import semantic_index_store
 
-    members, centroids = semantic_index_store(
-        spark, sf_dir, nd.IVF_NEARDUP_NCENT, _LLOYD_ITER, 10, 5
-    )
     emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.where(F.col("vec_id") % 10 != 5).count()
+    ncent = nd.adaptive_ncent(n_corpus, occupancy=nd.IVF_STORE_CELL_OCC)
+    members, centroids = semantic_index_store(
+        spark, sf_dir, ncent, _LLOYD_ITER, 10, 5,
+        store_nprobe=nd.IVF_STORE_NPROBE,
+    )
     shard = emb.where(F.col("vec_id") % 10 == 5).select(
         F.col("vec_id").alias("shard_id"),
         to_double_array(F.col("embedding")).alias("sv"),
@@ -1889,7 +2049,7 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.crossJoin(F.broadcast(centroids))
         .withColumn("__dist", sq(F.col("sv"), F.col("centroid")))
         .select("shard_id", "sv", "cluster_id", rk.alias("rk"))
-        .where(F.col("rk") <= _INC_NPROBE)
+        .where(F.col("rk") <= nd.IVF_STORE_NPROBE)
         .select("shard_id", "sv", "cluster_id")
     )
     probe = members.select(

@@ -1193,7 +1193,11 @@ _LLOYD_SQD = (
 )
 
 
-def _duck_lloyd_ctes(n_clusters: int = _IVF_N_CENT, corpus_where: str = "") -> str:
+def _duck_lloyd_ctes(
+    n_clusters: int | str = _IVF_N_CENT,
+    corpus_where: str = "",
+    pre: str = "",
+) -> str:
     """Unrolled-SQL twin of ann.lloyd_build: _LLOYD_ITER exact Lloyd
     iterations (argmin assignment, integer-microunit centroid means,
     empty-cluster carry). Ends with `af` (doc_id, v, cluster_id — the
@@ -1204,10 +1208,15 @@ def _duck_lloyd_ctes(n_clusters: int = _IVF_N_CENT, corpus_where: str = "") -> s
     seed set, mirroring lloyd_build over a filtered input frame —
     note the seeds are then the filtered ids below n_clusters, so the
     surviving cluster_id set is a subset of 0..n_clusters-1 exactly
-    as in Spark."""
+    as in Spark.
+
+    `n_clusters` may be an int literal OR a SQL scalar expression
+    (e.g. `(SELECT ncent FROM knob)` for the corpus-adaptive knob);
+    `pre` injects leading CTEs (the knob definition) before `docs`."""
     sqd = _LLOYD_SQD
     and_where = f" AND ({corpus_where})" if corpus_where else ""
-    parts = [
+    parts = [] if not pre else [pre]
+    parts += [
         f"""docs AS (
   SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE TRUE{and_where}

@@ -39,22 +39,34 @@ from vector_search_ner_spark.sources.neardup_index import (
 # v2: members carry (u, rn) — the microunit centroid distance and the
 # within-cluster centrality rank — so probe-time giant-cluster caps
 # are a pushable `rn <= cap` filter, not a window over the index
-SEMDEDUP_INDEX_VERSION = 2
+# v3: members carry `ark` — the assignment rank. store_nprobe >= 2
+# multi-assigns each vector to its top-store_nprobe cells INDEX-SIDE
+# (r12: the incremental cosine twin's recall knee was single stored
+# assignments; the both-sides probing scheme of the batch op needs
+# the store to multi-assign too). store_nprobe=1 keeps v2 content
+# exactly (ark == 1 everywhere).
+SEMDEDUP_INDEX_VERSION = 3
 
 
 def _index_path(
-    sf_dir: str, n_cent: int, n_iter: int, exclude_mod: int, exclude_rem: int
+    sf_dir: str,
+    n_cent: int,
+    n_iter: int,
+    exclude_mod: int,
+    exclude_rem: int,
+    store_nprobe: int = 1,
 ) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
         f"{src}:{_source_fingerprint(src)}:k{n_cent}i{n_iter}"
-        f"m{exclude_mod}r{exclude_rem}:v{SEMDEDUP_INDEX_VERSION}".encode()
+        f"m{exclude_mod}r{exclude_rem}p{store_nprobe}"
+        f":v{SEMDEDUP_INDEX_VERSION}".encode()
     ).hexdigest()[:16]
     corpus = sf_dir.strip("/").replace("/", "_")
     return os.path.join(
         ARTIFACT_DIR,
         "semdedup_index",
-        f"{corpus}_k{n_cent}m{exclude_mod}r{exclude_rem}",
+        f"{corpus}_k{n_cent}m{exclude_mod}r{exclude_rem}p{store_nprobe}",
         key,
     )
 
@@ -66,6 +78,7 @@ def semantic_index_store(
     n_iter: int,
     exclude_mod: int = 10,
     exclude_rem: int = 5,
+    store_nprobe: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Open (building once if absent) the persisted semantic cluster
     index over the EXISTING corpus — every vector EXCEPT the held-out
@@ -73,13 +86,17 @@ def semantic_index_store(
     "new data" role in `dedup_semantic_incremental`).
 
     Returns (members, centroids) as plain parquet reads: members carry
-    (doc_id, v double-array, u, rn, cluster_id) partitioned BY
-    cluster_id — u is the microunit centroid distance and rn the
-    within-cluster centrality rank by (u, doc_id), so probe-time
-    giant-cluster caps (`rn <= cap`) are plain pushable filters;
-    centroids carry (cluster_id, centroid). Consumers' plans show
-    scans of this store, never a re-clustering of the corpus."""
-    path = _index_path(sf_dir, n_cent, n_iter, exclude_mod, exclude_rem)
+    (doc_id, v double-array, u, ark, rn, cluster_id) partitioned BY
+    cluster_id — u is the microunit centroid distance OF THAT
+    ASSIGNMENT, ark the assignment rank (1 = nearest cell; rows with
+    ark <= k are the top-k multi-assignment), rn the within-cluster
+    centrality rank by (u, doc_id), so probe-time giant-cluster caps
+    (`rn <= cap`) are plain pushable filters; centroids carry
+    (cluster_id, centroid). Consumers' plans show scans of this
+    store, never a re-clustering of the corpus."""
+    path = _index_path(
+        sf_dir, n_cent, n_iter, exclude_mod, exclude_rem, store_nprobe
+    )
     members_path = os.path.join(path, "members")
     centroids_path = os.path.join(path, "centroids")
     if not os.path.exists(os.path.join(members_path, "_SUCCESS")):
@@ -90,7 +107,7 @@ def semantic_index_store(
         corpus = load_table(spark, sf_dir, "embeddings").where(
             F.col("vec_id") % exclude_mod != exclude_rem
         )
-        assigned, centroids = ann.lloyd_build(corpus, n_cent, n_iter=n_iter)
+        _assigned, centroids = ann.lloyd_build(corpus, n_cent, n_iter=n_iter)
         # centroids first (no _SUCCESS dependency on them — members'
         # marker is the swap gate), then the partitioned member table
         centroids.write.mode("overwrite").parquet(centroids_path)
@@ -99,23 +116,26 @@ def semantic_index_store(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        docs = corpus.select(
+            F.col("vec_id").alias("doc_id"),
+            to_double_array(F.col("embedding")).alias("v"),
+        )
+        ark = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("__dist", "cluster_id")
+        )
         (
-            assigned.select(
-                F.col("vec_id").alias("doc_id"),
-                to_double_array(F.col("embedding")).alias("v"),
-                "cluster_id",
-            )
-            .join(F.broadcast(centroids), "cluster_id")
-            .withColumn(
-                "u", F.floor(sq(F.col("v"), F.col("centroid")) * 1000000).cast("long")
-            )
+            docs.crossJoin(F.broadcast(centroids))
+            .withColumn("__dist", sq(F.col("v"), F.col("centroid")))
+            .withColumn("ark", ark.cast("long"))
+            .where(F.col("ark") <= store_nprobe)
+            .withColumn("u", F.floor(F.col("__dist") * 1000000).cast("long"))
             .withColumn(
                 "rn",
                 F.row_number()
                 .over(Window.partitionBy("cluster_id").orderBy("u", "doc_id"))
                 .cast("long"),
             )
-            .select("doc_id", "v", "u", "rn", "cluster_id")
+            .select("doc_id", "v", "u", "ark", "rn", "cluster_id")
         ).write.mode("overwrite").partitionBy("cluster_id").parquet(members_path)
         # write-then-swap: retire older generations only after the new
         # build's members marker lands (crash mid-build keeps the
@@ -165,6 +185,7 @@ def assign_members_frame(shard: DataFrame, centroids: DataFrame) -> DataFrame:
             "doc_id",
             "v",
             F.floor(F.col("cdist") * 1000000).cast("long").alias("u"),
+            F.lit(1).cast("long").alias("ark"),
             F.lit(DELTA_RANK_SENTINEL).alias("rn"),
             "cluster_id",
         )
