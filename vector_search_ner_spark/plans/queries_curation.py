@@ -166,15 +166,27 @@ def doc_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     charged length(w) (closed-cover worst case), empty docs charged 0.
     Shared by `source_quota_tokens` and its streamed stateful twin
     (`stream_source_quota_tokens` — the encoder is a STATIC artifact
-    at ingest time; the stream's feed carries these counts)."""
+    at ingest time; the stream's feed carries these counts). This
+    standalone eval re-trains in-query for oracle self-containment;
+    the SERVING path composes `doc_tokens_from_perw` with the
+    persisted store (the flagship's rung 0)."""
     from vector_search_ner_spark.plans.queries_unigram import (
-        _UNI_RELAX,
         unigram_perw_frame,
     )
     from vector_search_ner_spark.session import cut_lineage
 
     docs = load_table(spark, sf_dir, "documents")
     perw = cut_lineage(unigram_perw_frame(docs))
+    return doc_tokens_from_perw(docs, perw)
+
+
+def doc_tokens_from_perw(docs: DataFrame, perw: DataFrame) -> DataFrame:
+    """The (doc_id, n_tokens) charge given an encoder's (w, n_pieces)
+    frame — the join/charging arithmetic shared by the fresh-train
+    eval above and the store-backed flagship rung 0 (both engines'
+    oracles unroll the identical LEFT JOIN + worst-case charge)."""
+    from vector_search_ner_spark.plans.queries_unigram import _UNI_RELAX
+
     dw = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
     )

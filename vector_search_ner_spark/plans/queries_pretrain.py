@@ -151,22 +151,42 @@ def _duck_pretrain_e2e() -> str:
         for i, t, lg, s, nc in _NOISE_DOCS
     )
     from vector_search_ner_spark.plans.queries_curation import (
-        _SRC_CHAR_QUOTA,
         _SRC_DOC_QUOTA,
+        _SRC_TOKEN_QUOTA,
         _duck_blocklist,
     )
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _UNI_RELAX,
+        _duck_uni_perw_ctes,
+    )
+
+    # rung 0 is TOKEN-budgeted (r12): the trained-encoder CTE chain
+    # (ending in perw) re-derives the persisted tokenizer artifact
+    # from first principles, then charges each doc its encoder token
+    # count — the same unit the epoch planner spends
+    uni_body = ",\n".join(_duck_uni_perw_ctes())
 
     return f"""
-WITH RECURSIVE src_rk AS (
-  SELECT doc_id, source, n_chars,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
-         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+WITH RECURSIVE {uni_body}, tq_tok AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN tq.w = '' THEN 0
+                                ELSE COALESCE(p.n_pieces, length(tq.w))
+                           END), 0) AS BIGINT) AS n_tok
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+             FROM documents) tq ON d.doc_id = tq.doc_id
+  LEFT JOIN perw p ON tq.w = p.w AND length(tq.w) <= {_UNI_RELAX}
+  GROUP BY d.doc_id
+), src_rk AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn,
+         SUM(t.n_tok) OVER (PARTITION BY d.source ORDER BY d.doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM documents
-  WHERE source <> 'src0' AND source NOT IN ({_duck_blocklist()})
+  FROM documents d JOIN tq_tok t ON d.doc_id = t.doc_id
+  WHERE d.source <> 'src0' AND d.source NOT IN ({_duck_blocklist()})
 ), src_ids AS MATERIALIZED (
   SELECT doc_id FROM src_rk
-  WHERE rn <= {_SRC_DOC_QUOTA} AND cum <= {_SRC_CHAR_QUOTA}
+  WHERE rn <= {_SRC_DOC_QUOTA} AND cum <= {_SRC_TOKEN_QUOTA}
 ), src_dropped AS (
   SELECT doc_id FROM documents
   WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM src_ids)
@@ -369,13 +389,16 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     are each scanned a bounded number of times and never
     materialized.
 
-    Unit choice: the source_gate rung's quotas are DOC+CHAR
-    denominated (the crawl-time unit — no tokenizer exists yet at
-    rung 0 of a fresh run). The TOKEN-denominated twin is
-    `source_quota_tokens` (queries_curation), which re-cuts the same
-    rosters through the trained unigram encoder once one exists; the
-    epoch planner reads that same unit via
-    `unigram_epoch_token_budget`."""
+    Unit choice (r12): the source_gate rung is DOC+TOKEN denominated
+    — the unit the epoch planner actually spends
+    (`unigram_epoch_token_budget`), priced through the PERSISTED
+    tokenizer artifact (sources/tokenizer_store.py; the plan scans
+    the store, it never retrains). r10/11 gated on chars — the
+    crawl-time proxy for a fresh run with no tokenizer yet — and
+    `source_quota_tokens` measured 25 docs differing between the two
+    units; the oracle re-derives the encoder from first principles,
+    so the store content stays value-checked inside the flagship
+    too."""
     from vector_search_ner_spark.functions.text import stable_long_hash
     from vector_search_ner_spark.functions.vector import cosine_similarity
     from vector_search_ner_spark.operators.dedup import connected_components
@@ -409,30 +432,44 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vector_search_ner_spark.plans.queries_curation import (
         _SRC_BLOCKLIST,
-        _SRC_CHAR_QUOTA,
         _SRC_DOC_QUOTA,
+        _SRC_TOKEN_QUOTA,
+        doc_tokens_from_perw,
+    )
+    from vector_search_ner_spark.plans.queries_unigram import (
+        unigram_perw_from_store,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("source") == "src0")
     elig_raw = docs.where(F.col("source") != "src0")
 
-    # rung 0 — source gate: blocklist + per-source doc/byte quotas in
-    # crawl order (the lean legs of plans/queries_curation.py; the
-    # reputation rules stay standalone — see module docstring). The
+    # rung 0 — source gate: blocklist + per-source doc/TOKEN quotas in
+    # crawl order (r12 — the quota unit a lab actually budgets; r10/11
+    # gated on chars, the crawl-time proxy, and `source_quota_tokens`
+    # measured 25 docs differing under the token unit). Token counts
+    # come from the PERSISTED tokenizer artifact (the serving shape:
+    # a store scan + one Viterbi pass — the training chain never
+    # appears in this plan), charged by `doc_tokens_from_perw`. The
     # kept set is a slim id frame; the corpus re-joins by id so no
     # window output (and no text) is ever materialized.
+    perw = unigram_perw_from_store(spark, sf_dir)
+    dtok = cut_lineage(doc_tokens_from_perw(docs, perw))
     w_src = Window.partitionBy("source").orderBy("doc_id")
-    src_rk = elig_raw.where(~F.col("source").isin(*_SRC_BLOCKLIST)).select(
-        "doc_id",
-        F.row_number().over(w_src).alias("__rn"),
-        F.sum("n_chars")
-        .over(w_src.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("__cum"),
+    src_rk = (
+        elig_raw.where(~F.col("source").isin(*_SRC_BLOCKLIST))
+        .join(dtok, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(w_src).alias("__rn"),
+            F.sum("n_tokens")
+            .over(w_src.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("__cum"),
+        )
     )
     src_ids = cut_lineage(
         src_rk.where(
-            (F.col("__rn") <= _SRC_DOC_QUOTA) & (F.col("__cum") <= _SRC_CHAR_QUOTA)
+            (F.col("__rn") <= _SRC_DOC_QUOTA) & (F.col("__cum") <= _SRC_TOKEN_QUOTA)
         ).select("doc_id")
     )
     src_dropped = cut_lineage(

@@ -571,7 +571,7 @@ def unigram_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- k-best segmentations (the subword-regularization half) -------------------
 
-_UNI_KBEST = 2  # alternatives kept per word (top-k labels per DP node)
+_UNI_KBEST = 8  # alternatives kept per word (top-k labels per DP node)
 
 
 def _duck_uni_kbest_ctes() -> list[str]:
@@ -722,26 +722,33 @@ def _uni_kbest_frame(docs: DataFrame) -> DataFrame:
 # alternatives with probability proportional to P(seg)^alpha (Kudo, ACL
 # 2018, §3.2 — alpha is the smoothing/inverse temperature, typically
 # 0.1-0.5: SMALLER than 1, or the sampler collapses onto the argmax).
-# With integer-bit costs c_i (= -log2 P rounded to bits),
-# P(seg_i)^alpha ∝ 2^(-alpha * c_i), so for the 2-best lattice the
-# runner-up's Bernoulli is p2 = 1 / (2^(alpha * delta) + 1), delta =
-# c2 - c1 >= 0. alpha is a DYADIC RATIONAL num/8 so everything stays
-# integer: with e = num * delta, q = e div 8, r = e mod 8,
-#     2^(alpha*delta) = 2^q * 2^(r/8)  ~  (K[r] << q) >> 20,
+# r12 deepened the draw from the 2-way Bernoulli to the CATEGORICAL
+# draw over all _UNI_KBEST alternatives — Kudo's l=64-best sampling at
+# l=8 (the fixture's lattices rarely admit more; the l -> lattice-FFBS
+# generalization is the declared next rung). The dyadic device
+# generalizes: with integer-bit costs c_i (= -log2 P rounded to bits)
+# and delta_i = c_i - c_1 >= 0, P(seg_i)^alpha ∝ 2^(-alpha * delta_i).
+# alpha is a DYADIC RATIONAL num/8 so everything stays integer: with
+# e_i = num * delta_i, q_i = e_i div 8, r_i = e_i mod 8,
+#     2^(alpha*delta_i) = 2^q_i * 2^(r_i/8)  ~  M_i = (K[r_i] << q_i) >> 20,
 # where K[r] = round(2^(r/8) * 2^20) are eight driver-side integer
 # constants inlined into BOTH engines (the md5-constant house style).
-# The draw is then the seeded-hash discipline (the DP-counts device):
-# u = stable 60-bit hash of (seed, epoch, w); runner-up chosen iff
-# u mod (1 + (K[r] << q) >> 20) == 0 — a deterministic dyadic
-# approximation of p2 (error < 2^-20 per draw), replayed bit-for-bit
-# by the oracle. When q exceeds the cutoff the runner-up is NEVER
-# drawn (p2 below the draw's resolution) — the hard cutoff that also
-# makes the alpha -> inf law exact: for any delta >= 1 a large alpha
-# trips it and the sample IS the Viterbi path; ties (delta = 0) stay
-# a fair coin at every alpha, the true softmax limit over the argmin
-# set. At the default alpha = 1/8 the fixture's closest alternatives
-# (delta = 6 bits) are drawn with p ~ 1/2 and the farthest (75 bits)
-# with p ~ 1/665 — a real regularizer, not a degenerate argmax.
+# Each alternative then carries the INTEGER WEIGHT
+#     W_i = 2^_UNI_WBITS div M_i        (W_1 = 2^_UNI_WBITS exactly),
+# zeroed when q_i exceeds the cutoff (probability below the draw's
+# resolution). The draw is the seeded-hash discipline (the DP-counts
+# device) turned categorical: u = stable 60-bit hash of
+# (seed, epoch, w) reduced mod T (T = sum of the word's weights), and
+# the chosen rank is the first whose cumulative weight exceeds u —
+# an inverse-CDF draw replayed bit-for-bit by the oracle (error
+# < 2^-20 per weight). The q-cutoff keeps the alpha -> inf law EXACT:
+# for any delta >= 1 a large alpha zeroes the weight and the sample IS
+# the Viterbi path; exact-tie alternatives (delta = 0) keep the full
+# weight at every alpha and stay a fair coin, the true softmax limit
+# over the argmin set. At the default alpha = 1/8 the fixture's
+# closest alternatives (delta = 6 bits) carry ~0.59x the argmax's
+# weight and the farthest (75 bits) ~1/665 of it — a real
+# regularizer, not a degenerate argmax.
 
 _UNI_ALPHA_NUM = 1  # alpha = num / 8 (dyadic; default 0.125)
 _UNI_ALPHA_DEN = 8
@@ -750,37 +757,53 @@ _UNI_K20 = tuple(
 )
 _UNI_SAMPLE_EPOCHS = 3
 _UNI_SAMPLE_SEED = "uniseg|"
-_UNI_DRAW_CUTOFF_Q = 39  # q above this never samples rank 2 (shift-safe)
+_UNI_DRAW_CUTOFF_Q = 39  # q above this zeroes the weight (shift-safe)
+_UNI_WBITS = 40  # weight scale: W_i = 2^40 div M_i; T <= k * 2^40 < 2^43
 
 
 def _duck_uni_sample_ctes() -> list[str]:
     from vector_search_ner_spark.functions.text import duck_stable_long_hash
 
     h = duck_stable_long_hash(
-        f"'{_UNI_SAMPLE_SEED}' || e.epoch || '|' || b.w"
+        f"'{_UNI_SAMPLE_SEED}' || e.epoch || '|' || k.w"
     )
-    klist = "[" + ", ".join(str(k) for k in _UNI_K20) + "]"
+    klist = "[" + ", ".join(f"CAST({k} AS BIGINT)" for k in _UNI_K20) + "]"
     parts = _duck_uni_kbest_ctes()
+    # categorical weights: per alternative, delta vs the word's argmin
+    # cost -> dyadic M = (K[r] << q) >> 20 -> integer weight
+    # 2^WBITS div M, zeroed past the q-cutoff (the shift is ALWAYS
+    # clamped with least() so the modulus is computable regardless of
+    # AND evaluation order — ADVICE r11)
     parts.append(
         f"""kb AS (
-  SELECT w, freq, c1, c2, nalt,
-         ({_UNI_ALPHA_NUM} * (c2 - c1)) // {_UNI_ALPHA_DEN} AS q,
-         ({_UNI_ALPHA_NUM} * (c2 - c1)) % {_UNI_ALPHA_DEN} AS r
+  SELECT w, freq, rnk, cost,
+         CASE WHEN q > {_UNI_DRAW_CUTOFF_Q} THEN 0
+              ELSE {1 << _UNI_WBITS} //
+                   (({klist}[CAST(r AS INTEGER) + 1]
+                     << CAST(LEAST(q, {_UNI_DRAW_CUTOFF_Q}) AS INTEGER))
+                    >> 20)
+         END AS wgt
   FROM (
-    SELECT w, freq, MIN(cost) AS c1, MAX(cost) AS c2, COUNT(*) AS nalt
-    FROM kc GROUP BY w, freq
+    SELECT w, freq, rnk, cost,
+           ({_UNI_ALPHA_NUM} * (cost - MIN(cost) OVER (PARTITION BY w)))
+             // {_UNI_ALPHA_DEN} AS q,
+           ({_UNI_ALPHA_NUM} * (cost - MIN(cost) OVER (PARTITION BY w)))
+             % {_UNI_ALPHA_DEN} AS r
+    FROM kc
   )
+), kt AS (
+  SELECT w, freq, rnk, wgt,
+         SUM(wgt) OVER (PARTITION BY w ORDER BY rnk
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wgt) OVER (PARTITION BY w) AS tot
+  FROM kb
 ), ep AS (
   SELECT unnest(generate_series(1, {_UNI_SAMPLE_EPOCHS})) AS epoch
 ), draw AS (
-  SELECT b.w, b.freq, CAST(e.epoch AS INTEGER) AS epoch,
-         CASE WHEN b.nalt = 2
-                   AND b.q <= {_UNI_DRAW_CUTOFF_Q}
-                   AND ({h} %
-                        (1 + (({klist}[CAST(b.r AS INTEGER) + 1] << b.q)
-                              >> 20))) = 0
-              THEN 2 ELSE 1 END AS chosen
-  FROM kb b CROSS JOIN ep e
+  SELECT k.w, k.freq, CAST(e.epoch AS INTEGER) AS epoch,
+         MIN(CASE WHEN k.cum > ({h} % k.tot) THEN k.rnk END) AS chosen
+  FROM kt k CROSS JOIN ep e
+  GROUP BY k.w, k.freq, e.epoch
 ), sampled AS (
   SELECT d.epoch, d.w, d.freq, CAST(d.chosen AS INTEGER) AS sample_rank,
          k.path, CAST(k.cost AS INTEGER) AS cost_bits
@@ -812,22 +835,40 @@ def unigram_sample_frame(
     path, cost_bits).""".format(den=_UNI_ALPHA_DEN)
     from vector_search_ner_spark.functions.text import stable_long_hash
 
+    from pyspark.sql import Window
+
     alt = cut_lineage(_uni_kbest_frame(docs))  # consumed twice below
-    e_bits = F.lit(alpha_num).cast("long") * (F.col("c2") - F.col("c1"))
-    kb = (
-        alt.groupBy("w", "freq")
-        .agg(
-            F.min("cost_bits").cast("long").alias("c1"),
-            F.max("cost_bits").cast("long").alias("c2"),
-            F.count(F.lit(1)).alias("nalt"),
-        )
-        .select(
-            "w",
-            "freq",
-            "nalt",
-            (e_bits / _UNI_ALPHA_DEN).cast("long").alias("q"),
-            F.pmod(e_bits, F.lit(_UNI_ALPHA_DEN)).cast("int").alias("r"),
-        )
+    w_part = Window.partitionBy("w")
+    e_bits = F.lit(alpha_num).cast("long") * (
+        F.col("cost_bits").cast("long")
+        - F.min(F.col("cost_bits").cast("long")).over(w_part)
+    )
+    # categorical weights (see the section comment): dyadic
+    # M = (K[r] << q) >> 20, integer weight 2^WBITS div M, zeroed past
+    # the q-cutoff; the shift argument is ALWAYS least()-clamped so it
+    # is computable regardless of predicate evaluation order
+    wgt = F.expr(
+        f"CASE WHEN q > {_UNI_DRAW_CUTOFF_Q} THEN CAST(0 AS BIGINT) "
+        f"ELSE {1 << _UNI_WBITS}L div shiftright(shiftleft("
+        f"element_at(array({', '.join(str(k) + 'L' for k in _UNI_K20)}), "
+        f"r + 1), CAST(least(q, {_UNI_DRAW_CUTOFF_Q}) AS INT)), 20) END"
+    )
+    kb = alt.select(
+        "w",
+        "freq",
+        F.col("sample_rank").alias("rnk"),
+        (e_bits / _UNI_ALPHA_DEN).cast("long").alias("q"),
+        F.pmod(e_bits, F.lit(_UNI_ALPHA_DEN)).cast("int").alias("r"),
+    ).select("w", "freq", "rnk", wgt.alias("wgt"))
+    w_cum = w_part.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kt = kb.select(
+        "w",
+        "freq",
+        "rnk",
+        F.sum("wgt").over(w_cum).alias("cum"),
+        F.sum("wgt").over(w_part).alias("tot"),
     )
     ep = docs.sparkSession.range(1, epochs + 1).select(
         F.col("id").cast("int").alias("epoch")
@@ -840,24 +881,15 @@ def unigram_sample_frame(
             F.col("w"),
         )
     )
-    # m = 1 + floor(K[r] * 2^q / 2^20) ~ 1 + 2^(alpha * delta); the
-    # K-lookup decodes the dyadic fractional part, the shift the
-    # integral part (q is guarded <= 39, so K[r] << q stays in int64)
-    m = F.lit(1).cast("long") + F.shiftright(
-        F.expr(
-            f"shiftleft(element_at(array({', '.join(str(k) + 'L' for k in _UNI_K20)}), "
-            f"r + 1), CAST(least(q, {_UNI_DRAW_CUTOFF_Q}) AS INT))"
-        ),
-        20,
-    )
-    chosen = F.when(
-        (F.col("nalt") == 2)
-        & (F.col("q") <= _UNI_DRAW_CUTOFF_Q)
-        & (F.pmod(h, m) == 0),
-        F.lit(2),
-    ).otherwise(F.lit(1))
-    draw = kb.crossJoin(F.broadcast(ep)).select(
-        "w", "freq", "epoch", chosen.cast("int").alias("sample_rank")
+    draw = (
+        kt.crossJoin(F.broadcast(ep))
+        .groupBy("w", "freq", "epoch")
+        .agg(
+            F.min(
+                F.when(F.col("cum") > F.pmod(h, F.col("tot")), F.col("rnk"))
+            ).alias("chosen")
+        )
+        .select("w", "freq", "epoch", F.col("chosen").cast("int").alias("sample_rank"))
     )
     picked = alt.select(
         F.col("w").alias("aw"),
@@ -875,19 +907,22 @@ def unigram_sample_frame(
 def unigram_sample_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-EPOCH subword-regularization draw (the shipping half of
     Kudo's paper, composing the k-best table with the house seeded-
-    hash draw — see the section comment above for the exact Bernoulli
-    and its dyadic device): for each of {e} epochs, every trainable
-    word's segmentation is re-sampled from its top-{k} alternatives at
-    inverse temperature alpha = {a}; sample_rank records which
-    alternative the epoch drew (1 = Viterbi). alpha -> inf degenerates
-    to the Viterbi encoder exactly (law pinned in tests); alpha = 0
-    would be uniform over alternatives.
+    hash draw — see the section comment above for the exact
+    CATEGORICAL inverse-CDF device, deepened r12 from the 2-way
+    Bernoulli): for each of {e} epochs, every trainable word's
+    segmentation is re-sampled from its top-{k} alternatives with
+    probability proportional to 2^(-alpha * delta_bits) at inverse
+    temperature alpha = {a}; sample_rank records which alternative
+    the epoch drew (1 = Viterbi). alpha -> inf degenerates to the
+    Viterbi encoder exactly (law pinned in tests); alpha = 0 would be
+    uniform over alternatives.
 
-    Scale shape: the draw itself is O(word-vocab x epochs) — a hash, a
-    modulo, and a CASE per row on the vocabulary-sized k-best frame
-    (the corpus is never re-scanned per epoch), then one id-equi join
-    back to the alternatives to fetch the chosen path. The epoch frame
-    broadcasts.""".format(
+    Scale shape: the draw itself is O(word-vocab x k x epochs) — two
+    vocabulary-partitioned window sums build the per-word CDF once, a
+    hash + modulo + first-crossing MIN per (word, epoch) on the
+    vocabulary-sized k-best frame (the corpus is never re-scanned per
+    epoch), then one id-equi join back to the alternatives to fetch
+    the chosen path. The epoch frame broadcasts.""".format(
         e=_UNI_SAMPLE_EPOCHS, k=_UNI_KBEST, a=f"{_UNI_ALPHA_NUM}/{_UNI_ALPHA_DEN}"
     )
     docs = load_table(spark, sf_dir, "documents")
@@ -950,6 +985,27 @@ SELECT w, freq, path,
 FROM best{final}
 ORDER BY w
 """
+    )
+
+
+def unigram_perw_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, n_pieces) under the PERSISTED tokenizer artifact — the
+    store-backed twin of `unigram_perw_frame` (bit-identical content:
+    the store persists exactly the trained vocabulary, pinned by the
+    store-content tests). Consumers that run at ingest time — the
+    flagship's token-budgeted source gate — compose THIS frame so
+    their plans show a store scan plus one Viterbi pass, never the
+    training chain."""
+    from vector_search_ner_spark.sources.tokenizer_store import (
+        unigram_vocab_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_vocab_store(spark, sf_dir)
+    wf = cut_lineage(_uni_word_freq(docs))
+    occ = cut_lineage(_uni_occurrences(wf))
+    return _uni_viterbi(wf, occ, vocab).select(
+        "w", F.size(F.split("path", " ")).cast("long").alias("n_pieces")
     )
 
 
