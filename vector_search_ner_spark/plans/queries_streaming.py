@@ -497,3 +497,25 @@ def stream_source_quota_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the streamed admission set is value-checked against a
     first-principles re-derivation of tokenizer + reputation + quota."""
     return se.stream_source_quota_tokens(spark, sf_dir)
+
+
+def _encode_store_shared_oracle() -> str:
+    from vector_search_ner_spark.plans.queries_unigram import (
+        _duck_uni_encode_store,
+    )
+
+    return _duck_uni_encode_store()
+
+
+@query("stream_encode_from_store", oracle=_encode_store_shared_oracle())
+def stream_encode_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE-AT-INGEST: the corpus streams in crawl shards and each
+    micro-batch is segmented against the STATIC persisted tokenizer
+    artifact (see streaming/events.py for the harness — per-batch
+    Viterbi under the broadcast stored costs, idempotent batch_id=N
+    deltas, frequencies summed at merge). Shares
+    `unigram_encode_from_store`'s oracle VERBATIM — the serving arc of
+    the tokenizer artifact now has its streaming twin like every other
+    curation rung, and the merged streamed roster is value-checked
+    against a from-scratch retrain."""
+    return se.stream_encode_from_store(spark, sf_dir)
