@@ -163,6 +163,15 @@ def compute_headline(queries: dict, oracles: dict,
         stable.sort(key=lambda n: (prev_times or {}).get(n, 0.0))
         drop = set(stable[: len(names) - _CAP])
         names = [n for n in names if n not in drop]
+    if len(names) > _CAP:
+        # every stable row is already dropped — the changed set alone
+        # exceeds the cap. Honor the stated 50-entry invariant by
+        # truncating, changed entries first so no stable row displaces
+        # a forced one (ADVICE r11)
+        names = (
+            [n for n in names if n in changed]
+            + [n for n in names if n not in changed]
+        )[:_CAP]
     return names, forced
 
 

@@ -81,40 +81,43 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # which runs the identical check (rows + schema + order-insensitive
 # values vs DuckDB at sf0.01).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-11 rotation. Surface = 281 registered queries, every one
+    # Round-12 rotation. Surface = 283 registered queries, every one
     # with a full DuckDB value-hash oracle; cumulative driver union
-    # r1-r10 = 274/274 all latest-verdict green. This window
-    # front-loads the 7 NEW queries (the subword-regularization
-    # sampler + its epoch token budget; the token-denominated source
-    # quota + its streamed stateful twin; the incremental IVF near-dup
-    # sharing the promoted batch generator; the persisted-tokenizer
-    # encodes for BOTH trainers) and the 7 whose code or oracle
-    # CHANGED this round
-    # (dedup_embedding_cosine PROMOTED to the Lloyd/IVF learned-bucket
-    # candidate tier — recall 0.9153 at 28.4% of all-pairs, vs the
-    # retired flip-2 sketch's 0.875 at 68%; dedup_cosine_ivf_eval now
-    # grades that exact production config, nprobe 1-4; the four
-    # unigram queries moved to the 16-deep frontier-driven relaxation
-    # and the k-best tail refactor; pretrain_corpus_e2e gained the
-    # quota-unit docstring note, plan unchanged). Positions after this
-    # list backfill with already-green registration-order queries as
-    # re-confirms.
+    # r1-r11 = 281/281 all latest-verdict green. This window
+    # front-loads the 2 NEW queries (dedup_cosine_knob_recommend —
+    # the measured tuning curve turned into the (ncent, nprobe)
+    # recommendation the production formula is pinned against;
+    # stream_encode_from_store — encode-at-ingest against the static
+    # tokenizer artifact, oracle shared verbatim with the batch
+    # encode) and the queries whose code or oracle CHANGED this round:
+    # the cosine-dedup family moved to the CORPUS-ADAPTIVE quantizer
+    # knob (ncent = ceil(N/8) clamped, nprobe = capped ceil-cbrt
+    # tiers; oracle computes the identical formula in SQL — recall
+    # 0.9153@28.4% at sf0.01 AND 0.8359@15.6% at sf0.1, the fixed-64
+    # decay erased); the incremental twin's store is MULTI-ASSIGNED
+    # index-side (both-sides depth 3 over the finer occupancy-6
+    # quantizer — 0.857@16% vs r11's 0.786@16%); the subword sampler
+    # deepened to the 8-way categorical inverse-CDF draw (k-best and
+    # epoch budget share its CTE chain); pretrain_corpus_e2e's rung 0
+    # is TOKEN-budgeted through the persisted tokenizer store.
+    # Positions after this list backfill with already-green
+    # registration-order queries as re-confirms.
     "dedup_embedding_cosine",
+    "dedup_cosine_knob_recommend",
     "dedup_cosine_ivf_eval",
     "dedup_cosine_incremental",
+    "pretrain_corpus_e2e",
+    "stream_encode_from_store",
     "unigram_sample_segmentations",
+    "unigram_kbest_segmentations",
     "unigram_epoch_token_budget",
-    "source_quota_tokens",
-    "stream_source_quota_tokens",
     "unigram_encode_from_store",
     "bpe_encode_from_store",
+    "source_quota_tokens",
+    "stream_source_quota_tokens",
     "unigram_train_vocab",
     "unigram_fertility_by_lang",
-    "unigram_compression_curve",
-    "unigram_kbest_segmentations",
-    "pretrain_corpus_e2e",
     "source_quota_enforce",
-    "stream_source_quota",
     "dedup_cosine_eval_report",
 ]
 
