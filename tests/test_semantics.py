@@ -3322,96 +3322,133 @@ def test_source_quota_tokens_laws(spark):
 def test_dedup_cosine_incremental_recall_floor(spark):
     """The incremental IVF near-dup (new shard vs the persisted
     learned-bucket index, MULTI-ASSIGNED index-side since r12: both
-    sides at depth IVF_STORE_NPROBE over the finer occupancy-6
-    adaptive quantizer) must emit ONLY true shard-vs-corpus pairs
-    (exact cosine verify) and recall >= 0.8 of the exact truth at
-    sf0.01 — measured 0.857 @ 16.0% of shard x corpus pairs, vs
-    r11's single-assigned store at 0.786 for the SAME 16% with the
-    shard probing 8 deep. The candidate-mass bound (<= 20%) is pinned
-    alongside so the recall can't be bought by candidate bloat."""
+    sides at the CORPUS-DERIVED depth nd.adaptive_store_nprobe over
+    the finer occupancy-6 adaptive quantizer) must emit ONLY true
+    shard-vs-corpus pairs (exact cosine verify) and recall >= 0.8 of
+    the exact truth at BOTH fixtures — the scale-invariant floor,
+    same contract shape as the batch op's. Measured: sf0.01 (m=3)
+    0.857 @ 16.0% of shard x corpus pairs; sf0.1 (m=6) 0.806 @ 16.7%
+    (a fixed m=3 decayed to 0.47 at sf0.1 — the derived depth erases
+    the decay). The candidate-mass bound (<= 20%) is pinned alongside
+    at both scales so the recall can't be bought by candidate
+    bloat."""
+    from pyspark.sql import Window
+
     from vector_search_ner_spark import registry
-    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
+    from vector_search_ner_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+        to_double_array,
+    )
+    from vector_search_ner_spark.operators import ann
+    from vector_search_ner_spark.operators import neardup as nd
     from vector_search_ner_spark.plans.queries_dedup import COSINE_T
     from vector_search_ner_spark.sources.catalog import load_table
 
-    sf = "/root/testdata/sf0.01"
     qs, _ = registry.collect()
-    got = {
-        (r["shard_id"], r["corpus_id"]): r["cosine"]
-        for r in qs["dedup_cosine_incremental"](spark, sf).collect()
-    }
-    emb = load_table(spark, sf, "embeddings").select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    s = emb.where(F.col("vec_id") % 10 == 5).alias("s")
-    m = emb.where(F.col("vec_id") % 10 != 5).alias("m")
-    denom = F.col("s.nrm") * F.col("m.nrm")
-    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("s.v"), F.col("m.v")) / denom
-    )
-    truth = {
-        (r["shard_id"], r["corpus_id"]): r["cosine"]
-        for r in s.join(F.broadcast(m), F.lit(True))
-        .withColumn("cosine", F.round(cos, 4))
-        .where(F.col("cosine") >= COSINE_T)
-        .select(
-            F.col("s.vec_id").alias("shard_id"),
-            F.col("m.vec_id").alias("corpus_id"),
-            "cosine",
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        got = {
+            (r["shard_id"], r["corpus_id"]): r["cosine"]
+            for r in qs["dedup_cosine_incremental"](spark, sf).collect()
+        }
+        emb = load_table(spark, sf, "embeddings").select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            l2_norm(F.col("embedding")).alias("nrm"),
         )
-        .collect()
-    }
-    assert set(got) <= set(truth)
-    for pair, c in got.items():
-        assert c == truth[pair]
-    assert len(got) / len(truth) >= 0.8, (len(got), len(truth))
-    # candidate-mass bound: re-derive the candidate set the store
-    # probe emits (both sides depth IVF_STORE_NPROBE over the
-    # occupancy-6 adaptive quantizer) and bound it by 20% of
-    # shard x corpus
-    from pyspark.sql import Window
+        s = emb.where(F.col("vec_id") % 10 == 5).alias("s")
+        m = emb.where(F.col("vec_id") % 10 != 5).alias("m")
+        denom = F.col("s.nrm") * F.col("m.nrm")
+        cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot_product(F.col("s.v"), F.col("m.v")) / denom
+        )
+        truth = {
+            (r["shard_id"], r["corpus_id"]): r["cosine"]
+            for r in s.join(F.broadcast(m), F.lit(True))
+            .withColumn("cosine", F.round(cos, 4))
+            .where(F.col("cosine") >= COSINE_T)
+            .select(
+                F.col("s.vec_id").alias("shard_id"),
+                F.col("m.vec_id").alias("corpus_id"),
+                "cosine",
+            )
+            .collect()
+        }
+        assert set(got) <= set(truth), sf
+        for pair, c in got.items():
+            assert c == truth[pair], sf
+        assert len(got) / len(truth) >= 0.8, (sf, len(got), len(truth))
+        # candidate-mass bound: re-derive the candidate set the store
+        # probe emits (both sides at the derived depth over the
+        # occupancy-6 adaptive quantizer) and bound it by 20% of
+        # shard x corpus
+        emb2 = load_table(spark, sf, "embeddings")
+        corpus = emb2.where(F.col("vec_id") % 10 != 5)
+        shard = emb2.where(F.col("vec_id") % 10 == 5)
+        n_corp, n_shard = corpus.count(), shard.count()
+        ncent = nd.adaptive_ncent(n_corp, occupancy=nd.IVF_STORE_CELL_OCC)
+        mdepth = nd.adaptive_store_nprobe(n_corp)
+        _a, cents = ann.lloyd_build(corpus, ncent)
+        cents = cents.localCheckpoint()
+        sq = lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
 
-    from vector_search_ner_spark.functions.vector import to_double_array
-    from vector_search_ner_spark.operators import ann
+        def topk(frame, idc):
+            rk = F.row_number().over(
+                Window.partitionBy(idc).orderBy("__dist", "cluster_id")
+            )
+            return (
+                frame.select(
+                    F.col("vec_id").alias(idc),
+                    to_double_array("embedding").alias("dv"),
+                )
+                .crossJoin(F.broadcast(cents))
+                .withColumn("__dist", sq(F.col("dv"), F.col("centroid")))
+                .select(idc, "cluster_id", rk.alias("rk"))
+                .where(F.col("rk") <= mdepth)
+                .select(idc, "cluster_id")
+            )
+
+        n_cand = (
+            topk(shard, "sid").join(topk(corpus, "cid"), "cluster_id")
+            .select("sid", "cid")
+            .distinct()
+            .count()
+        )
+        assert n_cand <= 0.20 * n_shard * n_corp, (sf, n_cand)
+
+
+def test_adaptive_store_depth_formula_laws():
+    """Laws of the corpus-derived store probe depth: equals
+    clamp(isqrt(3N/(20*occ)), MIN, MAX) for every N (the tier-ladder
+    evaluation is exactly integer isqrt), is monotone in N, hits the
+    measured fixture points (450 -> 3, 1800 -> 6), and saturates at
+    the cap so candidate growth stays bounded at extreme corpus
+    sizes."""
+    import math
+
     from vector_search_ner_spark.operators import neardup as nd
 
-    emb2 = load_table(spark, sf, "embeddings")
-    corpus = emb2.where(F.col("vec_id") % 10 != 5)
-    shard = emb2.where(F.col("vec_id") % 10 == 5)
-    n_corp, n_shard = corpus.count(), shard.count()
-    ncent = nd.adaptive_ncent(n_corp, occupancy=nd.IVF_STORE_CELL_OCC)
-    _a, cents = ann.lloyd_build(corpus, ncent)
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-    def topk(frame, idc):
-        rk = F.row_number().over(
-            Window.partitionBy(idc).orderBy("__dist", "cluster_id")
+    for n in list(range(0, 5000, 37)) + [10**6, 10**9]:
+        x = (nd.IVF_STORE_FRAC_NUM * n) // (
+            nd.IVF_STORE_FRAC_DEN * nd.IVF_STORE_CELL_OCC
         )
-        return (
-            frame.select(
-                F.col("vec_id").alias(idc),
-                to_double_array("embedding").alias("dv"),
-            )
-            .crossJoin(F.broadcast(cents))
-            .withColumn("__dist", sq(F.col("dv"), F.col("centroid")))
-            .select(idc, "cluster_id", rk.alias("rk"))
-            .where(F.col("rk") <= nd.IVF_STORE_NPROBE)
-            .select(idc, "cluster_id")
+        want = max(
+            nd.IVF_STORE_NPROBE_MIN,
+            min(nd.IVF_STORE_NPROBE_MAX, math.isqrt(x)),
         )
-
-    n_cand = (
-        topk(shard, "sid").join(topk(corpus, "cid"), "cluster_id")
-        .select("sid", "cid")
-        .distinct()
-        .count()
-    )
-    assert n_cand <= 0.20 * n_shard * n_corp, (n_cand, n_shard * n_corp)
+        assert nd.adaptive_store_nprobe(n) == want, n
+    assert nd.adaptive_store_nprobe(450) == 3
+    assert nd.adaptive_store_nprobe(1800) == 6
+    assert nd.adaptive_store_nprobe(10**9) == nd.IVF_STORE_NPROBE_MAX
+    prev = 0
+    for n in range(0, 20000, 100):
+        cur = nd.adaptive_store_nprobe(n)
+        assert cur >= prev
+        prev = cur
 
 
 def test_stream_token_quota_equals_batch(spark):

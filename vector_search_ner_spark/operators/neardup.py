@@ -760,19 +760,38 @@ IVF_NEARDUP_NCENT = 64
 IVF_NEARDUP_NPROBE = 4
 
 # the PERSISTED-index (incremental) variant of the knob: the store
-# multi-assigns its members to their top-IVF_STORE_NPROBE cells
-# index-side and an arriving shard probes its top-IVF_STORE_NPROBE
-# cells — the batch op's both-sides scheme restored (r11's
-# single-assigned store capped recall at 0.786 however deep the
-# shard probed). A FINER quantizer (occupancy 6 vs the batch 8)
-# buys the selectivity back: measured at sf0.01 (450-vec corpus ->
-# 75 cells, 3x3) recall 0.857 of exact shard-vs-corpus truth for
-# 16.0% of shard x corpus pairs — vs r11's 0.786 at the SAME 16%
-# with the shard digging 8 deep. Store grows ~3x (each assignment
-# row carries the member vector so probes stay partition-pruned —
-# the standard multi-copy IVF layout trade).
+# multi-assigns its members to their top-m cells index-side and an
+# arriving shard probes its top-m cells — the batch op's both-sides
+# scheme restored (r11's single-assigned store capped recall at 0.786
+# however deep the shard probed). A FINER quantizer (occupancy 6 vs
+# the batch 8) buys the selectivity back, and the depth m is
+# CORPUS-DERIVED like every other knob in the family (the r12 fixed
+# m=3 reproduced the batch op's scale decay one tier down — measured
+# sf0.1 recall 0.47 at 3x3):
+#
+#   m = clamp(isqrt(x), 2, IVF_STORE_NPROBE_MAX),
+#       x = 3 * N / (20 * occupancy)
+#
+# i.e. the largest symmetric depth whose predicted candidate mass
+# m^2 * occ / N stays under ~15% of shard x corpus (the measured
+# curve runs a few points above the prediction, so 3/20 lands the
+# real mass under the 20% contract). isqrt is evaluated as integer
+# TIER COMPARES (m >= k iff x >= k^2) so the SQL twin cannot drift
+# at a boundary. Measured (probe grid, PERF.md r12): sf0.01
+# (450-vec corpus -> 75 cells, m=3) recall 0.857 @ 16.0%; sf0.1
+# (1800 -> 300 cells, m=6) recall 0.806 @ 16.7% — the scale decay
+# erased at the same <= 20% candidate bound. Store grows ~m x (each
+# assignment row carries the member vector so probes stay
+# partition-pruned — the standard multi-copy IVF layout trade); the
+# depth cap keeps that growth and the probe fan-out bounded at
+# extreme corpus sizes (beyond it, re-tune via
+# dedup_cosine_knob_recommend's instrument).
 IVF_STORE_CELL_OCC = 6
-IVF_STORE_NPROBE = 3
+IVF_STORE_NPROBE = 3  # fixture-measured legacy constant (sf0.01 m)
+IVF_STORE_NPROBE_MIN = 2
+IVF_STORE_NPROBE_MAX = 8
+IVF_STORE_FRAC_NUM = 3
+IVF_STORE_FRAC_DEN = 20
 
 
 def adaptive_ncent(n_vectors: int, occupancy: int = IVF_TARGET_CELL_OCC) -> int:
@@ -790,6 +809,24 @@ def adaptive_nprobe(ncent: int) -> int:
     return min(
         IVF_NPROBE_MAX, IVF_NPROBE_BASE + int(ncent > 64) + int(ncent > 125)
     )
+
+
+def adaptive_store_nprobe(
+    n_corpus: int, occupancy: int = IVF_STORE_CELL_OCC
+) -> int:
+    """Corpus-derived symmetric probe depth for the persisted-index
+    near-dup: isqrt(3*N / (20*occ)) clamped to
+    [IVF_STORE_NPROBE_MIN, IVF_STORE_NPROBE_MAX], evaluated as
+    integer tier compares (m >= k iff x >= k*k) — the DuckDB twin
+    unrolls the identical CASE ladder, so no float sqrt sits at a
+    parity boundary. See the knob comment above for the derivation
+    and the measured two-scale validation."""
+    x = (IVF_STORE_FRAC_NUM * n_corpus) // (IVF_STORE_FRAC_DEN * occupancy)
+    m = IVF_STORE_NPROBE_MIN + sum(
+        int(x >= k * k)
+        for k in range(IVF_STORE_NPROBE_MIN + 1, IVF_STORE_NPROBE_MAX + 1)
+    )
+    return m
 
 
 def ivf_cosine_neardup_pairs(

@@ -1930,14 +1930,31 @@ def dedup_cosine_knob_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # default's candidate generator — the persisted Lloyd quantizer
 # (sources/semdedup_index.py) at the CORPUS-ADAPTIVE cell count —
 # with the store MULTI-ASSIGNED index-side: members persist their
-# top-IVF_STORE_NPROBE cell memberships, an arriving shard probes its
-# top-IVF_STORE_NPROBE cells, candidates = shard x member rows
-# sharing a cell. r11's single-assigned store capped recall at 0.786
-# no matter how deep the shard probed (nprobe 9-10 bought candidates,
-# not recall); restoring the batch op's BOTH-SIDES scheme at a finer
-# store quantizer (occupancy 6) measures 0.857 recall for 16.0% of
+# top-m cell memberships, an arriving shard probes its top-m cells,
+# candidates = shard x member rows sharing a cell. r11's
+# single-assigned store capped recall at 0.786 no matter how deep
+# the shard probed (nprobe 9-10 bought candidates, not recall);
+# restoring the batch op's BOTH-SIDES scheme at a finer store
+# quantizer (occupancy 6) measures 0.857 recall for 16.0% of
 # shard x corpus pairs at sf0.01 — more recall at the SAME candidate
-# mass, with the shard depth back from 8 to 3. Pinned in tests.
+# mass, with the shard depth back from 8 to 3. The depth m is
+# CORPUS-DERIVED (nd.adaptive_store_nprobe — integer isqrt tier
+# ladder of 3N/(20*occ), clamped [2, 8]): a fixed m=3 reproduced the
+# batch op's scale decay one tier down (sf0.1 recall 0.47), while
+# the derived depth (sf0.01 -> 3, sf0.1 -> 6) measures >= 0.8 recall
+# at <= 20% candidate mass at BOTH fixtures. Pinned in tests.
+
+
+def _duck_store_depth_ladder() -> str:
+    """The `+ (CASE WHEN x >= k*k ...)` terms of the store-depth
+    isqrt tier ladder, one per candidate depth in
+    (IVF_STORE_NPROBE_MIN, IVF_STORE_NPROBE_MAX]."""
+    return "".join(
+        f"\n         + (CASE WHEN x >= {k * k} THEN 1 ELSE 0 END)"
+        for k in range(
+            nd.IVF_STORE_NPROBE_MIN + 1, nd.IVF_STORE_NPROBE_MAX + 1
+        )
+    )
 
 
 def _duck_cosine_incremental() -> str:
@@ -1960,12 +1977,22 @@ def _duck_cosine_incremental() -> str:
             ),
         )
         + f""",
+sknob AS (
+  -- corpus-derived symmetric probe depth: isqrt(3N/(20*occ)) as an
+  -- integer tier ladder (m >= k iff x >= k*k), clamped
+  -- [{nd.IVF_STORE_NPROBE_MIN}, {nd.IVF_STORE_NPROBE_MAX}] — the
+  -- bit-exact twin of nd.adaptive_store_nprobe
+  SELECT {nd.IVF_STORE_NPROBE_MIN}{_duck_store_depth_ladder()} AS mdepth
+  FROM (SELECT ({nd.IVF_STORE_FRAC_NUM} * COUNT(*))
+               // {nd.IVF_STORE_FRAC_DEN * nd.IVF_STORE_CELL_OCC} AS x
+        FROM embeddings WHERE {corpus_where})
+),
 am AS MATERIALIZED (
   SELECT doc_id, v, cluster_id FROM (
     SELECT d.doc_id, d.v, c.cluster_id, row_number() OVER (
       PARTITION BY d.doc_id ORDER BY {sqd_m}, c.cluster_id) AS ark
     FROM docs d CROSS JOIN {cf} c
-  ) WHERE ark <= {nd.IVF_STORE_NPROBE}
+  ) WHERE ark <= (SELECT mdepth FROM sknob)
 ),
 shard AS (
   SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1975,7 +2002,7 @@ shard AS (
     SELECT s.doc_id, s.v, c.cluster_id, row_number() OVER (
       PARTITION BY s.doc_id ORDER BY {sqd_s}, c.cluster_id) AS rn
     FROM shard s CROSS JOIN {cf} c
-  ) WHERE rn <= {nd.IVF_STORE_NPROBE}
+  ) WHERE rn <= (SELECT mdepth FROM sknob)
 )
 SELECT shard_id, corpus_id, cosine FROM (
   SELECT DISTINCT s.doc_id AS shard_id, m.doc_id AS corpus_id,
@@ -1993,15 +2020,19 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generator (see the section comment): the stored Lloyd
     quantizer at the corpus-adaptive cell count (occupancy {occ},
     finer than the batch {bocc} — the index-side selectivity knob),
-    members MULTI-ASSIGNED to their top-{np} cells in the store, the
-    shard probing its top-{np} cells (the batch both-sides scheme),
-    exact cosine >= {t} against ONLY the probed cells' member rows.
-    Emits (shard_id, corpus_id, cosine) — the roster an ingest
-    pipeline joins to decide keep/drop for arriving documents without
-    re-clustering or re-scanning the corpus. Measured at sf0.01:
-    recall 0.857 of exact shard-vs-corpus truth @ 16.0%% of
-    shard x corpus pairs (r11 single-assigned store: 0.786 @ 16%%
-    with the shard probing 8 deep).
+    members MULTI-ASSIGNED to their top-m cells in the store, the
+    shard probing its top-m cells (the batch both-sides scheme), m
+    CORPUS-DERIVED by nd.adaptive_store_nprobe (isqrt tier ladder of
+    3N/(20*{occ}), clamped [{mn}, {mx}] — the SQL twin unrolls the
+    same integer ladder), exact cosine >= {t} against ONLY the
+    probed cells' member rows. Emits (shard_id, corpus_id, cosine) —
+    the roster an ingest pipeline joins to decide keep/drop for
+    arriving documents without re-clustering or re-scanning the
+    corpus. Measured: sf0.01 (m=3) recall 0.857 of exact
+    shard-vs-corpus truth @ 16.0%% of shard x corpus pairs (r11
+    single-assigned store: 0.786 @ 16%% with the shard probing 8
+    deep); sf0.1 (m=6) recall 0.806 @ 16.7%% (fixed m=3 decayed to
+    0.47 — the scale decay erased by the derived depth).
 
     Scale shape: centroids broadcast; the member table is laid out
     partitionBy(cluster_id), so the probe reads only the shard's
@@ -2013,7 +2044,8 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the plumbing.""".format(
         occ=nd.IVF_STORE_CELL_OCC,
         bocc=nd.IVF_TARGET_CELL_OCC,
-        np=nd.IVF_STORE_NPROBE,
+        mn=nd.IVF_STORE_NPROBE_MIN,
+        mx=nd.IVF_STORE_NPROBE_MAX,
         t=COSINE_T,
     )
     from vector_search_ner_spark.functions.vector import (
@@ -2027,9 +2059,10 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.where(F.col("vec_id") % 10 != 5).count()
     ncent = nd.adaptive_ncent(n_corpus, occupancy=nd.IVF_STORE_CELL_OCC)
+    mdepth = nd.adaptive_store_nprobe(n_corpus)
     members, centroids = semantic_index_store(
         spark, sf_dir, ncent, _LLOYD_ITER, 10, 5,
-        store_nprobe=nd.IVF_STORE_NPROBE,
+        store_nprobe=mdepth,
     )
     shard = emb.where(F.col("vec_id") % 10 == 5).select(
         F.col("vec_id").alias("shard_id"),
@@ -2049,7 +2082,7 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.crossJoin(F.broadcast(centroids))
         .withColumn("__dist", sq(F.col("sv"), F.col("centroid")))
         .select("shard_id", "sv", "cluster_id", rk.alias("rk"))
-        .where(F.col("rk") <= nd.IVF_STORE_NPROBE)
+        .where(F.col("rk") <= mdepth)
         .select("shard_id", "sv", "cluster_id")
     )
     probe = members.select(
