@@ -95,8 +95,10 @@ _DRIVER_PRIORITY: list[str] = [
     # tiers; oracle computes the identical formula in SQL — recall
     # 0.9153@28.4% at sf0.01 AND 0.8359@15.6% at sf0.1, the fixed-64
     # decay erased); the incremental twin's store is MULTI-ASSIGNED
-    # index-side (both-sides depth 3 over the finer occupancy-6
-    # quantizer — 0.857@16% vs r11's 0.786@16%); the subword sampler
+    # index-side at a CORPUS-DERIVED symmetric depth (isqrt tier
+    # ladder of 3N/(20*occ) clamped [2,8] over the finer occupancy-6
+    # quantizer — sf0.01 m=3: 0.857@16% vs r11's 0.786@16%; sf0.1
+    # m=6: 0.806@16.7% vs 0.47 fixed-depth); the subword sampler
     # deepened to the 8-way categorical inverse-CDF draw (k-best and
     # epoch budget share its CTE chain); pretrain_corpus_e2e's rung 0
     # is TOKEN-budgeted through the persisted tokenizer store.
