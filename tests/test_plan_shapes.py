@@ -657,18 +657,27 @@ def test_semdedup_greedy_loop_state_is_target_sized(spark):
 
 def test_semantic_incremental_scans_persisted_index(spark):
     """dedup_semantic_incremental must READ the persisted semantic
-    cluster index (parquet scans of the semdedup_index store — member
-    table + centroids), never re-run Lloyd over the existing corpus;
-    the shard's assignment side must BROADCAST into the member probe
-    so the partitioned index is scanned, not shuffled. The semantic
-    twin of test_incremental_dedup_scans_persisted_index."""
+    cluster index — the member table as an in-plan parquet scan, the
+    (tiny) centroid table driver-collected into the Arrow assignment
+    kernel's closure (r12 optimization round: the shard argmin is one
+    map-only MapInArrow pass instead of a crossJoin + interpreted fold
+    + rank window) — and never re-run Lloyd over the existing corpus
+    (no centroid-update aggregation in the plan); the shard's
+    assignment side must BROADCAST into the member probe so the
+    partitioned index is scanned, not shuffled. The semantic twin of
+    test_incremental_dedup_scans_persisted_index."""
     p = _plan(spark, "dedup_semantic_incremental")
     index_scans = [
         ln
         for ln in p.splitlines()
         if "semdedup_index" in ln and ("Location" in ln or "Scan parquet" in ln)
     ]
-    assert len(index_scans) >= 2, p
+    assert len(index_scans) >= 1, p
+    assert "MapInArrow" in p, p
+    # no Lloyd re-run: the centroid UPDATE step's signature is the
+    # per-dimension posexplode — absent means the quantizer was served
+    # from the store, not re-learned
+    assert "posexplode" not in p, p
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
 

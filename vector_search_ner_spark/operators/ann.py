@@ -61,23 +61,21 @@ def ivf_topk(
     top-k within the probed clusters only. The doc side is touched
     only on (query, cluster) matches — with the table partitioned by
     cluster_id this is partition pruning, not a full scan."""
-    from vector_search_ner_spark.functions.vector import l2_distance_nc, to_double_array
+    from vector_search_ner_spark.functions.vector import to_double_array
+    from vector_search_ner_spark.operators import veckernel
 
-    # pre-cast each side ONCE (below the join) — the candidate-set
-    # distance fold is interpreted, so per-pair casts dominate its
-    # node count; bit-identical (see functions/vector.py)
+    # pre-cast each side ONCE (below the join); probe assignment and
+    # the candidate-set distance run in the Arrow kernels — both were
+    # interpreted folds (bit-identical swap, see veckernel; sqrt
+    # matches the retired l2_distance_nc ordering exactly)
     queries = queries.withColumn("__qv", to_double_array(F.col(query_vec)))
-    qc = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", l2_distance_nc(F.col("__qv"), F.col("centroid")))
-    )
-    probes = topk_per_query(qc, nprobe, query_id, "cdist", "cluster_id", ascending=True).select(
-        query_id, "cluster_id", "__qv"
-    )
+    probes = veckernel.assign_topm(
+        queries.select(query_id, "__qv"), centroids, nprobe, "__qv", sqrt=True
+    ).select(query_id, "cluster_id", "__qv")
     cand = probes.join(assigned.withColumn("__dv", to_double_array(F.col(vec_col))), "cluster_id")
-    scored = cand.withColumn("distance", l2_distance_nc(F.col("__qv"), F.col("__dv"))).select(
-        query_id, F.col(doc_id), "distance"
-    )
+    scored = cand.withColumn(
+        "distance", F.sqrt(veckernel.pair_sqdist(F.col("__qv"), F.col("__dv")))
+    ).select(query_id, F.col(doc_id), "distance")
     return topk_per_query(scored, k, query_id, "distance", doc_id, ascending=True)
 
 
@@ -92,17 +90,17 @@ def ivf_fixed_build(
     SQL-expressible, so THIS IVF variant is oracle-checkable end to end
     (KMeans refines the same structure in the rows-only variant — the
     probe/prune mechanics are identical)."""
+    from vector_search_ner_spark.operators import veckernel
+
     centroids = emb.where(F.col(id_col) < n_clusters).select(
         F.col(id_col).cast("int").alias("cluster_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
     )
-    dc = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", l2_distance(F.col(vec_col), F.col("centroid"))
-    )
-    assigned = (
-        topk_per_query(dc, 1, id_col, "cdist", "cluster_id", ascending=True)
-        .select(id_col, vec_col, "cluster_id")
-    )
+    # Arrow-vectorized argmin (bit-identical; `sqrt=True` reproduces
+    # the retired l2_distance ordering's tie behavior exactly)
+    assigned = veckernel.assign_topm(
+        emb.select(id_col, vec_col), centroids, 1, vec_col, sqrt=True
+    ).select(id_col, vec_col, "cluster_id")
     return assigned, centroids
 
 
@@ -115,6 +113,7 @@ def lloyd_build(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    emit_dist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd's KMeans, bit-exact across engines — the
     natively-implemented iterative-ML quantizer (the MLlib KMeans
@@ -133,9 +132,17 @@ def lloyd_build(
     Empty clusters keep their previous centroid. The oracle unrolls
     the same iterations in SQL; every number matches bit-for-bit.
 
-    Scale shape per iteration: one broadcast join (centroids are tiny)
-    + two hash aggregations (argmin, then (cluster, dim) sums — both
-    combine map-side). Each round's centroids are EAGERLY
+    Scale shape per iteration (r12 optimization round): assignment is
+    ONE map-only ArrowEval pass — `veckernel.assign_topm` closes over
+    the collected centroid matrix (the same bytes `F.broadcast` would
+    ship) and computes every vector's argmin in a vectorized NumPy
+    kernel whose per-dimension accumulation order is bit-identical to
+    the interpreted `aggregate(zip_with(...))` fold it replaces (the
+    fold is CodegenFallback — the measured dominant cost of the whole
+    IVF family; see operators/veckernel.py). That removes BOTH the
+    N x n_clusters crossJoin and the per-doc argmin shuffle from each
+    iteration. The (cluster, dim) UPDATE aggregation stays JVM-side
+    (map-side partial combine). Each round's centroids are EAGERLY
     localCheckpoint'ed (like connected_components): that cuts the
     lineage so the update chain can't re-evaluate 2^iter times, and —
     unlike persist() — superseded rounds are reclaimed by the context
@@ -143,8 +150,15 @@ def lloyd_build(
     session lifetime. The docs frame is persisted for the n_iter
     assignment scans and unpersisted before returning; the returned
     frames re-derive from source on their first action (one extra
-    scan, no leaked cache)."""
+    scan, no leaked cache).
+
+    With `emit_dist=True` the returned assignment frame carries
+    `__dist` — the squared L2 to the assigned (final) centroid, the
+    exact value the old post-hoc centroid re-join computed — so
+    consumers that need the quantization error (SemDeDup's sweep
+    order `u`) skip that join and its second fold entirely."""
     from vector_search_ner_spark.functions.vector import to_double_array
+    from vector_search_ner_spark.operators import veckernel
 
     docs = emb.select(
         F.col(id_col).alias("doc_id"),
@@ -158,23 +172,10 @@ def lloyd_build(
         F.col(id_col).cast("int").alias("cluster_id"),
         to_double_array(F.col(vec_col)).alias("centroid"),
     )
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
-    def assign(cents: DataFrame) -> DataFrame:
-        d = docs.crossJoin(F.broadcast(cents)).withColumn(
-            "__dist", sq(F.col("__dv"), F.col("centroid"))
-        )
-        return d.groupBy("doc_id").agg(
-            F.min(F.struct("__dist", "cluster_id", "__dv", "__raw")).alias("b")
-        ).select(
-            "doc_id",
-            F.col("b.cluster_id").alias("cluster_id"),
-            F.col("b.__dv").alias("__dv"),
-            F.col("b.__raw").alias("__raw"),
+    def assign(cents: DataFrame, with_dist: bool = False) -> DataFrame:
+        return veckernel.assign_topm(
+            docs, cents, 1, "__dv", dist_col="__dist" if with_dist else None
         )
 
     for _ in range(n_iter):
@@ -207,9 +208,12 @@ def lloyd_build(
             )
             .localCheckpoint()
         )
-    final = assign(centroids).select(
-        F.col("doc_id").alias(id_col), F.col("__raw").alias(vec_col), "cluster_id"
-    )
+    fcols = [
+        F.col("doc_id").alias(id_col),
+        F.col("__raw").alias(vec_col),
+        "cluster_id",
+    ] + ([F.col("__dist")] if emit_dist else [])
+    final = assign(centroids, with_dist=emit_dist).select(*fcols)
     docs.unpersist()
     return final, centroids
 

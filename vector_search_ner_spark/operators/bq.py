@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.functions.vector import (
     cosine_similarity,
     duck_cosine,
@@ -138,7 +139,7 @@ def bq_hamming_topk(
             "query_id",
             "doc_id",
             "hamming",
-            F.round(cosine_similarity(F.col("query_vec"), F.col("doc_vec")), 6).alias(
+            F.round(vk.pair_cosine(F.col("query_vec"), F.col("doc_vec")), 6).alias(
                 "score"
             ),
         )

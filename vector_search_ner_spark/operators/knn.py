@@ -88,16 +88,16 @@ def knn_join(
     """
     if doc_filter is not None:
         docs = docs.where(doc_filter)
-    # pre-cast both vector sides to array<double> ONCE per row (the
-    # pair-scoring folds are interpreted, so per-element casts inside
-    # the pair loop are the dominant node count; casting up front is
-    # bit-identical — same doubles, same fold)
+    # pre-cast both vector sides to array<double> ONCE per row, and
+    # run the per-pair scoring in the Arrow kernels — the folds are
+    # interpreted (CodegenFallback), so the pair loop was the dominant
+    # cost of every retrieval pipeline; the kernels are bit-identical
+    # (see operators/veckernel.py), so scores and oracles are unchanged
     from vector_search_ner_spark.functions.vector import (
-        dot_product_nc,
-        l2_distance_nc,
         l2_norm,
         to_double_array,
     )
+    from vector_search_ner_spark.operators import veckernel as vk
 
     docs = docs.withColumn("__dv", to_double_array(F.col(doc_vec)))
     queries = queries.select(query_id, query_vec).withColumn(
@@ -110,13 +110,13 @@ def knn_join(
         queries = queries.withColumn("__qnorm", l2_norm(F.col(query_vec)))
         denom = F.col("__qnorm") * F.col("__dnorm")
         expr = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            dot_product_nc(F.col("__qv"), F.col("__dv")) / denom
+            vk.pair_dot(F.col("__qv"), F.col("__dv")) / denom
         )
         asc = False
     elif metric == "dot":
-        expr, asc = dot_product_nc(F.col("__qv"), F.col("__dv")), False
+        expr, asc = vk.pair_dot(F.col("__qv"), F.col("__dv")), False
     elif metric == "l2":
-        expr, asc = l2_distance_nc(F.col("__qv"), F.col("__dv")), True
+        expr, asc = F.sqrt(vk.pair_sqdist(F.col("__qv"), F.col("__dv"))), True
     else:
         expr, asc = score_expr(metric, F.col(query_vec), F.col(doc_vec))
     scored = (

@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.functions.vector import (
     cosine_similarity,
     duck_cosine,
@@ -95,7 +96,7 @@ def mrl_topk(
     scored = trunc.crossJoin(F.broadcast(qtrunc)).select(
         "query_id",
         "doc_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("mrl_vec")), 6).alias(
+        F.round(vk.pair_cosine(F.col("q_vec"), F.col("mrl_vec")), 6).alias(
             "pre_score"
         ),
     )
@@ -110,7 +111,7 @@ def mrl_topk(
             "query_id",
             "doc_id",
             F.round(
-                cosine_similarity(F.col("query_vec"), F.col(vec_col)), 6
+                vk.pair_cosine(F.col("query_vec"), F.col(vec_col)), 6
             ).alias("score"),
         )
     )

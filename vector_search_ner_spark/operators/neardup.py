@@ -644,11 +644,15 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """SimHash near-dup pairs: map-only 32-bit fingerprints, then the
-    shared banded hamming join (`hamming_band_pairs`)."""
+    """SimHash near-dup pairs: map-only 32-bit fingerprints (the
+    Arrow-vectorized kernel — integer-exact twin of the 32 interpreted
+    bit-folds, see veckernel.simhash_bits), then the shared banded
+    hamming join (`hamming_band_pairs`)."""
+    from vector_search_ner_spark.operators import veckernel as vk
+
     fps = docs.select(
         F.col(id_col).alias("sid"), token_hashes(F.col(text_col)).alias("__th")
-    ).select("sid", simhash_from_hashes(F.col("__th")).alias("fp"))
+    ).select("sid", vk.simhash_bits(F.col("__th"), SIMHASH_BITS).alias("fp"))
     return hamming_band_pairs(fps, max_hamming)
 
 
@@ -688,13 +692,15 @@ def cosine_neardup_pairs(
     flip-2 neighbor buckets, shuffle on bucket) -> exact cosine on
     candidate pairs. A pair matches AT MOST ONE probe mask (the mask
     is determined by the buckets' XOR), so no candidate dedup is
-    needed."""
-    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
+    needed. Bucket id and the per-pair verify dot run in the Arrow
+    kernels (bit-identical — veckernel contract)."""
+    from vector_search_ner_spark.functions.vector import l2_norm
+    from vector_search_ner_spark.operators import veckernel as vk
 
     with_b = emb.select(
         F.col(id_col).alias("sid"),
         F.col(vec_col).alias("v"),
-        sign_lsh_bucket(F.col(vec_col)).alias("bucket"),
+        vk.sign_bucket(F.col(vec_col), HYPERPLANES).alias("bucket"),
         l2_norm(F.col(vec_col)).alias("nrm"),  # once per row, not per pair
     )
     probes = with_b.select(
@@ -712,7 +718,7 @@ def cosine_neardup_pairs(
     b = with_b.alias("b")
     denom = F.col("a.nrm") * F.col("b.nrm")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("a.v"), F.col("b.v")) / denom
+        vk.pair_dot(F.col("a.v"), F.col("b.v")) / denom
     )
     return (
         a.join(b, (F.col("a.probe") == F.col("b.bucket")) & (F.col("a.sid") < F.col("b.sid")))
@@ -853,24 +859,28 @@ def ivf_cosine_neardup_pairs(
     still override (the scale probes and evals pass their own).
 
     Scale shape: the quantizer is n_clusters tiny rows (broadcast
-    everywhere it appears); assignment is one broadcast join + a
-    per-vector top-nprobe; the candidate self-join shuffles SLIM
-    (id, cluster) longs only — vectors attach once per DISTINCT
-    candidate pair via two id-equi joins, so the nprobe^2 candidate
-    fan-out never carries vector payloads across the wire. Same-pair
+    everywhere it appears); assignment is ONE map-only Arrow pass —
+    `veckernel.assign_topm` computes each vector's top-nprobe cells in
+    a vectorized NumPy kernel that is bit-identical to the interpreted
+    fold + rank window it replaces, removing the N x n_clusters
+    crossJoin AND the per-vector rank shuffle (r12 optimization round;
+    the fold was CodegenFallback and dominated this op's wall). The
+    candidate self-join shuffles SLIM (id, cluster) longs only —
+    vectors attach once per DISTINCT candidate pair via two id-equi
+    joins, so the nprobe^2 candidate fan-out never carries vector
+    payloads across the wire; the exact-cosine verify's per-pair dot
+    is the Arrow kernel too (norms stay hoisted per row). Same-pair
     multi-cluster hits collapse in the DISTINCT (map-side partial).
     Unlike the data-oblivious hyperplane sketch, learned buckets adapt
     to corpus geometry: measured 2.4x fewer candidates at HIGHER
     recall on the fixture (see `dedup_cosine_ivf_eval` for the full
     nprobe curve and `dedup_cosine_eval_report` for the sketch's)."""
-    from pyspark.sql import Window
-
     from vector_search_ner_spark.functions.vector import (
-        dot_product,
         l2_norm,
         to_double_array,
     )
     from vector_search_ner_spark.operators import ann
+    from vector_search_ner_spark.operators import veckernel as vk
     from vector_search_ner_spark.session import cut_lineage
 
     if n_clusters is None:
@@ -887,24 +897,13 @@ def ivf_cosine_neardup_pairs(
     _assigned, centroids = ann.lloyd_build(
         emb, n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     docs = emb.select(
         F.col(id_col).alias("sid"), to_double_array(F.col(vec_col)).alias("dv")
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("sid").orderBy("__dist", "cluster_id")
     )
     # cut_lineage: the self-join below consumes asg TWICE — without a
     # materialization boundary the whole Lloyd chain re-derives per arm
     asg = cut_lineage(
-        docs.crossJoin(F.broadcast(centroids))
-        .withColumn("__dist", sq(F.col("dv"), F.col("centroid")))
-        .select("sid", "cluster_id", rk.alias("rk"))
-        .where(F.col("rk") <= nprobe)
+        vk.assign_topm(docs, centroids, nprobe, "dv")
         .select("sid", "cluster_id")
     )
     a = asg.select(F.col("sid").alias("doc_a"), "cluster_id")
@@ -923,7 +922,7 @@ def ivf_cosine_neardup_pairs(
     x, y = wb.alias("x"), wb.alias("y")
     denom = F.col("x.nrm") * F.col("y.nrm")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("x.v"), F.col("y.v")) / denom
+        vk.pair_dot(F.col("x.v"), F.col("y.v")) / denom
     )
     return (
         cand.join(x, cand["doc_a"] == F.col("x.sid"))

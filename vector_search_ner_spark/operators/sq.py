@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.functions.vector import (
     cosine_similarity,
     duck_cosine,
@@ -130,7 +131,7 @@ def sq_adc_topk(
             "query_id",
             "doc_id",
             F.round(
-                cosine_similarity(F.col("query_vec"), F.col(vec_col)), 6
+                vk.pair_cosine(F.col("query_vec"), F.col(vec_col)), 6
             ).alias("score"),
         )
     )

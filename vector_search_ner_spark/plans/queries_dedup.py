@@ -873,11 +873,11 @@ def semcon_flags(t: DataFrame, b: DataFrame) -> DataFrame:
     micro-batch and unioning equals running it once over the union —
     the property that lets the streamed twin share the batch oracle
     verbatim."""
-    from vector_search_ner_spark.functions.vector import dot_product
+    from vector_search_ner_spark.operators import veckernel as vk
 
     denom = F.col("tnrm") * F.col("bnrm")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("tv"), F.col("bv")) / denom
+        vk.pair_dot(F.col("tv"), F.col("bv")) / denom
     )
     flagged = (
         t.crossJoin(F.broadcast(b))
@@ -1581,18 +1581,19 @@ def dedup_cosine_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _COS_EVAL_N
     )
-    from vector_search_ner_spark.functions.vector import dot_product, l2_norm
+    from vector_search_ner_spark.functions.vector import l2_norm
+    from vector_search_ner_spark.operators import veckernel as vk
 
     wb = emb.select(
         F.col("vec_id").alias("sid"),
         F.col("embedding").alias("v"),
-        nd.sign_lsh_bucket(F.col("embedding")).alias("bucket"),
+        vk.sign_bucket(F.col("embedding"), nd.HYPERPLANES).alias("bucket"),
         l2_norm(F.col("embedding")).alias("nrm"),
     ).localCheckpoint()
     a, b = wb.alias("a"), wb.alias("b")
     denom = F.col("a.nrm") * F.col("b.nrm")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("a.v"), F.col("b.v")) / denom
+        vk.pair_dot(F.col("a.v"), F.col("b.v")) / denom
     )
     pairs = (
         a.join(F.broadcast(b), F.col("a.sid") < F.col("b.sid"))
@@ -1724,14 +1725,12 @@ def _ivf_eval_curve_frame(
     n_eval, ncent, np_depth) — shared by `dedup_cosine_ivf_eval`
     (emits the curve) and `dedup_cosine_knob_recommend` (turns it
     into the tuning decision)."""
-    from pyspark.sql import Window
-
     from vector_search_ner_spark.functions.vector import (
-        dot_product,
         l2_norm,
         to_double_array,
     )
     from vector_search_ner_spark.operators import ann
+    from vector_search_ner_spark.operators import veckernel as vk
     from vector_search_ner_spark.session import cut_lineage
 
     emb = load_table(spark, sf_dir, "embeddings").where(
@@ -1741,23 +1740,15 @@ def _ivf_eval_curve_frame(
     ncent = nd.adaptive_ncent(n_eval)
     np_depth = nd.adaptive_nprobe(ncent)
     _assigned, centroids = ann.lloyd_build(emb, ncent)
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     docs = emb.select(
         F.col("vec_id").alias("sid"),
         to_double_array(F.col("embedding")).alias("dv"),
     )
-    rk = F.row_number().over(
-        Window.partitionBy("sid").orderBy("__dist", "cluster_id")
-    )
+    # Arrow-vectorized top-depth assignment (bit-identical; replaces
+    # the crossJoin + interpreted fold + rank window — see veckernel)
     asg = cut_lineage(
-        docs.crossJoin(F.broadcast(centroids))
-        .withColumn("__dist", sq(F.col("dv"), F.col("centroid")))
-        .select("sid", "cluster_id", rk.alias("rk"))
-        .where(F.col("rk") <= np_depth)
+        vk.assign_topm(docs, centroids, np_depth, "dv", ark_col="rk")
+        .select("sid", "cluster_id", "rk")
     )
     a = asg.select(
         F.col("sid").alias("sa"), F.col("cluster_id").alias("cl"),
@@ -1781,7 +1772,7 @@ def _ivf_eval_curve_frame(
     pa, pb = wb.alias("a"), wb.alias("b")
     denom = F.col("a.nrm") * F.col("b.nrm")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col("a.v"), F.col("b.v")) / denom
+        vk.pair_dot(F.col("a.v"), F.col("b.v")) / denom
     )
     pairs = (
         pa.join(F.broadcast(pb), F.col("a.sid") < F.col("b.sid"))
@@ -2048,10 +2039,8 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx=nd.IVF_STORE_NPROBE_MAX,
         t=COSINE_T,
     )
-    from vector_search_ner_spark.functions.vector import (
-        cosine_similarity,
-        to_double_array,
-    )
+    from vector_search_ner_spark.functions.vector import to_double_array
+    from vector_search_ner_spark.operators import veckernel as vk
     from vector_search_ner_spark.plans.queries_mlops import _LLOYD_ITER
     from vector_search_ner_spark.session import cut_lineage
     from vector_search_ner_spark.sources.semdedup_index import semantic_index_store
@@ -2068,21 +2057,10 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("shard_id"),
         to_double_array(F.col("embedding")).alias("sv"),
     )
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    from pyspark.sql import Window
-
-    rk = F.row_number().over(
-        Window.partitionBy("shard_id").orderBy("__dist", "cluster_id")
-    )
+    # Arrow-vectorized top-mdepth shard assignment + per-pair verify
+    # cosine (bit-identical — veckernel contract)
     sa = cut_lineage(
-        shard.crossJoin(F.broadcast(centroids))
-        .withColumn("__dist", sq(F.col("sv"), F.col("centroid")))
-        .select("shard_id", "sv", "cluster_id", rk.alias("rk"))
-        .where(F.col("rk") <= mdepth)
+        vk.assign_topm(shard, centroids, mdepth, "sv")
         .select("shard_id", "sv", "cluster_id")
     )
     probe = members.select(
@@ -2090,7 +2068,7 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(sa), "cluster_id")
     return (
         probe.withColumn(
-            "cosine", F.round(cosine_similarity(F.col("sv"), F.col("mv")), 4)
+            "cosine", F.round(vk.pair_cosine(F.col("sv"), F.col("mv")), 4)
         )
         .where(F.col("cosine") >= COSINE_T)
         .select("shard_id", "corpus_id", "cosine")

@@ -23,6 +23,7 @@ from vector_search_ner_spark.functions.vector import duck_l2
 from vector_search_ner_spark.operators import ann
 from vector_search_ner_spark.operators import multimodal as mm
 from vector_search_ner_spark.operators import neardup as nd
+from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.operators.chunker import chunk_text
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.session import cut_lineage
@@ -1346,26 +1347,20 @@ def corpus_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the mean is order-independent and the whole summary
     matches the unrolled SQL twin exactly. One broadcast join + one
     map-side-combining aggregate after the Lloyd rounds."""
-    from vector_search_ner_spark.functions.vector import to_double_array
     from vector_search_ner_spark.operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = ann.lloyd_build(emb, _IVF_N_CENT, n_iter=_LLOYD_ITER)
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # emit_dist: the assignment kernel already computed the squared L2
+    # to the winning centroid — reusing it drops the post-hoc
+    # broadcast-centroid join AND its second interpreted fold
+    # (r12 optimization round; bit-identical by the veckernel contract)
+    assigned, _centroids = ann.lloyd_build(
+        emb, _IVF_N_CENT, n_iter=_LLOYD_ITER, emit_dist=True
     )
-    j = (
-        assigned.select(
-            F.col("vec_id").alias("doc_id"),
-            to_double_array(F.col("embedding")).alias("v"),
-            "cluster_id",
-        )
-        .join(F.broadcast(centroids), "cluster_id")
-        .withColumn(
-            "u", F.floor(sq(F.col("v"), F.col("centroid")) * 1000000).cast("long")
-        )
+    j = assigned.select(
+        F.col("vec_id").alias("doc_id"),
+        "cluster_id",
+        F.floor(F.col("__dist") * 1000000).cast("long").alias("u"),
     )
     agg = j.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -1494,21 +1489,17 @@ def _semdedup_members(
 
     from vector_search_ner_spark.functions.vector import to_double_array
 
-    assigned, centroids = ann.lloyd_build(emb, n_cent, n_iter=n_iter)
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # emit_dist reuses the assignment kernel's squared L2 (bit-identical
+    # to the retired broadcast-join + fold — see veckernel contract)
+    assigned, _centroids = ann.lloyd_build(
+        emb, n_cent, n_iter=n_iter, emit_dist=True
     )
     j = (
         assigned.select(
             F.col("vec_id").alias("doc_id"),
             to_double_array(F.col("embedding")).alias("v"),
             "cluster_id",
-        )
-        .join(F.broadcast(centroids), "cluster_id")
-        .withColumn(
-            "u", F.floor(sq(F.col("v"), F.col("centroid")) * 1000000).cast("long")
+            F.floor(F.col("__dist") * 1000000).cast("long").alias("u"),
         )
         .withColumn(
             "rn",
@@ -1534,8 +1525,6 @@ def semantic_prune_frame(
     contract (cluster count is the knob: fixed k at 10x data grows the
     pairwise term ~quadratically, k scaled with the corpus holds c_i
     constant and the cost ~linear)."""
-    from vector_search_ner_spark.functions.vector import cosine_similarity
-
     j = _semdedup_members(emb, n_cent, n_iter)
     # explicit per-side column names: self-join disambiguation by
     # dataset id works but is version-fragile (and warns); renamed
@@ -1559,7 +1548,11 @@ def semantic_prune_frame(
                | ((F.col("au") == F.col("bu")) & (F.col("a_id") < F.col("doc_id")))),
         )
         .groupBy("doc_id")
-        .agg(F.round(F.max(cosine_similarity(F.col("av"), F.col("bv"))), 4).alias("max_sim_earlier"))
+        # Arrow-vectorized cosine (bit-identical to the interpreted
+        # fold — veckernel contract): the within-cluster pair join is
+        # the O(sum c_i^2) hot loop, so the per-pair three-fold cost
+        # (dot + two norms, each CodegenFallback) dominated this query
+        .agg(F.round(F.max(vk.pair_cosine(F.col("av"), F.col("bv"))), 4).alias("max_sim_earlier"))
     )
     return (
         j.join(p, "doc_id", "left")
@@ -1706,9 +1699,9 @@ def _semdedup_edges(j: DataFrame, cap: int, t: float) -> DataFrame:
     """The earlier-similar edge relation over a (doc_id, cluster_id,
     v, u, rn) member frame: within-cluster pairs with the a-side rank
     cap, filtered to cosine > t. Lineage-cut (consumed by the sweep
-    loop, the degree aggregate, and the chain-depth probe)."""
-    from vector_search_ner_spark.functions.vector import cosine_similarity
-
+    loop, the degree aggregate, and the chain-depth probe). The
+    per-pair cosine is the Arrow-vectorized kernel (bit-identical to
+    the interpreted fold — veckernel contract)."""
     a = j.where(F.col("rn") <= F.lit(cap)).select(
         F.col("cluster_id").alias("a_cl"), F.col("doc_id").alias("a_id"),
         F.col("v").alias("av"), F.col("u").alias("au"),
@@ -1724,7 +1717,7 @@ def _semdedup_edges(j: DataFrame, cap: int, t: float) -> DataFrame:
             & ((F.col("au") < F.col("bu"))
                | ((F.col("au") == F.col("bu")) & (F.col("a_id") < F.col("b_id")))),
         )
-        .where(cosine_similarity(F.col("av"), F.col("bv")) > F.lit(t))
+        .where(vk.pair_cosine(F.col("av"), F.col("bv")) > F.lit(t))
         .select("a_id", "b_id")
     )
 
@@ -1879,18 +1872,9 @@ def semantic_incremental_frame(
     (a FIXED shard probed against 1x vs 10x existing-corpus stores:
     wall must be ~flat because the probe reads only assigned clusters
     and the shard side is the only compute input that matters)."""
-    from vector_search_ner_spark.functions.vector import cosine_similarity
-    from vector_search_ner_spark.operators.knn import topk_per_query
-
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    sc = shard.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", sq(F.col("v"), F.col("centroid"))
-    )
-    assigned = topk_per_query(sc, 1, "doc_id", "cdist", "cluster_id", ascending=True).select(
+    # Arrow-vectorized argmin assignment (bit-identical; replaces the
+    # crossJoin + interpreted fold + rank window — see veckernel)
+    assigned = vk.assign_topm(shard, centroids, 1, "v").select(
         "doc_id", "v", "cluster_id"
     )
     # shard-side assignments BROADCAST into the member probe: the
@@ -1907,7 +1891,7 @@ def semantic_incremental_frame(
         F.broadcast(assigned.withColumnRenamed("v", "sv")), "cluster_id"
     )
     p = probe.groupBy("doc_id").agg(
-        F.round(F.max(cosine_similarity(F.col("sv"), F.col("mv"))), 4).alias(
+        F.round(F.max(vk.pair_cosine(F.col("sv"), F.col("mv"))), 4).alias(
             "max_sim_index"
         )
     )

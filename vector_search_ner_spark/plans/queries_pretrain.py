@@ -71,6 +71,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.operators import neardup as nd
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.session import cut_lineage
@@ -400,7 +401,6 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the store content stays value-checked inside the flagship
     too."""
     from vector_search_ner_spark.functions.text import stable_long_hash
-    from vector_search_ner_spark.functions.vector import cosine_similarity
     from vector_search_ner_spark.operators.dedup import connected_components
     from vector_search_ner_spark.operators.textstats import (
         LANG_MARKERS,
@@ -535,7 +535,7 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("au") < F.col("bu"))
                | ((F.col("au") == F.col("bu")) & (F.col("a_id") < F.col("doc_id")))),
         )
-        .where(cosine_similarity(F.col("av"), F.col("bv")) > F.lit(_SEMDEDUP_T))
+        .where(vk.pair_cosine(F.col("av"), F.col("bv")) > F.lit(_SEMDEDUP_T))
         .select("doc_id")
         .distinct()
     )

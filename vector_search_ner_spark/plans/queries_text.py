@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.functions.text import clean_text, stable_id
 from vector_search_ner_spark.operators.chunker import chunk_text, duck_chunk_sql
 from vector_search_ner_spark.operators.textstats import (
@@ -1030,7 +1031,6 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the join, so the fusion is negligible at any scale."""
     from pyspark.sql import Window
 
-    from vector_search_ner_spark.functions.vector import cosine_similarity
 
     kw = bm25_topk(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("k_rank")
@@ -1039,7 +1039,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    cos = cosine_similarity(F.col("qv"), F.col("embedding"))
+    cos = vk.pair_cosine(F.col("qv"), F.col("embedding"))
     w_v = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "doc_id")
     vec = (
         emb.select(F.col("vec_id").alias("doc_id"), "embedding")
@@ -1566,7 +1566,6 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    from vector_search_ner_spark.functions.vector import cosine_similarity
     from vector_search_ner_spark.operators.knn import topk_per_query
 
     cos_all = (
@@ -1576,7 +1575,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             F.round(
-                cosine_similarity(F.col("query_vec"), F.col("embedding")), 6
+                vk.pair_cosine(F.col("query_vec"), F.col("embedding")), 6
             ).alias("cos_sim"),
         )
     )
@@ -1597,7 +1596,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bm25_rank",
             "bm25_score",
             F.round(
-                cosine_similarity(F.col("query_vec"), F.col("embedding")), 6
+                vk.pair_cosine(F.col("query_vec"), F.col("embedding")), 6
             ).alias("cos_sim"),
         )
     )

@@ -260,72 +260,110 @@ def _uni_occurrences(wf: DataFrame) -> DataFrame:
     )
 
 
-def _uni_extend(frontier: DataFrame, edges: DataFrame) -> DataFrame:
-    """One min-plus relaxation step: extend every frontier state
-    (w, pos, enc) along the lattice edges starting at its position,
-    composing the sortable `cost|path` DP string."""
-    return (
-        frontier.join(
-            edges, (F.col("w") == F.col("ew")) & (F.col("s") == F.col("pos"))
-        )
-        .select(
-            "w",
-            F.col("e").alias("pos2"),
-            F.concat(
-                F.lpad(
-                    (
-                        F.substring("enc", 1, _PAD).cast("long") + F.col("cost")
-                    ).cast("string"),
-                    _PAD,
-                    "0",
-                ),
-                F.lit("|"),
-                F.expr(f"substring(enc, {_PAD + 2})"),
-                F.lit(" "),
-                F.col("piece"),
-            ).alias("enc2"),
-        )
-        .select("w", F.col("pos2").alias("pos"), F.col("enc2").alias("enc"))
-    )
+def _uni_compose(enc: str, cost: int, piece: str) -> str:
+    """Python twin of the retired `_uni_extend` enc composition —
+    exactly Spark's
+        concat(lpad(cast(substring(enc,1,PAD) as long) + cost, PAD,
+               '0'), '|', substring(enc, PAD+2), ' ', piece)
+    including lpad's truncate-to-PAD-leftmost behavior on overflow
+    (unreachable on real costs, replicated anyway)."""
+    s = str(int(enc[:_PAD]) + cost)
+    head = s[:_PAD] if len(s) >= _PAD else "0" * (_PAD - len(s)) + s
+    return head + "|" + enc[_PAD + 1 :] + " " + piece
 
 
-def _uni_viterbi(wf: DataFrame, occ: DataFrame, vocab: DataFrame) -> DataFrame:
-    """Best segmentation per word under `vocab` costs: up to
-    _UNI_RELAX FRONTIER-DRIVEN min-plus rounds over (w, pos) with the
-    sortable `cost|path` DP string (see module docstring). Each round
-    extends only the states improved last round; the loop exits when
-    the frontier empties (the fixture converges by round 8, so the
-    16-deep cap is free there). Returns (w, freq, path)."""
-    edges = cut_lineage(
-        occ.join(F.broadcast(vocab.select("piece", "cost")), "piece").select(
-            F.col("w").alias("ew"), "s", "e", "piece", "cost"
-        )
-    )
-    d = cut_lineage(
-        wf.select("w", F.lit(0).alias("pos"), F.lit("0" * _PAD + "|").alias("enc"))
-    )
-    frontier = d
-    for _t in range(_UNI_RELAX):
-        ext = _uni_extend(frontier, edges)
-        d_new = cut_lineage(
-            d.unionByName(ext).groupBy("w", "pos").agg(F.min("enc").alias("enc"))
-        )
-        # the next frontier: states whose best label is new or improved
-        # this round (delta Bellman-Ford — every improvement must be
-        # re-extended exactly once; settled states never re-extend)
-        frontier = cut_lineage(
-            d_new.alias("n")
-            .join(d.alias("p"), ["w", "pos"], "left")
-            .where(F.col("p.enc").isNull() | (F.col("n.enc") < F.col("p.enc")))
-            .select("w", "pos", F.col("n.enc").alias("enc"))
-        )
-        d = d_new
-        if frontier.isEmpty():  # converged: the 1-action signature,
-            break  # same discipline as connected_components
-    return (
-        d.join(wf, "w")
-        .where(F.col("pos") == F.length("w"))
-        .select("w", "freq", F.trim(F.expr(f"substring(enc, {_PAD + 2})")).alias("path"))
+def _uni_bf_word(
+    w: str, costs: dict, rounds: int = _UNI_RELAX, maxp: int = _UNI_MAXP
+) -> str | None:
+    """The frontier-driven min-plus relaxation for ONE word — the
+    exact per-word replay of the retired distributed loop: up to
+    `rounds` delta-Bellman-Ford rounds over positions, each round
+    extending only the states improved last round, min by the same
+    sortable `cost|path` string (Python str comparison == Spark's
+    binary string ordering: both are code-point order). Round-by-round
+    (not a single left-to-right DP) so interim minima extend exactly
+    as they did distributed — bit-identical even where enc-string
+    ties interleave. Returns the final-position label (None if the
+    word end is unreachable — impossible while single chars are never
+    pruned, kept for faithfulness)."""
+    n = len(w)
+    init = "0" * _PAD + "|"
+    d = {0: init}
+    frontier = {0: init}
+    for _t in range(rounds):
+        ext: dict[int, str] = {}
+        for s, enc in frontier.items():
+            top = min(s + maxp, n)
+            for e in range(s + 1, top + 1):
+                c = costs.get(w[s:e])
+                if c is None:
+                    continue
+                enc2 = _uni_compose(enc, c, w[s:e])
+                prev = ext.get(e)
+                if prev is None or enc2 < prev:
+                    ext[e] = enc2
+        frontier = {}
+        for e, enc2 in ext.items():
+            old = d.get(e)
+            if old is None or enc2 < old:
+                d[e] = enc2
+                frontier[e] = enc2
+        if not frontier:
+            break
+    return d.get(n)
+
+
+def _collect_costs(vocab: DataFrame) -> dict:
+    """(piece, cost) frame -> Python dict for the per-word DP kernels
+    — one O(vocab) action, the same bytes `F.broadcast(vocab)` shipped
+    into the retired lattice join (the piece inventory is capped at
+    _UNI_SEED + single chars by construction)."""
+    return {r["piece"]: r["cost"] for r in vocab.select("piece", "cost").collect()}
+
+
+def _uni_viterbi(
+    wf: DataFrame, occ: DataFrame | None, vocab: DataFrame
+) -> DataFrame:
+    """Best segmentation per word under `vocab` costs. r12 optimization
+    round: the lattice DP is WORD-LOCAL (positions never cross words),
+    so the up-to-16 distributed frontier rounds — each a join + agg +
+    two eager checkpoints over vocab-sized frames, ~50 sequential tiny
+    jobs per call — collapse into ONE map-only Arrow pass with the
+    (tiny, _UNI_SEED-capped) cost table collected into the closure.
+    `_uni_bf_word` replays the delta-Bellman-Ford rounds per word
+    exactly, so every enc string (and the oracle hash) is unchanged;
+    `occ` is accepted unused for call-site compatibility — the kernel
+    enumerates the same substring edges from the word itself. At scale
+    this is strictly better than the distributed rounds: the word
+    relation crosses the Arrow boundary once, zero shuffles, and the
+    16-round sequential-job critical path disappears.
+    Returns (w, freq, path)."""
+    import pyarrow as pa
+
+    costs = _collect_costs(vocab)
+
+    def fn(batches):
+        for rb in batches:
+            ws = rb.column(0).to_pylist()
+            fr = rb.column(1).to_pylist()
+            ow, of, op = [], [], []
+            for w, f in zip(ws, fr):
+                enc = _uni_bf_word(w, costs)
+                if enc is not None:
+                    ow.append(w)
+                    of.append(f)
+                    op.append(enc[_PAD + 1 :].strip(" "))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ow, type=pa.string()),
+                    pa.array(of, type=pa.int64()),
+                    pa.array(op, type=pa.string()),
+                ],
+                names=["w", "freq", "path"],
+            )
+
+    return wf.select("w", "freq").mapInArrow(
+        fn, "`w` string, `freq` long, `path` string"
     )
 
 
@@ -371,12 +409,20 @@ def _uni_mstep(best: DataFrame, vocab: DataFrame) -> DataFrame:
         .unionByName(allp.where(F.length("piece") == 1))
         .dropDuplicates(["piece"])
     )
-    tot = keep.agg(F.sum("m").alias("tot"))
+    # `tot` as an unpartitioned window sum over the KEPT inventory —
+    # bounded at _UNI_VOCAB + single chars by construction, so the
+    # single-partition window is safe here (unlike the candidate
+    # relation above), and it saves the separate aggregate job + its
+    # broadcast per EM round (r12 optimization round). Integer sum —
+    # order-free, bit-identical to the retired agg+crossJoin.
+    from pyspark.sql import Window
+
+    tot = F.sum("m").over(Window.partitionBy())
     return cut_lineage(
-        keep.crossJoin(F.broadcast(tot)).select(
+        keep.select(
             "piece",
             "m",
-            (_fl2(F.col("tot") + 1) - _fl2(F.col("m") + 1)).cast("long").alias("cost"),
+            (_fl2(tot + 1) - _fl2(F.col("m") + 1)).cast("long").alias("cost"),
         )
     )
 
@@ -395,11 +441,15 @@ def _uni_train(
         F.sum("freq").cast("long").alias("c")
     )
     seed = _uni_seed(cand)
-    tot = seed.agg(F.sum("c").alias("tot"))
+    # tot as an unpartitioned window over the SEED inventory (bounded
+    # at _UNI_SEED + single chars) — same job-count trim as _uni_mstep
+    from pyspark.sql import Window
+
+    tot = F.sum("c").over(Window.partitionBy())
     vocab = cut_lineage(
-        seed.crossJoin(F.broadcast(tot)).select(
+        seed.select(
             "piece",
-            (_fl2(F.col("tot") + 1) - _fl2(F.col("c") + 1)).cast("long").alias("cost"),
+            (_fl2(tot + 1) - _fl2(F.col("c") + 1)).cast("long").alias("cost"),
         )
     )
     for _r in range(rounds):
@@ -664,55 +714,91 @@ def unigram_kbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uni_kbest_frame(docs).orderBy("w", "sample_rank")
 
 
+def _uni_kbest_word(
+    w: str,
+    costs: dict,
+    k: int = _UNI_KBEST,
+    rounds: int = _UNI_RELAX,
+    maxp: int = _UNI_MAXP,
+) -> list[str]:
+    """Per-word replay of the retired distributed k-best relaxation:
+    each round extends only the labels newly ADMITTED to a node's
+    top-k last round (a node's k-best set only improves, so an
+    admitted label is extended exactly once and an evicted one never
+    returns), the per-node set is the k lexicographically smallest
+    DISTINCT enc strings — exactly the retired
+    slice(array_sort(collect_set(enc)), 1, k) / exceptAll frontier.
+    Returns the final node's sorted label list."""
+    n = len(w)
+    init = "0" * _PAD + "|"
+    d: dict[int, list[str]] = {0: [init]}
+    frontier: dict[int, list[str]] = {0: [init]}
+    for _t in range(rounds):
+        ext: dict[int, set] = {}
+        for s, encs in frontier.items():
+            top = min(s + maxp, n)
+            for e in range(s + 1, top + 1):
+                c = costs.get(w[s:e])
+                if c is None:
+                    continue
+                piece = w[s:e]
+                bucket = ext.setdefault(e, set())
+                for enc in encs:
+                    bucket.add(_uni_compose(enc, c, piece))
+        frontier = {}
+        for e, cands in ext.items():
+            old = d.get(e, [])
+            merged = sorted(set(old) | cands)[:k]
+            newly = sorted(set(merged) - set(old))
+            if newly:
+                d[e] = merged
+                frontier[e] = newly
+        if not frontier:
+            break
+    return d.get(n, [])
+
+
 def _uni_kbest_frame(docs: DataFrame) -> DataFrame:
     """Per-word top-_UNI_KBEST segmentations under the trained costs:
     (w, freq, sample_rank, path, cost_bits). Shared by the k-best
-    table and the subword-regularization sampler."""
-    wf, occ, vocab = _uni_train(docs)
-    edges = cut_lineage(
-        occ.join(F.broadcast(vocab.select("piece", "cost")), "piece").select(
-            F.col("w").alias("ew"), "s", "e", "piece", "cost"
-        )
-    )
-    d = cut_lineage(
-        wf.select("w", F.lit(0).alias("pos"), F.lit("0" * _PAD + "|").alias("enc"))
-    )
-    frontier = d
-    for _t in range(_UNI_RELAX):
-        ext = _uni_extend(frontier, edges)
-        d_new = cut_lineage(
-            d.unionByName(ext)
-            .groupBy("w", "pos")
-            .agg(
-                F.slice(F.array_sort(F.collect_set("enc")), 1, _UNI_KBEST).alias(
-                    "encs"
-                )
+    table and the subword-regularization sampler. r12 optimization
+    round: like `_uni_viterbi`, the per-(word, position) k-best DP is
+    word-local, so the distributed frontier rounds (join + collect_set
+    agg + exceptAll + two eager checkpoints per round) collapse into
+    one map-only Arrow pass replaying the identical rounds per word —
+    every admitted enc string, hence every rank/path/cost, unchanged."""
+    import pyarrow as pa
+
+    wf, _occ, vocab = _uni_train(docs)
+    costs = _collect_costs(vocab)
+
+    def fn(batches):
+        for rb in batches:
+            ws = rb.column(0).to_pylist()
+            fr = rb.column(1).to_pylist()
+            ow, of, orank, opath, ocost = [], [], [], [], []
+            for w, f in zip(ws, fr):
+                for i, enc in enumerate(_uni_kbest_word(w, costs)):
+                    ow.append(w)
+                    of.append(f)
+                    orank.append(i + 1)
+                    opath.append(enc[_PAD + 1 :].strip(" "))
+                    ocost.append(int(enc[:_PAD]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ow, type=pa.string()),
+                    pa.array(of, type=pa.int64()),
+                    pa.array(orank, type=pa.int32()),
+                    pa.array(opath, type=pa.string()),
+                    pa.array(ocost, type=pa.int32()),
+                ],
+                names=["w", "freq", "sample_rank", "path", "cost_bits"],
             )
-            .select("w", "pos", F.explode("encs").alias("enc"))
-        )
-        # frontier = labels newly ADMITTED to a node's top-k this round
-        # (a node's k-best set only improves, so an admitted label is
-        # extended exactly once and an evicted one never returns)
-        frontier = cut_lineage(d_new.exceptAll(d))
-        d = d_new
-        if frontier.isEmpty():
-            break
-    kfinal = (
-        d.join(wf, "w")
-        .where(F.col("pos") == F.length("w"))
-        .groupBy("w", "freq")
-        .agg(F.array_sort(F.collect_set("enc")).alias("encs"))
-    )
-    return kfinal.select(
-        "w",
-        "freq",
-        F.posexplode("encs").alias("i", "enc"),
-    ).select(
-        "w",
-        "freq",
-        (F.col("i") + 1).cast("int").alias("sample_rank"),
-        F.trim(F.expr(f"substring(enc, {_PAD + 2})")).alias("path"),
-        F.substring("enc", 1, _PAD).cast("int").alias("cost_bits"),
+
+    return wf.select("w", "freq").mapInArrow(
+        fn,
+        "`w` string, `freq` long, `sample_rank` int, `path` string, "
+        "`cost_bits` int",
     )
 
 # -- subword-regularization sampling (the per-epoch draw) ----------------------
@@ -1003,8 +1089,7 @@ def unigram_perw_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = unigram_vocab_store(spark, sf_dir)
     wf = cut_lineage(_uni_word_freq(docs))
-    occ = cut_lineage(_uni_occurrences(wf))
-    return _uni_viterbi(wf, occ, vocab).select(
+    return _uni_viterbi(wf, None, vocab).select(
         "w", F.size(F.split("path", " ")).cast("long").alias("n_pieces")
     )
 
@@ -1037,8 +1122,7 @@ def unigram_encode_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = unigram_vocab_store(spark, sf_dir)
     wf = cut_lineage(_uni_word_freq(docs))
-    occ = cut_lineage(_uni_occurrences(wf))
-    best = _uni_viterbi(wf, occ, vocab)
+    best = _uni_viterbi(wf, None, vocab)
     return best.select(
         "w",
         "freq",

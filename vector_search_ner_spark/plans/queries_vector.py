@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_ner_spark.functions.vector import duck_cosine, duck_l2
+from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.operators.knn import knn_join
 from vector_search_ner_spark.registry import query
 from vector_search_ner_spark.sources.catalog import load_table
@@ -243,13 +244,12 @@ def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as k-NN but with a scan-side threshold filter instead of the
     per-query window, so it is strictly cheaper: no rank shuffle at
     all, output streams straight out of the map stage."""
-    from vector_search_ner_spark.functions.vector import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     q = _query_batch(spark, sf_dir)
-    score = F.round(cosine_similarity(F.col("query_vec"), F.col("embedding")), 6)
+    score = F.round(vk.pair_cosine(F.col("query_vec"), F.col("embedding")), 6)
     return (
         emb.crossJoin(F.broadcast(q))
         .select("query_id", "doc_id", score.alias("score"))
@@ -413,7 +413,6 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from pyspark.sql import Window
 
-    from vector_search_ner_spark.functions.vector import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
@@ -446,7 +445,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sel.select("query_id", F.col("dv").alias("sv")), "query_id"
             )
             .groupBy("query_id", "doc_id")
-            .agg(F.max(cosine_similarity(F.col("dv"), F.col("sv"))).alias("max_sim"))
+            .agg(F.max(vk.pair_cosine(F.col("dv"), F.col("sv"))).alias("max_sim"))
         )
         score = (
             F.lit(MMR_LAMBDA) * F.col("rel")
@@ -532,7 +531,6 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact long arithmetic (the BM25/RRF discipline) — the oracle
     re-derives chunking, embedding, and both reductions closed-form."""
     from vector_search_ner_spark.embedder import HashingEmbedder
-    from vector_search_ner_spark.functions.vector import cosine_similarity
     from vector_search_ner_spark.operators.chunker import chunk_text
     from vector_search_ner_spark.operators.knn import topk_per_query
 
@@ -548,11 +546,13 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_index").alias("qci"),
         F.col("emb").alias("qv"),
     )
+    # per-pair cosine in the Arrow kernel (bit-identical; the chunk x
+    # query-chunk cross product was all interpreted folds before)
     pairs = demb.crossJoin(F.broadcast(qemb)).select(
         "query_id",
         "doc_id",
         "qci",
-        cosine_similarity(F.col("qv"), F.col("emb")).alias("sim"),
+        vk.pair_cosine(F.col("qv"), F.col("emb")).alias("sim"),
     )
     per_qc = pairs.groupBy("query_id", "doc_id", "qci").agg(F.max("sim").alias("m"))
     scored = (
@@ -691,7 +691,6 @@ def ann_maxsim_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_bq_recall_report` for the single-vector tier."""
     from pyspark.sql import Window
 
-    from vector_search_ner_spark.functions.vector import cosine_similarity
     from vector_search_ner_spark.operators import bq
     from vector_search_ner_spark.operators.knn import topk_per_query
 
@@ -733,7 +732,7 @@ def ann_maxsim_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             "qci",
-            cosine_similarity(F.col("qv"), F.col("emb")).alias("sim"),
+            vk.pair_cosine(F.col("qv"), F.col("emb")).alias("sim"),
         )
     )
     per_qc = pairs.groupBy("query_id", "doc_id", "qci").agg(F.max("sim").alias("m"))
@@ -904,7 +903,6 @@ def ann_maxsim_overfetch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator = actual exact-top rows."""
     from pyspark.sql import Window
 
-    from vector_search_ner_spark.functions.vector import cosine_similarity
     from vector_search_ner_spark.operators import bq
 
     demb = _maxsim_chunk_index(spark, sf_dir)
@@ -956,7 +954,7 @@ def ann_maxsim_overfetch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             "qci",
-            cosine_similarity(F.col("qv"), F.col("emb")).alias("sim"),
+            vk.pair_cosine(F.col("qv"), F.col("emb")).alias("sim"),
         )
     )
     scored = (

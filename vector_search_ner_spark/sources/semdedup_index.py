@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_ner_spark.operators import ann
+from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.sources.catalog import load_table
 from vector_search_ner_spark.sources.neardup_index import (
     ARTIFACT_DIR,
@@ -109,25 +110,20 @@ def semantic_index_store(
         )
         _assigned, centroids = ann.lloyd_build(corpus, n_cent, n_iter=n_iter)
         # centroids first (no _SUCCESS dependency on them — members'
-        # marker is the swap gate), then the partitioned member table
+        # marker is the swap gate), then the partitioned member table.
+        # Multi-assignment runs in the Arrow kernel (bit-identical to
+        # the retired crossJoin + interpreted fold + rank window —
+        # veckernel contract); the centrality rank window stays JVM.
         centroids.write.mode("overwrite").parquet(centroids_path)
-        sq = lambda a, b: F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
         docs = corpus.select(
             F.col("vec_id").alias("doc_id"),
             to_double_array(F.col("embedding")).alias("v"),
         )
-        ark = F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("__dist", "cluster_id")
-        )
         (
-            docs.crossJoin(F.broadcast(centroids))
-            .withColumn("__dist", sq(F.col("v"), F.col("centroid")))
-            .withColumn("ark", ark.cast("long"))
-            .where(F.col("ark") <= store_nprobe)
+            vk.assign_topm(
+                docs, centroids, store_nprobe, "v",
+                dist_col="__dist", ark_col="ark",
+            )
             .withColumn("u", F.floor(F.col("__dist") * 1000000).cast("long"))
             .withColumn(
                 "rn",
@@ -165,30 +161,15 @@ def assign_members_frame(shard: DataFrame, centroids: DataFrame) -> DataFrame:
     centroid distance `u`, yielding rows in the member-table schema
     with the delta rank sentinel. Shared by the streaming append and
     the staleness report, and the exact arithmetic the store build and
-    its DuckDB oracle use (argmin by squared L2, cluster_id
-    tie-break)."""
-    from pyspark.sql import Window
-
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    sc = shard.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", sq(F.col("v"), F.col("centroid"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("cdist", "cluster_id")
-    return (
-        sc.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            "doc_id",
-            "v",
-            F.floor(F.col("cdist") * 1000000).cast("long").alias("u"),
-            F.lit(1).cast("long").alias("ark"),
-            F.lit(DELTA_RANK_SENTINEL).alias("rn"),
-            "cluster_id",
-        )
+    its DuckDB oracle use (argmin by squared L2, cluster_id tie-break
+    — the Arrow kernel reproduces both bit-for-bit)."""
+    return vk.assign_topm(shard, centroids, 1, "v", dist_col="cdist").select(
+        "doc_id",
+        "v",
+        F.floor(F.col("cdist") * 1000000).cast("long").alias("u"),
+        F.lit(1).cast("long").alias("ark"),
+        F.lit(DELTA_RANK_SENTINEL).alias("rn"),
+        "cluster_id",
     )
 
 

@@ -1241,7 +1241,6 @@ def stream_encode_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from vector_search_ner_spark.plans.queries_unigram import (
-        _uni_occurrences,
         _uni_viterbi,
         _uni_word_freq,
     )
@@ -1271,8 +1270,7 @@ def stream_encode_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(bdf: DataFrame, batch_id: int) -> None:
         wf = _uni_word_freq(bdf)  # batch-local frequencies
-        occ = _uni_occurrences(wf)
-        best = _uni_viterbi(wf, occ, vocab)
+        best = _uni_viterbi(wf, None, vocab)
         best.select("w", "freq", "path").write.mode("overwrite").parquet(
             os.path.join(delta, f"batch_id={batch_id}")
         )
