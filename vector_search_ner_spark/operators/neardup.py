@@ -242,18 +242,10 @@ def shingle_frame(
 ) -> DataFrame:
     """(sid, hs): the per-doc 60-bit word-6-gram shingle-hash set —
     the canonical first stage every minhash consumer shares. Callers
-    that feed multiple consumers localCheckpoint the result. r12
-    optimization round: computed by the Arrow fingerprint kernel (one
-    vectorized pass; integer-exact twin of the retired md5 transform +
-    per-gram interpreted two-lane folds — see veckernel)."""
-    from vector_search_ner_spark.operators import veckernel as vk
-
-    return vk.text_fingerprints(
-        docs.select(F.col(id_col).alias("sid"), F.col(text_col).alias("__t")),
-        "__t",
-        SHINGLE_K,
-        hs_col="hs",
-    ).select("sid", "hs")
+    that feed multiple consumers localCheckpoint the result."""
+    return docs.select(
+        F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
+    ).select("sid", gram_hashes60(F.col("__th")).alias("hs"))
 
 
 def minhash_band_frame(sh: DataFrame) -> DataFrame:
@@ -263,13 +255,10 @@ def minhash_band_frame(sh: DataFrame) -> DataFrame:
     the streaming index append, the shard probe, the pair self-join,
     the star edges, and the banding eval all call this, so the store,
     the stream, and every probe CANNOT drift apart (the checksums in
-    stream_index_ingest would catch it; this removes the hazard).
-    Signatures run in the Arrow kernel (integer-exact — veckernel)."""
-    from vector_search_ner_spark.operators import veckernel as vk
-
-    sigs = vk.minhash_sigs(sh.select("sid", "hs"), "hs").select(
-        "sid", *[f"mh{j}" for j in range(N_PERM)]
-    )
+    stream_index_ingest would catch it; this removes the hazard)."""
+    sigs = sh.withColumn(
+        "hashes", F.transform(F.col("hs"), lambda h: h % MINHASH_P)
+    ).select("sid", *minhash_signature_cols(F.col("hashes")))
     return sigs.select(
         "sid",
         F.explode(
@@ -429,12 +418,12 @@ def jaccard_pairs(
     FULL shingle sets for every surviving candidate pair. Values are
     exact; only pairs whose every common shingle is hot are skipped.
     Returns (doc_a, doc_b, jaccard)."""
-    from vector_search_ner_spark.operators import veckernel as vk
-
-    sh = vk.text_fingerprints(
-        docs.select(F.col(id_col).alias("sid"), F.col(text_col).alias("__t")),
-        "__t", k, hs_col="hs",
-    ).select("sid", "hs")
+    sh = (
+        docs.select(
+            F.col(id_col).alias("sid"), token_hashes60(F.col(text_col)).alias("__th")
+        )
+        .select("sid", gram_hashes60(F.col("__th"), k).alias("hs"))
+    )
     # corpus-sized cut (session.cut_lineage, mode-configurable):
     # consumed by the candidate explode AND both verify joins; in the
     # default local mode checkpoint blocks are GC-reclaimed once the
@@ -661,9 +650,8 @@ def simhash_pairs(
     hamming join (`hamming_band_pairs`)."""
     from vector_search_ner_spark.operators import veckernel as vk
 
-    fps = vk.text_fingerprints(
-        docs.select(F.col(id_col).alias("sid"), F.col(text_col).alias("__t")),
-        "__t", SHINGLE_K, th_col="__th",
+    fps = docs.select(
+        F.col(id_col).alias("sid"), token_hashes(F.col(text_col)).alias("__th")
     ).select("sid", vk.simhash_bits(F.col("__th"), SIMHASH_BITS).alias("fp"))
     return hamming_band_pairs(fps, max_hamming)
 
@@ -971,22 +959,24 @@ def contamination_best_match(
     # materialize BOTH shingle frames (eager localCheckpoint — GC-
     # reclaimed once unreferenced, no session-lifetime cache pin):
     # each is consumed twice (explode for candidates + array for
-    # verify). Shingles come from the Arrow fingerprint kernel (r12
-    # optimization round — integer-exact twin of the retired md5 +
-    # fold chain; being opaque to the optimizer, it also removes the
-    # historical InferFiltersFromGenerate re-evaluation hazard the
-    # checkpoint used to guard, which stays for the double consumption)
-    from vector_search_ner_spark.operators import veckernel as vk
-
-    bsh = vk.text_fingerprints(
-        bench.select(F.col(id_col).alias("bench_id"), F.col(text_col).alias("__t")),
-        "__t", k, hs_col="b_shingles",
-    ).select("bench_id", "b_shingles")
+    # verify), and the materialization boundary also stops
+    # InferFiltersFromGenerate from pushing a size(shingles)>0 filter
+    # below the projection — that inlines the whole gram-hash expression
+    # into the filter, where the token-hash transform re-evaluates per
+    # gram position (measured 100x slower on the bench side)
+    bsh = (
+        bench.select(
+            F.col(id_col).alias("bench_id"), token_hashes60(F.col(text_col)).alias("__th")
+        )
+        .select("bench_id", gram_hashes60(F.col("__th"), k).alias("b_shingles"))
+    )
     bsh = cut_lineage(bsh)
-    tsh = vk.text_fingerprints(
-        train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("__t")),
-        "__t", k, hs_col="t_shingles",
-    ).select("train_id", "t_shingles")
+    tsh = (
+        train.select(
+            F.col(id_col).alias("train_id"), token_hashes60(F.col(text_col)).alias("__th")
+        )
+        .select("train_id", gram_hashes60(F.col("__th"), k).alias("t_shingles"))
+    )
     tsh = cut_lineage(tsh)
     b_expl = bsh.select("bench_id", F.explode("b_shingles").alias("sh"))
     t_expl = tsh.select("train_id", F.explode("t_shingles").alias("sh"))
@@ -1126,14 +1116,11 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql import Window as W
 
-    from vector_search_ner_spark.operators import veckernel as vk
-
     keyed = (
-        vk.text_fingerprints(
-            docs.select(F.col(id_col).alias("sid"), F.col(text_col).alias("__t")),
-            "__t", SHINGLE_K, hs_col="th",
+        docs.select(
+            F.col(id_col).alias("sid"), token_hashes(F.col(text_col)).alias("__th")
         )
-        .select("sid", "th")
+        .select("sid", gram_hashes60(F.col("__th")).alias("th"))
         .withColumn("__sorted", F.array_sort("th"))
         .select(
             "sid",

@@ -234,181 +234,6 @@ def _pair_dot_udf(a, b):
     return pd.Series(_seq_dot(_stack(a), _stack(b)))
 
 
-def _md5_60(tok: str) -> int:
-    """Python twin of functions.text.stable_long_hash: md5 hex ->
-    first 15 hex digits -> int (< 2^60). Exact across engines."""
-    import hashlib
-
-    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-
-
-def _token_hashes(text: str) -> list[int]:
-    """Twin of neardup.token_hashes60: split(trim(text), ' ') — the
-    literal-space regex split that KEEPS empty tokens between
-    consecutive spaces, exactly like Spark's — then md5-60 per
-    token."""
-    return [_md5_60(t) for t in text.strip(" ").split(" ")]
-
-
-def _lane(th: list, lo: int, hi: int, m: int, p: int) -> int:
-    acc = 0
-    for j in range(lo, hi):
-        acc = (acc * m + (th[j] % p)) % p
-    return acc
-
-
-def text_fingerprints(
-    df: DataFrame,
-    text_col: str,
-    k: int,
-    th_col: str | None = None,
-    hs_col: str | None = None,
-    ws_col: str | None = None,
-    sig_prefix: str | None = None,
-) -> DataFrame:
-    """One Arrow pass computing, per row, any of:
-      - `th_col`: the per-token 60-bit md5 hashes (twin of
-        token_hashes60);
-      - `hs_col`: the DISTINCT two-lane word-k-gram shingle hashes
-        (first-occurrence order), with the short-doc whole-text rule —
-        the twin of token_hashes60 |> gram_hashes60;
-      - `ws_col`: the POSITIONAL (non-distinct) gram hashes — the twin
-        of the span queries' per-position fold (only emitted for rows
-        with >= k tokens, like their size filter);
-      - `sig_prefix`: the N_PERM minhash signature columns
-        `<prefix>0..<prefix>N-1` over the distinct shingles — the twin
-        of the mod-P staging + minhash_signature_cols transforms.
-
-    Replaces the per-row interpreted HOF chains (an md5 transform, a
-    2-lane fold per gram position, and 16 permutation transforms per
-    row) with one vectorized pass; all arithmetic is integer-exact
-    (md5 via hashlib == Spark's md5; the fold products stay under
-    2^60), so every downstream value is bit-identical. Input text must
-    be non-null (every fingerprint caller selects a non-null corpus
-    text column)."""
-    import pyarrow as pa
-
-    from vector_search_ner_spark.operators import neardup as nd
-
-    m1, p1 = nd.GRAM_M1, nd.GRAM_P1
-    m2, p2 = nd.GRAM_M2, nd.GRAM_P2
-    shift = nd._LANE_SHIFT
-    perms = list(zip(nd.MINHASH_A, nd.MINHASH_B))
-    mp = nd.MINHASH_P
-
-    in_schema = df.schema
-    text_idx = in_schema.names.index(text_col)
-    out_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema.fields
-    )
-    if th_col is not None:
-        out_ddl += f", `{th_col}` array<bigint>"
-    if hs_col is not None:
-        out_ddl += f", `{hs_col}` array<bigint>"
-    if ws_col is not None:
-        out_ddl += f", `{ws_col}` array<bigint>"
-    if sig_prefix is not None:
-        out_ddl += ", " + ", ".join(
-            f"`{sig_prefix}{j}` bigint" for j in range(len(perms))
-        )
-
-    def fn(batches):
-        for rb in batches:
-            texts = rb.column(text_idx).to_pylist()
-            th_all, hs_all, ws_all = [], [], []
-            sig_all = [[] for _ in perms] if sig_prefix is not None else None
-            for text in texts:
-                th = _token_hashes(text)
-                n = len(th)
-                if th_col is not None:
-                    th_all.append(th)
-                if hs_col is None and ws_col is None and sig_all is None:
-                    continue
-                if n >= k:
-                    grams = [
-                        _lane(th, i, i + k, m1, p1) * shift
-                        + _lane(th, i, i + k, m2, p2)
-                        for i in range(n - k + 1)
-                    ]
-                    hs = list(dict.fromkeys(grams))
-                else:
-                    grams = None
-                    hs = [
-                        _lane(th, 0, n, m1, p1) * shift
-                        + _lane(th, 0, n, m2, p2)
-                    ]
-                if hs_col is not None:
-                    hs_all.append(hs)
-                if ws_col is not None:
-                    ws_all.append(grams)
-                if sig_all is not None:
-                    red = [h % mp for h in hs]
-                    for j, (a, b) in enumerate(perms):
-                        sig_all[j].append(min((a * h + b) % mp for h in red))
-            tbl = pa.Table.from_batches([rb])
-            if th_col is not None:
-                tbl = tbl.append_column(
-                    pa.field(th_col, pa.list_(pa.int64())),
-                    pa.array(th_all, type=pa.list_(pa.int64())),
-                )
-            if hs_col is not None:
-                tbl = tbl.append_column(
-                    pa.field(hs_col, pa.list_(pa.int64())),
-                    pa.array(hs_all, type=pa.list_(pa.int64())),
-                )
-            if ws_col is not None:
-                tbl = tbl.append_column(
-                    pa.field(ws_col, pa.list_(pa.int64())),
-                    pa.array(ws_all, type=pa.list_(pa.int64())),
-                )
-            if sig_all is not None:
-                for j in range(len(perms)):
-                    tbl = tbl.append_column(
-                        pa.field(f"{sig_prefix}{j}", pa.int64()),
-                        pa.array(sig_all[j], type=pa.int64()),
-                    )
-            yield from tbl.combine_chunks().to_batches()
-
-    return df.mapInArrow(fn, out_ddl)
-
-
-def minhash_sigs(df: DataFrame, hs_col: str, prefix: str = "mh") -> DataFrame:
-    """Append the N_PERM minhash signature columns to a frame that
-    already carries a shingle-hash array (the persisted-index /
-    streaming probe shape, where `hs` is a stored or checkpointed
-    column rather than re-derived text). Integer-exact twin of the
-    mod-P staging + N_PERM interpreted transforms."""
-    import pyarrow as pa
-
-    from vector_search_ner_spark.operators import neardup as nd
-
-    perms = list(zip(nd.MINHASH_A, nd.MINHASH_B))
-    mp = nd.MINHASH_P
-    in_schema = df.schema
-    hs_idx = in_schema.names.index(hs_col)
-    out_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema.fields
-    ) + ", " + ", ".join(f"`{prefix}{j}` bigint" for j in range(len(perms)))
-
-    def fn(batches):
-        for rb in batches:
-            hs_rows = rb.column(hs_idx).to_pylist()
-            sig_all = [[] for _ in perms]
-            for hs in hs_rows:
-                red = [h % mp for h in hs]
-                for j, (a, b) in enumerate(perms):
-                    sig_all[j].append(min((a * h + b) % mp for h in red))
-            tbl = pa.Table.from_batches([rb])
-            for j in range(len(perms)):
-                tbl = tbl.append_column(
-                    pa.field(f"{prefix}{j}", pa.int64()),
-                    pa.array(sig_all[j], type=pa.int64()),
-                )
-            yield from tbl.combine_chunks().to_batches()
-
-    return df.mapInArrow(fn, out_ddl)
-
-
 def simhash_bits(hashes: Column | str, n_bits: int) -> Column:
     """Arrow twin of neardup.simhash_from_hashes: n_bits bit-folds over
     a token-hash array per row. Pure int64 arithmetic (contribution of

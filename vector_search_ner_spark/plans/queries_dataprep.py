@@ -1341,16 +1341,14 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     model); weights broadcast into the per-doc scoring aggregate; the
     quota rank partitions by source. Zero corpus-by-corpus joins —
     the whole op is two linear passes and a broadcast."""
-    from vector_search_ner_spark.operators import neardup as _nd
-    from vector_search_ner_spark.operators import veckernel as _vk
+    from vector_search_ner_spark.operators.neardup import token_hashes60
     from vector_search_ner_spark.session import cut_lineage
 
     B, P, M = _DSIR_B, _DSIR_P, _DSIR_M
     docs = load_table(spark, sf_dir, "documents")
-    th = _vk.text_fingerprints(
-        docs.select("doc_id", "lang", "source", F.col("text").alias("__t")),
-        "__t", _nd.SHINGLE_K, th_col="th",
-    ).select("doc_id", "lang", "source", "th")
+    th = docs.select(
+        "doc_id", "lang", "source", token_hashes60(F.col("text")).alias("th")
+    )
     n = F.size("th")
     uni = th.select(
         "doc_id", "lang", "source",

@@ -312,13 +312,10 @@ def repeated_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc agg. No pairwise joins at all, so a span shared by a
     million docs costs one count row, not 10^12 pairs — this is the
     audit that scales where pair emission cannot."""
-    from vector_search_ner_spark.operators import veckernel as vk
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = vk.text_fingerprints(
-        docs.select("doc_id", F.col("text").alias("__t")),
-        "__t", _SPAN_K, hs_col="hs",
-    ).select("doc_id", "hs").localCheckpoint()
+    sh = docs.select(
+        F.col("doc_id"), nd.token_hashes60(F.col("text")).alias("__th")
+    ).select("doc_id", nd.gram_hashes60(F.col("__th"), _SPAN_K).alias("hs")).localCheckpoint()
     ex = sh.select("doc_id", F.explode("hs").alias("s"))
     shared_spans = (
         ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= 2)
@@ -413,21 +410,32 @@ def _span_position_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-document frequency >= 2 — shared by the cut-list query
     (drops s) and the cut-APPLY query (ranks on s for keep-one)."""
     docs = load_table(spark, sf_dir, "documents")
-    # positional (non-distinct) gram hashes from the Arrow fingerprint
-    # kernel — the retired shape computed TWO interpreted lane folds
-    # per position per row (O(tokens x k) boxed nodes); bit-identical
-    # integer twin, ws NULL for <k-token rows (the old size filter)
-    from vector_search_ner_spark.operators import veckernel as vk
-
-    w = (
-        vk.text_fingerprints(
-            docs.select("doc_id", F.col("text").alias("__t")),
-            "__t", _SPAN_K, ws_col="ws",
-        )
-        .where(F.col("ws").isNotNull())
-        .select("doc_id", "ws")
-        .localCheckpoint()
+    from vector_search_ner_spark.operators.neardup import (
+        GRAM_M1,
+        GRAM_M2,
+        GRAM_P1,
+        GRAM_P2,
+        _LANE_SHIFT,
     )
+
+    def lane(sub, m, p):
+        return F.aggregate(
+            sub, F.lit(0).cast("long"), lambda acc, h: (acc * m + (h % p)) % p
+        )
+
+    d = docs.select(
+        "doc_id", nd.token_hashes60(F.col("text")).alias("th")
+    ).where(F.size("th") >= _SPAN_K)
+    gram = lambda i: (
+        lane(F.slice(F.col("th"), i, _SPAN_K), GRAM_M1, GRAM_P1) * _LANE_SHIFT
+        + lane(F.slice(F.col("th"), i, _SPAN_K), GRAM_M2, GRAM_P2)
+    )
+    w = d.withColumn(
+        "ws",
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - (_SPAN_K - 1)), lambda i: gram(i)
+        ),
+    ).localCheckpoint()
     ex = w.select(
         "doc_id", F.posexplode("ws").alias("pos0", "s")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "s")

@@ -584,11 +584,10 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rung 5 — DSIR selection over the gate survivors
     B, P, M = _DSIR_B, _DSIR_P, _DSIR_M
-    dth = vk.text_fingerprints(
+    dth = (
         x_kept.join(gate_kept.select("doc_id"), "doc_id")
-        .select("doc_id", "lang", "source", F.col("text").alias("__t")),
-        "__t", nd.SHINGLE_K, th_col="th",
-    ).select("doc_id", "lang", "source", "th")
+        .select("doc_id", "lang", "source", nd.token_hashes60(F.col("text")).alias("th"))
+    )
     n = F.size("th")
     duni = dth.select(
         "doc_id", "lang", "source",
@@ -649,17 +648,13 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rung 6 — contamination vs the held-out benchmark corpus
     bsh = cut_lineage(
-        vk.text_fingerprints(
-            bench.select(F.col("doc_id").alias("bench_id"), F.col("text").alias("__t")),
-            "__t", nd.SHINGLE_K, hs_col="b_sh",
-        ).select("bench_id", "b_sh")
+        bench.select("doc_id", nd.token_hashes60(F.col("text")).alias("__th"))
+        .select(F.col("doc_id").alias("bench_id"), nd.gram_hashes60(F.col("__th")).alias("b_sh"))
     )
     tsh = cut_lineage(
-        vk.text_fingerprints(
-            x_kept.join(dsir_kept.select("doc_id"), "doc_id")
-            .select(F.col("doc_id").alias("train_id"), F.col("text").alias("__t")),
-            "__t", nd.SHINGLE_K, hs_col="t_sh",
-        ).select("train_id", "t_sh")
+        x_kept.join(dsir_kept.select("doc_id"), "doc_id")
+        .select("doc_id", nd.token_hashes60(F.col("text")).alias("__th"))
+        .select(F.col("doc_id").alias("train_id"), nd.gram_hashes60(F.col("__th")).alias("t_sh"))
     )
     b_expl = bsh.select("bench_id", F.explode("b_sh").alias("sh"))
     t_expl = nd._drop_hot_shingles(
