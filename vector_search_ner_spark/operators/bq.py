@@ -139,7 +139,10 @@ def bq_hamming_topk(
             "query_id",
             "doc_id",
             "hamming",
-            F.round(vk.pair_cosine(F.col("query_vec"), F.col("doc_vec")), 6).alias(
+            # interpreted fold on the candidate-list-sized rerank frame
+            # (queries x overfetch rows) — the Arrow round trip is not
+            # amortized here; kernels stay on corpus-sized frames
+            F.round(cosine_similarity(F.col("query_vec"), F.col("doc_vec")), 6).alias(
                 "score"
             ),
         )

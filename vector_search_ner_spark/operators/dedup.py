@@ -153,8 +153,12 @@ def connected_components_star(
     # the canonical edge set derive from it, and without this boundary
     # each would re-evaluate the full upstream pipeline (for LSH pair
     # graphs: tokenize + md5 + 16 permutations + bucket join + verify)
+    # LAZY cut (plan truncation happens at call time): the seed
+    # signature collect below is the first action, so edges0 and the
+    # canonical edge set materialize together in that one job instead
+    # of two sequential eager-cut jobs first
     edges0 = cut_lineage(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")), eager=False
     )
     # nodes has exactly ONE consumer (the final label join) and derives
     # from the checkpointed relation — no boundary needed
@@ -171,7 +175,7 @@ def connected_components_star(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = cut_lineage(e, allow_persist=False)
+    e = cut_lineage(e, eager=False, allow_persist=False)
     def _sig(df: DataFrame) -> tuple:
         # per-edge hash reduced mod a prime before summing: keeps the
         # signature sum within int64 under ANSI mode out to ~9e9 edges
@@ -212,7 +216,12 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        e_next = cut_lineage(e_next, allow_persist=False)
+        # LAZY cut: the convergence-signature collect right below is
+        # the round's first action, so the checkpoint blocks
+        # materialize inside that job — one job per round instead of
+        # an eager-cut job followed by the signature job (the plan is
+        # truncated at call time either way)
+        e_next = cut_lineage(e_next, eager=False, allow_persist=False)
         sig = _sig(e_next)
         e = e_next
         if sig == prev_sig:

@@ -110,8 +110,11 @@ def mrl_topk(
         .select(
             "query_id",
             "doc_id",
+            # interpreted fold on the candidate-list-sized rerank frame;
+            # the truncated PRE-score above keeps the Arrow kernel (it
+            # scans the corpus-sized truncated table)
             F.round(
-                vk.pair_cosine(F.col("query_vec"), F.col(vec_col)), 6
+                cosine_similarity(F.col("query_vec"), F.col(vec_col)), 6
             ).alias("score"),
         )
     )

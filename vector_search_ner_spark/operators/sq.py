@@ -130,8 +130,13 @@ def sq_adc_topk(
         .select(
             "query_id",
             "doc_id",
+            # interpreted fold, not the Arrow pair kernel: this frame
+            # is candidate-list-sized (queries x overfetch rows), so a
+            # Python-worker round trip costs more than it saves (r12
+            # measured the kernel swap at 0.74-0.81x on the eval
+            # consumers; the kernel stays on corpus-sized frames)
             F.round(
-                vk.pair_cosine(F.col("query_vec"), F.col(vec_col)), 6
+                cosine_similarity(F.col("query_vec"), F.col(vec_col)), 6
             ).alias("score"),
         )
     )

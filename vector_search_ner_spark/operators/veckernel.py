@@ -32,9 +32,12 @@ argmin / stable argsort, matching `MIN(struct(dist, cluster_id))`
 and `row_number() OVER (ORDER BY dist, cluster_id)`.
 
 CENTROID COLLECTION: `assign_topm` collects the centroid frame to
-the driver (one O(n_cent) action, bounded by IVF_NCENT_MAX ~ 67 MB —
-the same bytes `F.broadcast(centroids)` ships, just materialized as
-a NumPy closure instead of a hash relation). In exchange the plan
+the driver — NOTE: this is an EAGER action at plan-construction time,
+so operator builders calling it are not lazy — one O(n_cent) job,
+bounded by IVF_NCENT_MAX ~ 67 MB. The matrix ships as an explicit
+`sparkContext.broadcast` variable (one copy per executor, like
+`F.broadcast(centroids)` — not a per-stage task-closure copy). In
+exchange the plan
 LOSES the N x n_cent crossJoin and the argmin/rank shuffle outright:
 assignment becomes one map-only ArrowEval pass that ships each
 vector across the boundary ONCE (guide §8: decide with small rows,
@@ -124,6 +127,11 @@ def assign_topm(
     import pyarrow as pa
 
     cids, cmat = collect_centroids(centroids)
+    # ship the centroid matrix as an explicit broadcast variable: one
+    # copy per executor instead of a pickled task-closure copy per
+    # stage (bounded ~67 MB at IVF_NCENT_MAX — the same bytes
+    # F.broadcast(centroids) would ship)
+    bc = docs.sparkSession.sparkContext.broadcast((cids.astype(np.int32), cmat))
     in_schema = docs.schema
     vec_idx = in_schema.names.index(vec_col)
     out_ddl = ", ".join(
@@ -136,10 +144,10 @@ def assign_topm(
 
     k = len(cids)
     mm = min(m, k)
-    cids32 = cids.astype(np.int32)
     chunk_rows = max(1, _CHUNK_CELLS // max(1, k))
 
     def fn(batches):
+        cids32, cmat = bc.value
         for rb in batches:
             n = rb.num_rows
             if n == 0:

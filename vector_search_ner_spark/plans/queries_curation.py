@@ -187,27 +187,28 @@ def doc_tokens_from_perw(docs: DataFrame, perw: DataFrame) -> DataFrame:
     oracles unroll the identical LEFT JOIN + worst-case charge)."""
     from vector_search_ner_spark.plans.queries_unigram import _UNI_RELAX
 
+    # explode_outer keeps a (doc_id, NULL) row for null-text docs, so
+    # the per-doc sum covers EVERY doc directly — this replaces the old
+    # join-back to `docs` (a SortMergeJoin + two exchanges whose only
+    # purpose was restoring null-text rows as n_tokens=0) with the one
+    # unavoidable groupBy shuffle (§2.4). perw broadcasts explicitly:
+    # it is word-vocabulary-sized (bounded by the <= _UNI_RELAX-char
+    # trainable-word inventory), never corpus-sized.
     dw = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+        "doc_id", F.explode_outer(F.split(F.trim(F.col("text")), " ")).alias("w")
     )
     wtok = dw.join(
-        perw.select(
-            F.col("w").alias("pw"), "n_pieces"
-        ),
+        F.broadcast(perw.select(F.col("w").alias("pw"), "n_pieces")),
         (F.col("w") == F.col("pw")) & (F.length("w") <= _UNI_RELAX),
         "left",
     ).select(
         "doc_id",
-        F.when(F.col("w") == "", F.lit(0))
+        F.when(F.col("w").isNull() | (F.col("w") == ""), F.lit(0))
         .otherwise(F.coalesce(F.col("n_pieces"), F.length("w").cast("long")))
         .alias("tok"),
     )
-    return (
-        docs.select("doc_id")
-        .join(wtok.groupBy("doc_id").agg(F.sum("tok").alias("__t")), "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("n_tokens")
-        )
+    return wtok.groupBy("doc_id").agg(
+        F.sum("tok").cast("long").alias("n_tokens")
     )
 
 

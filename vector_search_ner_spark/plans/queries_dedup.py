@@ -2058,10 +2058,12 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double_array(F.col("embedding")).alias("sv"),
     )
     # Arrow-vectorized top-mdepth shard assignment + per-pair verify
-    # cosine (bit-identical — veckernel contract)
-    sa = cut_lineage(
-        vk.assign_topm(shard, centroids, mdepth, "sv")
-        .select("shard_id", "sv", "cluster_id")
+    # cosine (bit-identical — veckernel contract). No lineage cut: the
+    # assignment frame has exactly ONE consumer (the broadcast into the
+    # member probe), so an eager checkpoint only added a driver-blocking
+    # job before the real one
+    sa = vk.assign_topm(shard, centroids, mdepth, "sv").select(
+        "shard_id", "sv", "cluster_id"
     )
     probe = members.select(
         F.col("doc_id").alias("corpus_id"), F.col("v").alias("mv"), "cluster_id"

@@ -484,15 +484,28 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(*elig.columns)
     ingested = elig.unionByName(clones).unionByName(noise)
 
-    # rung 1 — exact: min-id keeper per normalized-text fingerprint
+    # rung 1 — exact: min-id keeper per normalized-text fingerprint.
+    # The fingerprint+self-join chain is staged ONCE behind a slim
+    # (doc_id, keeper) cut; the kept/dropped rosters are then plain
+    # filters over the checkpointed blocks. The previous shape cut the
+    # two FILTERED frames instead, so the md5 fingerprint scan and its
+    # self-join ran once per cut AND once per self-join side — four
+    # computations (profiled at ~5.3 s of the flagship's construction;
+    # this is the §2.4 remove-recomputation discipline, same values).
+    # keeper via a window MIN over the fingerprint key instead of the
+    # groupBy + self-join: one exchange instead of two and ONE
+    # fingerprint scan instead of one per join side (§2.4 — same key,
+    # share the shuffle; profiled 5.1 s -> ~1.5 s). Values identical:
+    # min(doc_id) per fp either way.
     fps = ingested.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-    fpk = fps.join(fps.groupBy("fp").agg(F.min("doc_id").alias("keeper")), "fp")
-    x_dropped = cut_lineage(
-        fpk.where(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    fpk = cut_lineage(
+        fps.select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy("fp")).alias("keeper"),
+        )
     )
-    xk_ids = cut_lineage(
-        fpk.where(F.col("doc_id") == F.col("keeper")).select("doc_id")
-    )
+    x_dropped = fpk.where(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    xk_ids = fpk.where(F.col("doc_id") == F.col("keeper")).select("doc_id")
     x_kept = ingested.join(xk_ids, "doc_id")
 
     # rung 2 — near-dup: LSH star edges -> CC -> keep-best per cluster
@@ -577,14 +590,22 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("quality") >= 0.5)
         & (F.col("bp") <= _BP_CAP)
     )
-    gate_dropped = cut_lineage(toks.where(~gate_pred).select("doc_id"))
+    # stage the scored gate frame ONCE (slim: doc_id + verdict); the
+    # kept/dropped rosters are filters over the checkpointed blocks.
+    # Cutting the two filtered frames separately re-ran the whole
+    # tokenize + marker-count scan per cut (profiled ~6 s, half the
+    # gate's construction cost)
+    gate_scored = cut_lineage(toks.select("doc_id", gate_pred.alias("__ok")))
+    gate_dropped = gate_scored.where(~F.col("__ok")).select("doc_id")
     gate_kept = sem_kept.join(
-        cut_lineage(toks.where(gate_pred).select("doc_id")), "doc_id"
+        gate_scored.where(F.col("__ok")).select("doc_id"), "doc_id"
     )
 
     # rung 5 — DSIR selection over the gate survivors
     B, P, M = _DSIR_B, _DSIR_P, _DSIR_M
-    dth = (
+    # staged once: duni AND dbig both explode this frame — without the
+    # cut each recomputed the survivor join + md5 token hashing
+    dth = cut_lineage(
         x_kept.join(gate_kept.select("doc_id"), "doc_id")
         .select("doc_id", "lang", "source", nd.token_hashes60(F.col("text")).alias("th"))
     )
@@ -636,7 +657,10 @@ def pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         dscore.select("doc_id").join(dsel, "doc_id", "left_anti")
     )
     gk_lang = gate_kept.join(x_kept.select("doc_id", "lang"), "doc_id")
-    dsir_kept = (
+    # staged once (slim id+cluster roster): consumed by BOTH the rung-6
+    # contamination train side and the final-kept anti-join — without
+    # the cut each re-ran the gate/survivor join chain
+    dsir_kept = cut_lineage(
         gk_lang.where(F.col("lang") == _DSIR_TARGET_LANG)
         .select("doc_id", "cluster_id")
         .unionByName(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.functions.text import clean_text, stable_id
+from vector_search_ner_spark.functions.vector import cosine_similarity
 from vector_search_ner_spark.operators.chunker import chunk_text, duck_chunk_sql
 from vector_search_ner_spark.operators.textstats import (
     BOILERPLATE_SEG,
@@ -1595,8 +1596,12 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "bm25_rank",
             "bm25_score",
+            # interpreted fold: the surviving negatives are a K-sized
+            # broadcast candidate list, too small to amortize an Arrow
+            # stage (the corpus-sized positive scan above keeps the
+            # kernel)
             F.round(
-                vk.pair_cosine(F.col("query_vec"), F.col("embedding")), 6
+                cosine_similarity(F.col("query_vec"), F.col("embedding")), 6
             ).alias("cos_sim"),
         )
     )

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_search_ner_spark.functions.vector import duck_cosine, duck_l2
+from vector_search_ner_spark.functions.vector import (
+    cosine_similarity,
+    duck_cosine,
+    duck_l2,
+)
 from vector_search_ner_spark.operators import veckernel as vk
 from vector_search_ner_spark.operators.knn import knn_join
 from vector_search_ner_spark.registry import query
@@ -421,7 +425,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_join(_query_batch(spark, sf_dir), emb, k=MMR_POOL, metric="cosine")
         .select("query_id", "doc_id", F.col("score").alias("rel"))
         .join(emb.select("doc_id", F.col("embedding").alias("dv")), "doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
     steps = [
@@ -431,7 +435,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "doc_id", "rel", "dv",
             F.lit(1).alias("mmr_rank"), F.col("rel").alias("mmr_score"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     ]
     for t in range(2, MMR_N + 1):
         sel = steps[0].select("query_id", "doc_id", "dv")
@@ -445,7 +449,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sel.select("query_id", F.col("dv").alias("sv")), "query_id"
             )
             .groupBy("query_id", "doc_id")
-            .agg(F.max(vk.pair_cosine(F.col("dv"), F.col("sv"))).alias("max_sim"))
+            # interpreted fold, NOT the Arrow pair kernel: each greedy
+            # step aggregates <= pool x selected rows per query (tiny),
+            # and the kernel's Python round trip per ITERATION measured
+            # 0.67x in r12 — the size-aware rule keeps kernels off
+            # iterative K-sized frames
+            .agg(F.max(cosine_similarity(F.col("dv"), F.col("sv"))).alias("max_sim"))
         )
         score = (
             F.lit(MMR_LAMBDA) * F.col("rel")
@@ -463,7 +472,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", "doc_id", "rel", "dv",
                 F.lit(t).alias("mmr_rank"), F.col("score").alias("mmr_score"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     out = steps[0].select("query_id", "doc_id", "mmr_rank", "mmr_score")
     for s in steps[1:]:
@@ -946,28 +955,36 @@ def ann_maxsim_overfetch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_index").alias("qci"),
         F.col("emb").alias("qv"),
     )
-    pairs = (
-        demb.join(F.broadcast(cand), "doc_id")
-        .join(F.broadcast(qemb), "query_id")
-        .select(
-            "overfetch",
-            "query_id",
-            "doc_id",
-            "qci",
-            vk.pair_cosine(F.col("qv"), F.col("emb")).alias("sim"),
-        )
+    # ONE MaxSim scoring pass serves BOTH legs (§2.4 shared subplan).
+    # The exact ground truth needs score_micro for every (query, doc);
+    # the pruned re-rank aggregates over the SAME full chunk set of
+    # each candidate doc, so its per-(query, doc) score is the
+    # identical value — joining the candidate list against the exact
+    # scored frame replaces the whole per-overfetch cosine re-rank
+    # (and the previous shape additionally re-ran chunk+embed via a
+    # late_interaction_maxsim call for the exact leg). Bit-identical:
+    # same expressions, same reduction order.
+    from vector_search_ner_spark.operators.knn import topk_per_query
+
+    ex_pairs = demb.crossJoin(F.broadcast(qemb)).select(
+        "query_id",
+        "doc_id",
+        "qci",
+        vk.pair_cosine(F.col("qv"), F.col("emb")).alias("sim"),
     )
-    scored = (
-        pairs.groupBy("overfetch", "query_id", "doc_id", "qci")
+    ex_scored = (
+        ex_pairs.groupBy("query_id", "doc_id", "qci")
         .agg(F.max("sim").alias("m"))
         .select(
-            "overfetch",
-            "query_id",
-            "doc_id",
-            F.round(F.col("m") * 1e6).cast("long").alias("mi"),
+            "query_id", "doc_id", F.round(F.col("m") * 1e6).cast("long").alias("mi")
         )
-        .groupBy("overfetch", "query_id", "doc_id")
+        .groupBy("query_id", "doc_id")
         .agg(F.sum("mi").alias("score_micro"))
+        .localCheckpoint(eager=True)  # consumed by the exact top AND
+        # the per-overfetch candidate join
+    )
+    scored = ex_scored.join(F.broadcast(cand), ["query_id", "doc_id"]).select(
+        "overfetch", "query_id", "doc_id", "score_micro"
     )
     w_t = Window.partitionBy("overfetch", "query_id").orderBy(
         F.col("score_micro").desc(), "doc_id"
@@ -977,9 +994,10 @@ def ann_maxsim_overfetch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _LI_K)
         .select("overfetch", "query_id", "doc_id")
     )
-    exact = late_interaction_maxsim(spark, sf_dir).select(
-        F.col("query_id").alias("eq_id"), F.col("doc_id").alias("edoc")
-    ).localCheckpoint(eager=True)
+    exact = (
+        topk_per_query(ex_scored, _LI_K, "query_id", "score_micro", "doc_id")
+        .select(F.col("query_id").alias("eq_id"), F.col("doc_id").alias("edoc"))
+    )
     n_exact = exact.count()
     hits = (
         pruned_top.join(
