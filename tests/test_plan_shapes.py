@@ -674,6 +674,33 @@ def test_semantic_incremental_scans_persisted_index(spark):
     ]
     assert len(index_scans) >= 1, p
     assert "MapInArrow" in p, p
+    # the CENTROID side is driver-collected into the Arrow kernel's
+    # closure, so it is invisible to the returned plan — spy on
+    # collect_centroids to pin that the quantizer is SERVED FROM THE
+    # STORE path, never re-derived from the corpus (ADVICE r12: the
+    # posexplode-absence assert alone would miss a re-derivation that
+    # avoids the Lloyd update shape)
+    from vector_search_ner_spark import registry as _reg
+    from vector_search_ner_spark.operators import veckernel as _vk
+
+    captured = []
+    _orig = _vk.collect_centroids
+
+    def _spy(centroids):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            centroids.explain("formatted")
+        captured.append(buf.getvalue())
+        return _orig(centroids)
+
+    _vk.collect_centroids = _spy
+    try:
+        queries, _ = collect()
+        queries["dedup_semantic_incremental"](spark, SF)
+    finally:
+        _vk.collect_centroids = _orig
+    assert captured, "assignment kernel never collected centroids"
+    assert any("semdedup_index" in c for c in captured), captured[-1]
     # no Lloyd re-run: the centroid UPDATE step's signature is the
     # per-dimension posexplode — absent means the quantizer was served
     # from the store, not re-learned

@@ -195,18 +195,22 @@ def lloyd_build(
                 F.array_sort(F.collect_list(F.struct("d", "val"))), lambda s: s["val"]
             ).alias("__new")
         )
-        # eager localCheckpoint per round (n_clusters tiny rows): the
+        # LAZY localCheckpoint per round (n_clusters tiny rows): the
         # next round references these from BOTH the assignment and the
         # empty-cluster coalesce, so without a materialization boundary
-        # the update chain re-evaluates 2^iter times; checkpointed
-        # rounds are GC-reclaimed once unreferenced (no cache leak)
+        # the update chain re-evaluates 2^iter times; plan truncation
+        # happens at call time, and the next round's centroid COLLECT
+        # (collect_centroids inside assign) is the first action, so the
+        # blocks materialize inside that job — one job per round
+        # instead of a checkpoint job followed by the collect job.
+        # Checkpointed rounds are GC-reclaimed once unreferenced.
         centroids = (
             centroids.join(newc, "cluster_id", "left")
             .select(
                 "cluster_id",
                 F.coalesce(F.col("__new"), F.col("centroid")).alias("centroid"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     fcols = [
         F.col("doc_id").alias(id_col),

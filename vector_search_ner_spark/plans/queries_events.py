@@ -237,6 +237,12 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
+    # NON-NULL user_id assumption (ADVICE r12): merge_asof(by="user_id")
+    # turns a NULL user into NaN, and NaN != NaN means such rows could
+    # never match — the retired per-user cogroup DID match the null
+    # group against itself. The events fixture's user_id is NOT NULL
+    # (catalog contract); a nullable source must filter or fillna
+    # consistently on both sides before the pmod bucketing below.
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", F.pmod("user_id", F.lit(n_buckets)).alias("__b")
